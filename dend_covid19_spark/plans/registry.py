@@ -1,0 +1,61 @@
+"""Query registry: every implemented operator registers a named query and
+(usually) a DuckDB-oracle SQL twin.
+
+The driver contract (/root/repo/__spark_entry__.py) wants
+``queries() -> {name: fn(spark, sf_dir) -> DataFrame}`` and
+``oracle_sql() -> {name: ANSI SQL}``. Modules under ``plans/`` and
+``operators/`` register here via the ``@query`` decorator; the package
+__init__ imports them all so the registry is populated on import.
+
+Rules enforced by convention (SURVEY.md §7 "discipline for the oracle"):
+  - every computed column is aliased identically in Spark and SQL;
+  - double aggregates are rounded (sum->2dp, avg/ratio->4dp+) on BOTH
+    sides so accumulation-order ulps can't flip the value hash;
+  - timestamps are surfaced as DATE (or truncated) — never raw ts;
+  - any query without an expressible SQL twin registers oracle=None and
+    gets the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as queries()[name] with an optional oracle twin."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+
+
+def get_spec(name: str) -> QuerySpec:
+    return _REGISTRY[name]

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference builds a local-mode session with Kryo + Spark NLP jars
+(/root/reference/airflow/dags/tasks/tweets.py:20-39). Here we instead tune
+for a modern Spark: Arrow-backed Python interchange, AQE for runtime
+re-planning (post-shuffle coalescing, skew-join splitting, dynamic join
+strategy), and a fixed UTC session timezone so timestamp semantics are
+deterministic and match the DuckDB oracle.
+
+Scale posture: nothing in this module is local-mode-specific. On a real
+cluster the same builder is used with ``master`` left to spark-submit; the
+shuffle-partition default (32 for tests) should be overridden to ~2-3x the
+cluster core count — AQE coalesces down from there at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "dend_covid19_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Every conf below has a scale rationale:
+      - AQE on: runtime shuffle coalescing + skew-join handling matter far
+        more at 100 TB than at test scale; enabling it from day one keeps
+        plans honest.
+      - Arrow on: all Python<->JVM exchange (pandas UDFs, toPandas) is
+        columnar/batched, never row-at-a-time pickling.
+      - UTC session timezone: timestamp results are independent of the
+        host's zone — required for oracle-stable hashes.
+      - parquet timestamps read with int96 off / ntz handling default; test
+        data is plain int64 timestamps.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The events table carries parquet TIMESTAMP(NANOS), which Spark
+        # rejects natively ([PARQUET_TYPE_ILLEGAL]); read as raw ns longs
+        # and convert to TimestampType in the catalog (integer DIV 1000 —
+        # ns-since-epoch overflows double's 2^53, so never float-divide).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.pandas.udf.buffer.size", "1048576")
+        # Keep broadcast threshold at default 10MB; dimension tables
+        # (region/nation/supplier/part) broadcast automatically. We still
+        # hint explicitly at call sites so intent survives stats loss.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    return builder.getOrCreate()
