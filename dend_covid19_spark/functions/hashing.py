@@ -1,0 +1,149 @@
+"""Engine-portable deterministic hashing for dedup operators.
+
+MinHash/SimHash need the *same* hash values inside Spark and inside the
+DuckDB oracle. Spark's ``hash``/``xxhash64`` and DuckDB's ``hash`` are
+different algorithms, so both engines derive 32-bit integer hashes from
+``md5`` (identical everywhere) via the leading 8 hex chars:
+
+    Spark:  CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)
+    DuckDB: CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)
+
+MinHash uses K universal-hash functions h_i(x) = (a_i * x + b_i) mod P
+over those 32-bit values, with P = 2^31 - 1 (Mersenne prime) and
+a_i < 2^30 so a_i * (x mod P) stays < 2^61 — no int64 overflow in either
+engine (DuckDB errors on overflow; Spark ANSI mode would too).
+
+The a_i/b_i constants are generated once from a fixed seed and inlined
+into both the Spark expressions and the oracle SQL.
+
+At scale: everything here is per-row compute inside whole-stage codegen
+(no UDFs, no shuffles); cost is O(K * shingles) per document and
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import random
+
+P = 2_147_483_647  # 2^31 - 1
+K = 32  # minhash signature length
+BANDS = 8
+ROWS = K // BANDS  # 4 rows/band -> LSH threshold ~ (1/8)^(1/4) ~ 0.59
+SIMHASH_BITS = 32
+
+_rng = random.Random(20260813)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(K)]
+MINHASH_B = [_rng.randrange(0, P) for _ in range(K)]
+
+LONG_MAX = (1 << 63) - 1
+
+
+def spark_hash32(expr: str) -> str:
+    """Spark SQL: 32-bit md5-derived hash of a string expression."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def duck_hash32(expr: str) -> str:
+    """DuckDB SQL: identical 32-bit md5-derived hash."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def spark_tokens(text: str = "text") -> str:
+    return f"split({text}, ' ')"
+
+
+def duck_tokens(text: str = "text") -> str:
+    return f"string_split({text}, ' ')"
+
+
+def spark_shingles(toks: str, n: int = 3) -> str:
+    """Distinct n-token shingles as an array<string> (Spark SQL)."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def duck_shingles(toks: str, n: int = 3) -> str:
+    """Same shingle set in DuckDB (list slice upper bound is inclusive)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def spark_shingle_hashes(shingles: str) -> str:
+    return f"transform({shingles}, s -> {spark_hash32('s')})"
+
+
+def duck_shingle_hashes(shingles: str) -> str:
+    return f"list_transform({shingles}, s -> {duck_hash32('s')})"
+
+
+def spark_minhash_sig(hashes: str) -> str:
+    """K-element minhash signature (array<bigint>) via K fold-min passes —
+    all inside whole-stage codegen, no explode/shuffle."""
+    elems = [
+        (
+            f"aggregate({hashes}, CAST({LONG_MAX} AS BIGINT), "
+            f"(acc, h) -> least(acc, ({a}L * (h % {P}) + {b}L) % {P}))"
+        )
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return "array(" + ", ".join(elems) + ")"
+
+
+def duck_minhash_sig(hashes: str) -> str:
+    elems = [
+        f"list_min(list_transform({hashes}, h -> ({a} * (h % {P}) + {b}) % {P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return "[" + ", ".join(elems) + "]"
+
+
+def spark_band_structs(sig: str) -> str:
+    """Explodeable array of (band_id, band_key) structs for LSH banding."""
+    return (
+        f"transform(sequence(0, {BANDS - 1}), "
+        f"j -> struct(j AS band_id, md5(concat_ws('-', slice({sig}, j * {ROWS} + 1, {ROWS}))) AS band_key))"
+    )
+
+
+def spark_token_hashes(toks: str) -> str:
+    return f"transform({toks}, t -> {spark_hash32('t')})"
+
+
+def duck_token_hashes(toks: str) -> str:
+    return f"list_transform({toks}, t -> {duck_hash32('t')})"
+
+
+def spark_simhash(th: str) -> str:
+    """32-bit SimHash fingerprint from per-token 32-bit hashes: for each
+    bit, +1/-1 vote per token occurrence; bit set iff vote sum > 0.
+
+    Pass a *column name* holding the precomputed hash array (not an
+    inline expression) — the 32 bit-terms each scan it, and a named
+    column is computed once per row.
+    """
+    bit_terms = [
+        (
+            f"IF(aggregate({th}, 0L, (acc, h) -> acc + IF((shiftright(h, {b}) & 1) = 1, 1, -1)) > 0, "
+            f"CAST({1 << b} AS BIGINT), 0L)"
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(bit_terms) + ")"
+
+
+def duck_simhash(th: str) -> str:
+    """DuckDB twin of spark_simhash; pass a CTE column name holding the
+    precomputed token-hash list."""
+    bit_terms = [
+        (
+            f"CASE WHEN list_sum(list_transform({th}, "
+            f"h -> CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    return "(" + " + ".join(bit_terms) + ")"

@@ -1,0 +1,342 @@
+"""Deduplication operators (north-star extension, BASELINE.json).
+
+The reference has no dedup at all (its PKs are enforced only by Redshift
+DDL, /root/reference/sql/create_tables.sql:3,16); a 100 TB training-data
+pipeline lives and dies by it. Five families, all shuffle-planned (no
+driver-side data), all oracle-checked:
+
+  dedup_exact_keyed      hash groupBy on the dedup key, deterministic
+                         canonical pick (min surrogate id)
+  dedup_latest_per_key   key-scoped latest record via row_number window
+  dedup_minhash_lsh      word-shingle MinHash signatures -> banded LSH
+                         candidate pairs (+ signature-estimated Jaccard)
+  dedup_ngram_jaccard    exact shingle-set Jaccard over the LSH candidate
+                         pairs (verify stage of the minhash pipeline)
+  dedup_simhash          32-bit SimHash fingerprints; near-dup pairs via
+                         byte-band blocking + Hamming<=3 verify
+  dedup_embedding_cosine embedding-space near-dup pairs over a cosine
+                         threshold
+
+Scale design: pair generation is always *blocked* (LSH band buckets,
+SimHash byte bands, label blocks) so the candidate set is ~linear in data
+size, never the quadratic cross join; the only unblocked pairwise op is
+dedup_embedding_cosine, which is why it also carries a blocked variant in
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+from ..plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_keyed",
+    oracle="""
+SELECT user_id, event_type,
+       min(event_id) AS first_event_id,
+       count(*) AS dup_count
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def dedup_exact_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key: one shuffle on the key, canonical row = min id.
+
+    ``dropDuplicates`` keeps an *arbitrary* row — fine for semantics-free
+    dedup but not reproducible; min-id pick is deterministic and costs the
+    same single hash aggregation.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+SELECT user_id, event_id, event_type, CAST(ts AS DATE) AS event_date
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+) t WHERE rn = 1
+""",
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key dedup (CDC compaction shape): row_number
+    over (key / ts desc). One shuffle on user_id; event_id tie-break makes
+    it reproducible under equal timestamps."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.to_date("ts").alias("event_date"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingles, sig) with everything computed by
+    codegen'd higher-order functions (no UDF, no explode yet)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = H.spark_tokens("text")
+    shingles = H.spark_shingles(toks)
+    return (
+        docs.select("doc_id", F.expr(shingles).alias("shingles"))
+        .withColumn("hs", F.expr(H.spark_shingle_hashes("shingles")))
+        .withColumn("sig", F.expr(H.spark_minhash_sig("hs")))
+    )
+
+
+def _duck_minhash_cte() -> str:
+    """Shared DuckDB CTE producing (doc_id, shingles, sig)."""
+    toks = H.duck_tokens("text")
+    shingles = H.duck_shingles("toks")
+    return f"""
+tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
+hs AS (SELECT doc_id, shingles, {H.duck_shingle_hashes('shingles')} AS hs FROM sh),
+sigs AS (SELECT doc_id, shingles, {H.duck_minhash_sig('hs')} AS sig FROM hs),
+bands AS (
+    SELECT doc_id, j.j AS band_id,
+           md5(array_to_string(sig[j.j * {H.ROWS} + 1 : j.j * {H.ROWS} + {H.ROWS}], '-')) AS band_key
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, {H.BANDS})) AS j) j
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+_MINHASH_EST = (
+    "list_sum(list_transform(range(1, {k} + 1), "
+    "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {k}.0"
+).format(k=H.K)
+
+_MINHASH_ORACLE = f"""
+WITH {_duck_minhash_cte()}
+SELECT c.doc_a, c.doc_b,
+       CAST({_MINHASH_EST} AS DOUBLE) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE {_MINHASH_EST} >= 0.25
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle -> 32-wide minhash signature
+    -> 8 bands x 4 rows -> band-bucket self-join -> signature-estimated
+    Jaccard filter.
+
+    Scale: the self-join key is (band_id, band_key) — data-size-linear
+    buckets instead of an O(n^2) cross join; signatures are ~256 bytes/doc
+    regardless of document length. est_jaccard is a multiple of 1/32
+    (exact in binary), so the threshold compare is engine-stable.
+    """
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr(H.spark_band_structs("sig"))).alias("band"),
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(H.K))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.25)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH {_duck_minhash_cte()}
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verify stage over the LSH candidate pairs
+    (find -> verify, the standard near-dup pipeline). Exact set Jaccard is
+    a ratio of small ints — bit-identical across engines."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {H.duck_tokens('text')} AS toks FROM documents),
+th AS (SELECT doc_id, {H.duck_token_hashes('toks')} AS th FROM tok),
+fp AS (SELECT doc_id, {H.duck_simhash('th')} AS simhash FROM th),
+bands AS (
+    SELECT doc_id, simhash, j.j AS band_id, (simhash >> (j.j * 8)) & 255 AS band_val
+    FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit fingerprints, blocked by the four 8-bit
+    bands (a fingerprint pair within Hamming<=6 shares a band with high
+    probability), verified by exact Hamming distance.
+
+    Fingerprints are 8 bytes/doc — the blocking join moves almost nothing
+    even at 100 TB of text.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    fp = (
+        docs.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+        .withColumn("th", F.expr(H.spark_token_hashes("toks")))
+        .select("doc_id", F.expr(H.spark_simhash("th")).alias("simhash"))
+    )
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), j -> struct(j AS band_id, shiftright(simhash, j * 8) & 255 AS band_val))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 6)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-dup
+# ---------------------------------------------------------------------------
+
+_EMB_COS = (
+    "round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6)"
+)
+
+_EMB_DEDUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_EMB_COS} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_EMB_COS} >= 0.40
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold, via pairwise
+    cosine in doubles (zip_with dot product — no UDF).
+
+    This is the brute-force O(n^2) baseline; the LSH-bucketed scale path
+    is operators/similarity.py::ann_lsh_bucketed. Cosine is rounded to
+    6 dp on both engines before the threshold compare.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / "
+            "(sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x)) * "
+            " sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))"
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.40)
+        .select("vec_a", "vec_b", "cosine")
+    )

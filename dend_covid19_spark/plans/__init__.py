@@ -1,4 +1,5 @@
 """Query plans: importing this package populates the registry."""
 
-from . import parity  # noqa: F401
+from . import annotate, multimodal_plans, parity, relational, textops, timeseries  # noqa: F401
+from ..operators import dedup, similarity  # noqa: F401
 from .registry import all_oracles, all_queries, get_spec  # noqa: F401

@@ -1,0 +1,74 @@
+"""U2 annotator queries: the reference's full extract_sentiment pipeline
+(filter -> annotate -> histogram, tweets.py:48-62) re-expressed over
+documents, with the pandas_udf annotator and a SQL-stated lexicon oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.annotator import _NEGATIVE, _POSITIVE, annotate_sentiment
+from .registry import query
+
+
+def _in_list(words: set[str]) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+_SENTIMENT_CTE = f"""
+tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+    SELECT doc_id, lang, text,
+           len(list_filter(toks, t -> t IN ({_in_list(_POSITIVE)}))) AS pos,
+           len(list_filter(toks, t -> t IN ({_in_list(_NEGATIVE)}))) AS neg
+    FROM tok
+),
+labeled AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN pos > neg THEN 'positive'
+                WHEN neg > pos THEN 'negative'
+                ELSE 'na' END AS overall_sentiment
+    FROM scored
+)"""
+
+
+@query(
+    "annotate_sentiment_docs",
+    oracle=f"""
+WITH {_SENTIMENT_CTE}
+SELECT doc_id, overall_sentiment FROM labeled
+""",
+)
+def annotate_sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: the annotator stage itself — appends overall_sentiment via the
+    Arrow-vectorized lexicon pandas_udf (deterministic Spark-NLP stand-in,
+    tweets.py:53-59)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return annotate_sentiment(docs).select("doc_id", "overall_sentiment")
+
+
+@query(
+    "sentiment_pipeline_histogram",
+    oracle=f"""
+WITH {_SENTIMENT_CTE}
+SELECT overall_sentiment, count(*) AS cnt
+FROM labeled
+WHERE lang = 'en' AND NOT text LIKE 'the %'
+GROUP BY overall_sentiment
+""",
+)
+def sentiment_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole Spark job in one lazy plan: filter (P2+P3)
+    -> annotate (U2) -> sentiment histogram (A1) — tweets.py:48-62 with
+    no collect() round-trip. Native filters run BEFORE the Python stage
+    so scan pushdown isn't blocked by the UDF (SURVEY.md §4.1 caveat)."""
+    docs = load_table(spark, "documents", sf_dir)
+    filtered = docs.where(
+        (F.col("lang") == "en") & (~F.col("text").startswith("the "))
+    )
+    return (
+        annotate_sentiment(filtered)
+        .groupBy("overall_sentiment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,204 @@
+"""Text-analysis operators over ``documents`` (north-star extension):
+language ID, quality scoring, token stats, fingerprinting — the standard
+pre-training corpus hygiene passes, all as codegen'd column expressions
+(no Python in the hot path; a pandas_udf annotator variant lives in
+functions/annotator.py as the U2 surface demo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# Tiny deterministic stopword lexicons (heuristic language ID — the
+# engine's shape for it; swap lexicons for real ones in production).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "los"),
+    "de": ("der", "die", "das", "und"),
+}
+
+
+def _spark_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(toks, t -> t IN ({words})))"
+
+
+def _duck_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+_LANGID_CASE = (
+    "CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en' "
+    "WHEN s_es >= s_de AND s_es > 0 THEN 'es' "
+    "WHEN s_de > 0 THEN 'de' ELSE 'und' END"
+)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+sc AS (
+    SELECT doc_id, lang,
+           {_duck_hits("en")} AS s_en,
+           {_duck_hits("es")} AS s_es,
+           {_duck_hits("de")} AS s_de
+    FROM tok
+)
+SELECT doc_id, lang AS declared_lang,
+       {_LANGID_CASE} AS predicted_lang,
+       CAST(s_en AS BIGINT) AS en_hits
+FROM sc
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-lexicon hit counts + deterministic
+    argmax (ties broken by fixed language order). Pure filter/size
+    higher-order fns — scales as a single scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    sc = docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.expr("split(text, ' ')").alias("toks"),
+    ).select(
+        "doc_id",
+        "declared_lang",
+        F.expr(_spark_hits("en")).alias("s_en"),
+        F.expr(_spark_hits("es")).alias("s_es"),
+        F.expr(_spark_hits("de")).alias("s_de"),
+    )
+    return sc.select(
+        "doc_id",
+        "declared_lang",
+        F.expr(_LANGID_CASE).alias("predicted_lang"),
+        F.col("s_en").cast("long").alias("en_hits"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+WITH tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS n_token_chars,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM tok
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, total/distinct counts,
+    character mass. The BPE-ish regex variant is text_token_bpe."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
+            "n_distinct_tokens"
+        ),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))"
+        ).alias("n_token_chars"),
+        F.col("n_chars"),
+    )
+
+
+@query(
+    "text_token_bpe",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via regex word/number/symbol classes (the
+    cheap proxy used to budget tokenizer costs before running the real
+    tokenizer). Regex kept to a class-only subset that means the same
+    thing in Java regex (Spark) and RE2 (DuckDB)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"
+        ).alias("n_bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           {_duck_hits("en")} AS stop_hits,
+           list_sum(list_transform(toks, t -> len(t))) AS char_mass
+    FROM tok
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(char_mass AS DOUBLE) / n_tokens AS mean_token_len,
+       round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+             * (0.5 + CAST(stop_hits AS DOUBLE) / n_tokens), 6) AS quality_score
+FROM m
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length-band gate x stopword-density boost.
+    All ratios are int/int double divisions — bit-identical across
+    engines, no rounding needed except the composite."""
+    docs = load_table(spark, "documents", sf_dir)
+    m = docs.select(
+        "doc_id", F.expr("split(text, ' ')").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(_spark_hits("en")).alias("stop_hits"),
+        F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").alias("char_mass"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("stop_hits").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("char_mass").cast("double") / F.col("n_tokens")).alias("mean_token_len"),
+        F.round(
+            F.when(F.col("n_tokens").between(20, 200), F.lit(1.0)).otherwise(0.5)
+            * (F.lit(0.5) + F.col("stop_hits").cast("double") / F.col("n_tokens")),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+FROM tok
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (word-order-insensitive near-exact dedup key; two docs that permute
+    the same words collide). ASCII tokens sort identically under Spark's
+    UTF8-binary and DuckDB's default collation."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.expr("concat_ws(' ', array_sort(array_distinct(split(text, ' '))))")
+        ).alias("fingerprint"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
+            "n_distinct_tokens"
+        ),
+    )
