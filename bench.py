@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Methodology: a tiny warm-up action first (JVM/codegen warm-up excluded
+from timings); each query is then executed once with a noop sink
+(``df.write.format("noop")``) so every output column is fully computed
+and nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the registry: TPC-H-shaped joins/aggs, window +
+# sessionization, the near-dup pipeline, ANN, text + multimodal stages.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "flagship_daily_join",
+    "window_rank_orders",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "text_fingerprint",
+    "sentiment_pipeline_histogram",
+    "multimodal_binary_meta",
+]
+
+
+def main() -> None:
+    from dend_covid19_spark import plans
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.session import get_spark
+
+    spark = get_spark(app_name="dend-covid19-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every table once (codegen + file listing + JIT)
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, t, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.all_queries()[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

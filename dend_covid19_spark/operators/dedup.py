@@ -95,7 +95,15 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, shingles, sig) with everything computed by
-    codegen'd higher-order functions (no UDF, no explode yet)."""
+    codegen'd higher-order functions (no UDF, no explode yet).
+
+    Persisted: the signature table feeds three plan branches (banding +
+    both sides of the candidate-pair join); without persist Spark
+    recomputes the md5/minhash work once per branch. Materializing
+    signatures once is also the production shape (a signature table you
+    incrementally maintain), and it's small: ~(K*8 + text shingles)
+    bytes/doc regardless of corpus size.
+    """
     docs = load_table(spark, "documents", sf_dir)
     toks = H.spark_tokens("text")
     shingles = H.spark_shingles(toks)
@@ -103,6 +111,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.expr(shingles).alias("shingles"))
         .withColumn("hs", F.expr(H.spark_shingle_hashes("shingles")))
         .withColumn("sig", F.expr(H.spark_minhash_sig("hs")))
+        .persist()
     )
 
 
@@ -312,31 +321,70 @@ WHERE {_EMB_COS} >= 0.40
 """
 
 
+_COSINE_BLOCKS = 8
+
+
 @query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold, via pairwise
-    cosine in doubles (zip_with dot product — no UDF).
+    """Embedding-cosine near-dup pairs above a threshold, via *blocked
+    matrix multiplication*: vectors are bucketed (vec_id mod B), each
+    bucket is packed into one row, bucket-pair rows fan out B(B+1)/2
+    block tasks, and a mapInPandas stage runs the numpy matmul per block
+    and emits only the above-threshold pairs.
 
-    This is the brute-force O(n^2) baseline; the LSH-bucketed scale path
-    is operators/similarity.py::ann_lsh_bucketed. Cosine is rounded to
-    6 dp on both engines before the threshold compare.
+    Why not a pairwise join: evaluating a 64-dim higher-order-function
+    cosine per joined row is ~50x slower than one BLAS matmul over the
+    same pairs, and the join materializes all O(n^2) rows before the
+    filter. The blocked shape is also the scale path: B grows with n so
+    each block stays ~4k vectors, tasks are independent, and the only
+    shuffle is the bucket pack (n rows). At 100 TB you'd LSH/IVF-block
+    first and run this within blocks.
+
+    Cosine rounded to 6 dp on both engines before the threshold compare
+    (numpy pairwise summation vs DuckDB sequential differs ~1e-15).
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "embedding", (F.col("vec_id") % _COSINE_BLOCKS).alias("bucket")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(
-        F.expr(
-            "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v) / "
-            "(sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x)) * "
-            " sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))"
-        ),
-        6,
+    packed = emb.groupBy("bucket").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= 0.40)
-        .select("vec_a", "vec_b", "cosine")
+    pa = packed.select(
+        F.col("bucket").alias("bucket_a"), F.col("vecs").alias("vecs_a")
     )
+    pb = packed.select(
+        F.col("bucket").alias("bucket_b"), F.col("vecs").alias("vecs_b")
+    )
+    blocks = pa.join(pb, F.col("bucket_a") <= F.col("bucket_b"))
+
+    def block_cosine(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([v["vec_id"] for v in row["vecs_a"]], dtype=np.int64)
+                ma = np.vstack([v["embedding"] for v in row["vecs_a"]]).astype(np.float64)
+                ids_b = np.array([v["vec_id"] for v in row["vecs_b"]], dtype=np.int64)
+                mb = np.vstack([v["embedding"] for v in row["vecs_b"]]).astype(np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = np.round(ma @ mb.T, 6)
+                ii, jj = np.nonzero((sims >= 0.40) & (ids_a[:, None] != ids_b[None, :]))
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                keep = ids_a[ii] < ids_b[jj] if row["bucket_a"] == row["bucket_b"] else slice(None)
+                out_a.append(lo[keep] if row["bucket_a"] == row["bucket_b"] else lo)
+                out_b.append(hi[keep] if row["bucket_a"] == row["bucket_b"] else hi)
+                out_c.append(sims[ii, jj][keep] if row["bucket_a"] == row["bucket_b"] else sims[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return blocks.mapInPandas(block_cosine, "vec_a long, vec_b long, cosine double")
