@@ -34,11 +34,31 @@ def score_text(text: str) -> str:
 
 def sentiment_label():
     """Build the Arrow-vectorized scoring UDF (built lazily — pandas_udf
-    needs an active SparkSession to parse its return type)."""
+    needs an active SparkSession to parse its return type).
+
+    The UDF closure is deliberately self-contained: it captures the
+    lexicon *data* (pickled by value) and defines the scorer inline,
+    never referencing module-level functions — so executors that cannot
+    import this package (different cwd/PYTHONPATH) still run it.
+    """
+    positive, negative = _POSITIVE, _NEGATIVE
 
     @F.pandas_udf("string")
     def _label(texts: pd.Series) -> pd.Series:
-        return texts.map(score_text)
+        def score(text: str) -> str:
+            pos = neg = 0
+            for t in text.split(" "):
+                if t in positive:
+                    pos += 1
+                elif t in negative:
+                    neg += 1
+            if pos > neg:
+                return "positive"
+            if neg > pos:
+                return "negative"
+            return "na"
+
+        return texts.map(score)
 
     return _label
 

@@ -14,7 +14,6 @@ deterministic fallback features. Swap ``_decode_stub`` for a real decoder
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,16 +25,29 @@ META_SCHEMA = (
 )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake 'decode' used where a real media decoder would
-    run. Raises NotImplementedError for formats we can't fake."""
-    if payload is None:
-        raise NotImplementedError("real media decode requires PIL/librosa/ffmpeg")
-    return {
-        "byte_len": len(payload),
-        "first_byte": payload[0] if payload else -1,
-        "content_md5": hashlib.md5(payload).hexdigest(),
-    }
+def _make_decode_stub():
+    """Build the deterministic fake 'decode' used where a real media
+    decoder would run. Built as a factory returning a nested function so
+    UDF closures capture it *by value* (cloudpickle) — executors never
+    need to import this package. Raises NotImplementedError for payloads
+    we can't fake (where PIL/librosa/ffmpeg would be required)."""
+    import hashlib
+
+    def decode(payload: bytes) -> dict:
+        if payload is None:
+            raise NotImplementedError(
+                "real media decode requires PIL/librosa/ffmpeg"
+            )
+        return {
+            "byte_len": len(payload),
+            "first_byte": payload[0] if payload else -1,
+            "content_md5": hashlib.md5(payload).hexdigest(),
+        }
+
+    return decode
+
+
+_decode_stub = _make_decode_stub()  # module-level handle for unit tests
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -53,9 +65,11 @@ def extract_binary_meta(df: DataFrame) -> DataFrame:
     shuffle, memory bounded by the Arrow batch size.
     """
 
+    decode = _make_decode_stub()
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = pdf["payload"].map(_decode_stub)
+            metas = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -1,0 +1,92 @@
+"""Source/sink surface (SURVEY.md §2.1 S1-S11), Spark-first.
+
+The reference's sources are gzipped JSONL globs, a one-row JSONL hand-off,
+an HTTP time series, and Redshift INSERT/COPY sinks. The engine's
+equivalents, each designed for distributed execution:
+
+  read_jsonl          S1/S3: JSON datasource with explicit-or-inferred
+                      schema (explicit preferred — no sampling scan)
+  read_partitioned    S2: Hive-partitioned parquet + partition-pruning
+                      filter (replaces path templating)
+  from_rows           S5: createDataFrame with explicit schema
+  write_jsonl         S6: JSON sink (overwrite)
+  write_partitioned   S7/S8 analog: partitioned parquet sink — the
+                      distributed replacement for row INSERTs and COPY
+  external_timeseries S4 shape: a connector callback materialized to a
+                      DataFrame (driver fetch is fine — the series is
+                      tiny; the *data* never loops through the driver)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """S1/S3: JSONL read. With ``schema`` Spark skips the inference pass
+    (the reference's double-read at tweets.py:48 — SURVEY.md §4.2)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: JSONL sink (tweets.py:82 analog)."""
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Iterable[str], mode: str = "overwrite"
+) -> None:
+    """S7/S8 analog: partitioned parquet sink. Replaces both the row-at-a-
+    time INSERT loop (market.py:29-42) and the COPY path (tweets.py:85-101)
+    with a distributed write; downstream reads get partition pruning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, schema: StructType | None = None, **eq_filters
+) -> DataFrame:
+    """S2: partition-pruned read. ``eq_filters`` become equality
+    predicates on partition columns — Catalyst prunes directories at
+    planning time, the moral equivalent of the reference's
+    '{y}/{m}/{d}/*.jsonl.gz' path templating (tweets.py:41-45) without
+    hand-built paths."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    for col, val in eq_filters.items():
+        df = df.where(F.col(col) == F.lit(val))
+    return df
+
+
+def from_rows(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:
+    """S5: in-memory rows -> DataFrame with explicit schema
+    (tweets.py:81 without dict-shape inference)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def external_timeseries(
+    spark: SparkSession,
+    fetch: Callable[[str, str], list],
+    keys: Iterable[str],
+    date: str,
+    schema: StructType | str = "date date, series string, value double",
+) -> DataFrame:
+    """S4 shape: pull (date, key)->value points from an external API
+    callback and materialize one DataFrame for a single batched write —
+    versus the reference's one-INSERT-per-index loop (market.py:29-42).
+    Missing points surface as NULL values (market.py:26-27 semantics
+    belong to the callback)."""
+    rows = []
+    for key in keys:
+        rows.extend(fetch(key, date))
+    return spark.createDataFrame(rows, schema)

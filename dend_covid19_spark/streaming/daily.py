@@ -1,0 +1,74 @@
+"""Structured Streaming re-expression of the daily batch (SURVEY.md §2.7).
+
+The reference is batch re-run daily by Airflow; the engine declares the
+same tumbling-window aggregation once (plans/timeseries.py) and can run
+it either as a batch query (oracle-checked) or incrementally under
+``readStream`` with a watermark — this module is the streaming entry.
+
+Scale posture: file-source streaming with ``availableNow`` gives
+Airflow-style catch-up batches with exactly-once sink semantics and
+bounded state (watermark evicts windows older than the allowed
+lateness); swap the source for Kafka without touching the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of the events table (ns timestamps handled the
+    same way as the batch catalog: nanosAsLong + integer DIV)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
+def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """The tumbling 1-day count/value aggregation with late-data handling.
+
+    Same logical aggregation as plans/timeseries.py::events_tumbling_daily
+    — watermark bounds the state store; 'update'/'append' output modes
+    both work downstream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.to_date("w.start").alias("day"), "event_type", "cnt", "total_value"
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "daily_counts_stream",
+) -> None:
+    """Process everything currently in ``src_dir`` as one incremental
+    catch-up (the streaming equivalent of an Airflow backfill), into an
+    in-memory sink table, then stop. Blocks until complete."""
+    events = read_events_stream(spark, src_dir)
+    q = (
+        daily_counts_stream(events)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,86 @@
+"""End-to-end test of the reference-pipeline re-expression (O1-O6):
+reset -> backfill two dates -> quality gates -> flagship join."""
+
+from __future__ import annotations
+
+import pytest
+
+from dend_covid19_spark.operators.quality import (
+    DataQualityError,
+    expect_no_nulls,
+    expect_nonempty,
+    expect_unique_key,
+)
+from dend_covid19_spark.pipeline import backfill, flagship_join, run_daily
+from dend_covid19_spark.sources.ddl import reset_serving_tables
+from tests.conftest import SF_DIR
+
+
+def fake_quandl(index: str, date: str) -> list:
+    """Deterministic stand-in for the Quandl connector (market.py:21-27):
+    value derived from the key; one index intentionally 'missing'."""
+    if index == "NASDAQOMX/MISSING":
+        return [(index, None)]
+    return [(index, float(len(index)) + float(date[-2:]))]
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    # spark.sql.warehouse.dir is a static conf — use the session default
+    # (./spark-warehouse, gitignored) and clean up the tables around us.
+    reset_serving_tables(spark)
+    yield spark
+    from dend_covid19_spark.sources.ddl import drop_serving_tables
+
+    drop_serving_tables(spark)
+
+
+def test_backfill_and_flagship(warehouse):
+    spark = warehouse
+    dates = ["2020-01-21", "2020-01-22"]
+    backfill(
+        spark,
+        SF_DIR,
+        dates,
+        fake_quandl,
+        indices=("NASDAQOMX/XQC", "NASDAQOMX/NQEU"),
+    )
+    ts = spark.table("tweets_sentiment")
+    assert ts.count() == 2
+    row = ts.where("tweets_sentiment_id = '2020-01-21(en)'").collect()[0]
+    assert row.year == 2020 and row.month == 1 and row.day == 21
+    assert row.positive_count + row.negative_count + row.na_count > 0
+
+    mv = spark.table("markets_value")
+    assert mv.count() == 4  # 2 dates x 2 indices
+    expect_unique_key(mv, "markets_value_id")
+    expect_no_nulls(mv, "date", "index")
+
+    joined = flagship_join(spark)
+    assert joined.count() == 4
+    cols = set(joined.columns)
+    assert {"date", "index", "value", "positive_count", "negative_count"} <= cols
+
+
+def test_null_market_value_is_preserved(warehouse):
+    spark = warehouse
+    run_daily(
+        spark, SF_DIR, "2020-01-23", fake_quandl, indices=("NASDAQOMX/MISSING",)
+    )
+    row = (
+        spark.table("markets_value")
+        .where("markets_value_id = '2020-01-23(NASDAQOMX/MISSING)'")
+        .collect()[0]
+    )
+    assert row.value is None  # market.py:26-27 semantics
+
+
+def test_quality_gates(warehouse):
+    spark = warehouse
+    df = spark.table("tweets_sentiment")
+    expect_nonempty(df)
+    with pytest.raises(DataQualityError):
+        expect_nonempty(df, df.language == "xx", name="missing-language")
+    with pytest.raises(DataQualityError):
+        dup = df.union(df)
+        expect_unique_key(dup, "tweets_sentiment_id", name="dup-pk")

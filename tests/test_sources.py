@@ -1,0 +1,65 @@
+"""Source/sink round-trips (S1-S11) + multimodal plumbing unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dend_covid19_spark.catalog import load_table
+from dend_covid19_spark.multimodal.binary_ops import (
+    _decode_stub,
+    attach_binary_payload,
+    extract_binary_meta,
+)
+from dend_covid19_spark.sources.readers import (
+    from_rows,
+    read_jsonl,
+    read_partitioned,
+    write_jsonl,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_DIR).limit(50)
+    path = str(tmp_path / "docs_json")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema="doc_id long, lang string, text string")
+    assert back.count() == 50
+    assert set(back.columns) == {"doc_id", "lang", "text"}
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, "events", SF_DIR).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, ["day"])
+    one_day = read_partitioned(spark, path, day="2024-01-05")
+    assert one_day.count() > 0
+    # partition pruning must reach the physical scan
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one_day.count() < ev.count()
+
+
+def test_from_rows(spark):
+    df = from_rows(spark, [(1, "a"), (2, "b")], "id long, v string")
+    assert df.count() == 2 and df.schema["id"].dataType.typeName() == "long"
+
+
+def test_decode_stub_contract():
+    meta = _decode_stub(b"abc")
+    assert meta == {
+        "byte_len": 3,
+        "first_byte": 97,
+        "content_md5": "900150983cd24fb0d6963f7d28e17f72",
+    }
+    with pytest.raises(NotImplementedError):
+        _decode_stub(None)
+
+
+def test_multimodal_batch_shapes(spark):
+    docs = load_table(spark, "documents", SF_DIR).limit(10)
+    out = extract_binary_meta(attach_binary_payload(docs))
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.byte_len > 0 and len(r.content_md5) == 32 for r in rows)

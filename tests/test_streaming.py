@@ -1,0 +1,33 @@
+"""Streaming vs batch equivalence: the availableNow catch-up run over the
+events table must produce exactly the batch tumbling-window result."""
+
+from __future__ import annotations
+
+from dend_covid19_spark.plans.timeseries import events_tumbling_daily
+from dend_covid19_spark.streaming.daily import run_available_now
+from tests.conftest import SF_DIR
+
+
+def test_available_now_matches_batch(spark, tmp_path):
+    # the file-stream source requires a directory; stage the events file
+    import shutil
+
+    src = tmp_path / "events_stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    run_available_now(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt"),
+        sink_table="stream_daily",
+    )
+    streamed = {
+        (str(r.day), r.event_type): (r.cnt, round(r.total_value, 2))
+        for r in spark.table("stream_daily").collect()
+    }
+    batch = {
+        (str(r.day), r.event_type): (r.cnt, round(r.total_value, 2))
+        for r in events_tumbling_daily(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
