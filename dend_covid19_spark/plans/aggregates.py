@@ -1,0 +1,313 @@
+"""Aggregate/subquery/generator breadth: HAVING, conditional aggregation,
+rollup/cube, exact median, correlated subqueries, explode (UDTF surface),
+stream-dimension enrichment, string-function coverage.
+
+None of these exist in the reference (SURVEY.md §2.4-2.6 records the
+absences); they are table-stakes for the driver's star schema and for any
+warehouse user switching to this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from .parity import _sql_dsum, dsum
+from .registry import query
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount', scale=6)} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the query whose 100 TB
+    cost is entirely decided by filter pushdown + column pruning (4
+    columns read, 0 shuffled rows beyond one partial-agg exchange)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle=f"""
+SELECT round(
+         100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                    AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+       4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+""",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation through a broadcast dim
+    join; both sums decimal-stabilized, ratio computed in double."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(disc.cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_name, o.o_orderkey, round(o.o_totalprice, 2) AS total,
+       round(b.sum_qty, 2) AS sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING as a semi-filterable derived
+    table, then enrich. Aggregating lineitem BEFORE the joins keeps the
+    join input at |orders| scale — the reorder that matters at 100 TB."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "rollup_daily_events",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS cnt
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), event_type)
+""",
+)
+def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (day, type), (day), () subtotal grades in one pass —
+    Catalyst expands then single-shuffles; NULL group keys mark totals on
+    both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.rollup(F.to_date("ts").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       {_sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions (all 2^2 grouping sets)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total")
+    )
+
+
+@query(
+    "median_acctbal_by_segment",
+    oracle="""
+SELECT c_mktsegment,
+       round(median(c_acctbal), 4) AS median_acctbal,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def median_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median/p90 per group. Exact percentile forces a
+    per-group sort — fine for bounded groups; at 100 TB prefer
+    approx_percentile (see approx_distinct_users for the sketch-op
+    surface). 2-decimal inputs make interpolation midpoints exact at
+    <=4 dp, so round(4) is engine-stable."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_acctbal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_acctbal"),
+    )
+
+
+@query(
+    "subquery_above_nation_avg",
+    oracle="""
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+)
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front door — Catalyst
+    decorrelates it into an aggregate + join (no per-row subquery
+    execution; check the plan for the rewritten Aggregate⋈Filter).
+
+    avg() compare: both engines compute the same double avg per nation —
+    sum order differs at ~1e-12 relative, but the compared column
+    c_acctbal is 2-decimal so a flip would need a customer within 1e-9 of
+    the exact average — not present in this data (asserted by tests at
+    both sf).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@query(
+    "explode_token_freq",
+    oracle="""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+""",
+)
+def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator/UDTF surface (absent from the reference, §2.8):
+    explode tokens -> global term frequencies -> deterministic top-20.
+    At corpus scale this is the wordcount shuffle — partial aggregation
+    collapses each partition to its vocabulary before the exchange."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "events_enriched_by_customer",
+    oracle=f"""
+SELECT c.c_mktsegment, e.event_type, count(*) AS cnt,
+       {_sql_dsum('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+)
+def events_enriched_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-dimension enrichment: events x broadcast customer dim, then
+    segment/type rollup — the canonical streaming-join shape (dimension
+    broadcast; the event stream never shuffles for the join)."""
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+SELECT doc_id,
+       substring(text, 1, 10) AS prefix10,
+       upper(lang) AS lang_uc,
+       replace(source, 'src', 'source-') AS source_name,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       CAST(levenshtein(lang, 'en') AS INT) AS lang_dist,
+       CAST(strpos(text, 'spark') AS INT) AS spark_pos,
+       CAST(length(trim(text)) AS INT) AS trimmed_len
+FROM documents
+""",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth (F1/F6 family + the functions any
+    warehouse migration exercises): substring/upper/replace/lpad/
+    levenshtein/instr/trim — all JVM-side expressions."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.upper("lang").alias("lang_uc"),
+        F.regexp_replace("source", "src", "source-").alias("source_name"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+        F.instr("text", "spark").alias("spark_pos"),
+        F.length(F.trim("text")).alias("trimmed_len"),
+    )
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-aggregate surface (rows-only check: approximate results
+    have no SQL-exact twin by construction): HyperLogLog distinct users
+    per event type — the 100 TB substitute for exact countDistinct."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
