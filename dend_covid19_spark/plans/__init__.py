@@ -9,5 +9,5 @@ from . import (  # noqa: F401
     textops,
     timeseries,
 )
-from ..operators import dedup, similarity  # noqa: F401
+from ..operators import advanced_joins, dedup, similarity  # noqa: F401
 from .registry import all_oracles, all_queries, get_spec  # noqa: F401
