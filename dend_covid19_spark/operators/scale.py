@@ -1,0 +1,84 @@
+"""Scale techniques as reusable operators: skew salting and bucketed
+(co-located) joins.
+
+These don't add query semantics — they add *plan shapes* that keep the
+same semantics viable at 100 TB:
+
+  salted_aggregate   two-phase aggregation for skewed group keys: salt
+                     the key, partial-aggregate per (key, salt), then
+                     final-aggregate per key. The first shuffle spreads a
+                     hot key over ``salt_buckets`` tasks instead of one.
+                     (AQE's skew handling covers joins; skewed *group-by*
+                     keys still need this.)
+  write_bucketed /   persist both sides of a recurring fact-fact join
+  bucketed_join      bucketed+sorted by the join key: Spark plans a
+                     SortMergeJoin with NO Exchange on either side — the
+                     shuffle is paid once at write time, then every
+                     subsequent join is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+_REAGG = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skew-heavy keys.
+
+    ``aggs`` maps output names to (partial aggregate column, kind) where
+    kind in {count, sum, min, max} — the algebraic aggregates that can be
+    re-aggregated. The partial phase groups by (keys..., salt) — a hot
+    key fans out over ``salt_buckets`` reducers; the final phase
+    re-aggregates the tiny partial results per key.
+    """
+    for name, (_, kind) in aggs.items():
+        if kind not in _REAGG:
+            raise ValueError(
+                f"salted_aggregate supports {sorted(_REAGG)}; {name!r} has kind {kind!r}"
+            )
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(f"__p_{name}") for name, (c, _) in aggs.items()]
+    )
+    finals = [
+        _REAGG[kind](F.col(f"__p_{name}")).alias(name)
+        for name, (_, kind) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*finals)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+) -> None:
+    """Persist as a bucketed+sorted managed table (the pay-the-shuffle-
+    once side of a co-located join)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key. With matching
+    bucket counts Spark plans SortMergeJoin with zero Exchange operators
+    — verify with df.explain(); tests assert it."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (the north-star 'custom stateful operators'
+surface).
+
+Semantics mirror the batch operator plans/timeseries.py::events_sessionize
+(30-min inactivity gap), with the streaming-native difference that only
+*closed* sessions are emitted — a session stays open in the state store
+until a later event (or timeout policy) closes it. State per user is a
+4-tuple, so the state store scales with |active users|, not event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, session_seq long, n_events long, session_date date"
+STATE_SCHEMA = "last_us long, session_seq long, n_events long, start_us long"
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _make_session_fn(gap_us: int):
+    """Factory for the per-user state machine — a nested function so
+    cloudpickle ships it by value (executors never import this package).
+
+    Events inside a micro-batch are sorted by (ts, event_id) — same total
+    order as the batch operator — and folded into
+    (last_us, session_seq, n_events, start_us)."""
+
+    def session_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        (user_id,) = key
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64") // 1000  # datetime64[ns] -> us
+
+        if state.exists:
+            last_us, seq, n, start_us = state.get
+        else:
+            last_us, seq, n, start_us = None, 0, 0, None
+
+        closed: list[tuple[Any, ...]] = []
+        for t in ts_us:
+            t = int(t)
+            if last_us is None or t - last_us > gap_us:
+                if n > 0:
+                    closed.append((user_id, seq, n, start_us))
+                seq, n, start_us = seq + 1, 0, t
+            n += 1
+            last_us = t
+        state.update((last_us, seq, n, start_us))
+
+        if closed:
+            out = pd.DataFrame(
+                closed, columns=["user_id", "session_seq", "n_events", "start_us"]
+            )
+            out["session_date"] = pd.to_datetime(
+                out.pop("start_us"), unit="us"
+            ).dt.date
+            yield out
+
+    return session_fn
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """events (streaming or batch-tested via availableNow) -> closed
+    sessions. Keyed state per user; append output mode."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(GAP_US),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_available_now(
+    spark, src_dir: str, checkpoint_dir: str, sink_table: str = "sessions_stream"
+) -> None:
+    from .daily import read_events_stream
+
+    events = read_events_stream(spark, src_dir).select("user_id", "ts", "event_id")
+    q = (
+        sessionize_stateful(events)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,40 @@
+"""Stateful streaming sessionization vs the batch operator: with one
+availableNow micro-batch, the streamed *closed* sessions must equal the
+batch sessions minus each user's final (still-open) session."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dend_covid19_spark.plans.timeseries import events_sessionize
+from dend_covid19_spark.streaming.stateful import run_sessionize_available_now
+from tests.conftest import SF_DIR
+
+
+def test_stateful_sessions_match_batch_closed(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    run_sessionize_available_now(spark, str(src), str(tmp_path / "ckpt"))
+
+    streamed = {
+        (r.user_id, r.session_seq): (r.n_events, str(r.session_date))
+        for r in spark.table("sessions_stream").collect()
+    }
+
+    batch = events_sessionize(spark, SF_DIR)
+    w = Window.partitionBy("user_id")
+    closed_batch = (
+        batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .where(F.col("session_seq") < F.col("max_seq"))
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, str(r.session_date))
+        for r in closed_batch
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
