@@ -57,18 +57,24 @@ def duck_tokens(text: str = "text") -> str:
 
 
 def spark_shingles(toks: str, n: int = 3) -> str:
-    """Distinct n-token shingles as an array<string> (Spark SQL)."""
+    """Distinct n-token shingles as a sorted array<string> (Spark SQL).
+
+    Sorted because Spark's ``array_distinct`` keeps first-occurrence order
+    while DuckDB's ``list_distinct`` does not guarantee any order; sorting
+    makes the value identical in both engines, and every downstream
+    consumer (MinHash min-fold, Jaccard set overlap) is order-insensitive.
+    """
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"array_sort(array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))))"
     )
 
 
 def duck_shingles(toks: str, n: int = 3) -> str:
-    """Same shingle set in DuckDB (list slice upper bound is inclusive)."""
+    """Same sorted shingle set in DuckDB (list slice upper bound is inclusive)."""
     return (
-        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
-        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+        f"list_sort(list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))))"
     )
 
 

@@ -1,0 +1,62 @@
+"""Property-based cross-engine equivalence for the portable hashing layer
+(functions/hashing.py): on *generated* texts — not just the fixed corpus —
+Spark expressions and their DuckDB twins must produce identical shingles,
+32-bit hashes, MinHash signatures, and SimHash fingerprints. A divergence
+here would silently corrupt every dedup oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from dend_covid19_spark.functions import hashing as H
+
+WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+TEXT = st.lists(WORD, min_size=1, max_size=40).map(" ".join)
+
+
+def _spark_exprs(spark, texts):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    toks = H.spark_tokens("text")
+    return (
+        df.withColumn("h32", F.expr(H.spark_hash32("text")))
+        .withColumn("shingles", F.expr(H.spark_shingles(toks)))
+        .withColumn("hs", F.expr(H.spark_shingle_hashes("shingles")))
+        .withColumn("sig", F.expr(H.spark_minhash_sig("hs")))
+        .withColumn("th", F.expr(H.spark_token_hashes(toks)))
+        .withColumn("simhash", F.expr(H.spark_simhash("th")))
+        .select("text", "h32", "shingles", "sig", "simhash")
+        .collect()
+    )
+
+
+def _duck_exprs(texts):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": texts}))
+    toks = H.duck_tokens("text")
+    sql = f"""
+    WITH tok AS (SELECT text, {toks} AS toks FROM t),
+    sh AS (SELECT text, toks, {H.duck_shingles('toks')} AS shingles FROM tok),
+    hs AS (SELECT text, toks, shingles, {H.duck_shingle_hashes('shingles')} AS hs FROM sh),
+    th AS (SELECT text, toks, shingles, hs, {H.duck_token_hashes('toks')} AS th FROM hs)
+    SELECT text,
+           {H.duck_hash32('text')} AS h32,
+           shingles,
+           {H.duck_minhash_sig('hs')} AS sig,
+           {H.duck_simhash('th')} AS simhash
+    FROM th
+    """
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6, unique=True))
+def test_hashing_layer_matches_duckdb(spark, texts):
+    s = {r.text: (r.h32, tuple(r.shingles), tuple(r.sig), r.simhash) for r in _spark_exprs(spark, texts)}
+    d = {t: (h, tuple(sh), tuple(sig), sim) for t, h, sh, sig, sim in _duck_exprs(texts)}
+    assert s == d
