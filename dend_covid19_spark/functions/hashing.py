@@ -87,16 +87,22 @@ def duck_shingle_hashes(shingles: str) -> str:
 
 
 def spark_minhash_sig(hashes: str) -> str:
-    """K-element minhash signature (array<bigint>) via K fold-min passes —
-    all inside whole-stage codegen, no explode/shuffle."""
-    elems = [
-        (
-            f"aggregate({hashes}, CAST({LONG_MAX} AS BIGINT), "
-            f"(acc, h) -> least(acc, ({a}L * (h % {P}) + {b}L) % {P}))"
-        )
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return "array(" + ", ".join(elems) + ")"
+    """K-element minhash signature (array<bigint>) via a single zip_with
+    over the constant a/b arrays, one fold-min per (a, b) — all inside
+    whole-stage codegen, no explode/shuffle.
+
+    Written as zip_with-over-constants rather than K spelled-out
+    aggregates: the generated Java is ~K times smaller, which cuts the
+    one-time whole-stage-codegen/JIT compile from seconds to negligible
+    while producing identical values.
+    """
+    a_arr = "array(" + ",".join(f"{a}L" for a in MINHASH_A) + ")"
+    b_arr = "array(" + ",".join(f"{b}L" for b in MINHASH_B) + ")"
+    return (
+        f"zip_with({a_arr}, {b_arr}, (a, b) -> "
+        f"aggregate({hashes}, CAST({LONG_MAX} AS BIGINT), "
+        f"(acc, h) -> least(acc, (a * (h % {P}) + b) % {P})))"
+    )
 
 
 def duck_minhash_sig(hashes: str) -> str:
@@ -127,18 +133,23 @@ def spark_simhash(th: str) -> str:
     """32-bit SimHash fingerprint from per-token 32-bit hashes: for each
     bit, +1/-1 vote per token occurrence; bit set iff vote sum > 0.
 
-    Pass a *column name* holding the precomputed hash array (not an
-    inline expression) — the 32 bit-terms each scan it, and a named
-    column is computed once per row.
+    Single pass over the hash array: one fold accumulates all 32 per-bit
+    vote counters (zip_with against a bit-index sequence), then a second
+    fold packs the sign bits into the fingerprint. Compared with 32
+    spelled-out per-bit aggregates this shrinks the generated Java ~32x
+    (negligible codegen/JIT compile) and scans the token-hash array once
+    per row instead of 32 times.
     """
-    bit_terms = [
-        (
-            f"IF(aggregate({th}, 0L, (acc, h) -> acc + IF((shiftright(h, {b}) & 1) = 1, 1, -1)) > 0, "
-            f"CAST({1 << b} AS BIGINT), 0L)"
-        )
-        for b in range(SIMHASH_BITS)
-    ]
-    return "(" + " + ".join(bit_terms) + ")"
+    votes = (
+        f"aggregate({th}, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(a, b) -> a + IF((shiftright(h, CAST(b AS INT)) & 1) = 1, 1L, -1L)))"
+    )
+    return (
+        f"aggregate({votes}, struct(0L AS s, 0 AS i), "
+        f"(acc, v) -> struct(acc.s + IF(v > 0, shiftleft(1L, acc.i), 0L) AS s, acc.i + 1 AS i), "
+        f"acc -> acc.s)"
+    )
 
 
 def duck_simhash(th: str) -> str:
