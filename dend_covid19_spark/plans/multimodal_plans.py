@@ -8,7 +8,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
-from ..multimodal.binary_ops import attach_binary_payload, extract_binary_meta
+from ..multimodal.binary_ops import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    HIST_BINS,
+    RESIZE_W,
+    attach_binary_payload,
+    extract_binary_meta,
+    extract_byte_histogram,
+    resize_payload,
+    sample_frames,
+)
 from .registry import query
 
 
@@ -33,3 +43,67 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf_dir)
     return extract_binary_meta(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       list_transform(range(0, {RESIZE_W}),
+           i -> CAST(ascii(substring(text,
+                CAST(1 + (i * octet_length(encode(text))) // {RESIZE_W} AS INT), 1)) AS INT)
+       ) AS pixels
+FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 'resize' of the payload to a fixed 8-wide vector
+    via mapInPandas (image-resize plumbing with the decoder stubbed as raw
+    bytes). ASCII corpus makes byte i == ascii(char i), so the whole
+    Arrow round-trip is value-checked in SQL."""
+    docs = load_table(spark, "documents", sf_dir)
+    return resize_payload(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       CAST(f AS INT) AS frame_no,
+       md5(substring(text, CAST(f * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
+FROM (
+    SELECT doc_id, text,
+           unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES}, {FRAME_STRIDE})) AS f
+    FROM documents
+)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped frame sampling: payload -> fixed 32-byte frames ->
+    every 4th frame's digest, one output row per sampled frame (1->N
+    fan-out inside mapInPandas). The md5-per-frame is SQL-checkable."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_byte_histogram",
+    oracle=f"""
+WITH bytes AS (
+    SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text)) + 1),
+               i -> ascii(substring(text, CAST(i AS INT), 1))) AS bs
+    FROM documents
+)
+SELECT doc_id,
+       list_transform(range(0, {HIST_BINS}),
+           b -> CAST(len(list_filter(bs, x -> x // 16 = b)) AS BIGINT)) AS hist
+FROM bytes
+""",
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: numpy bincount of payload byte values
+    (>>4) per Arrow batch -> fixed 16-long feature vector, the slot a real
+    embedding model occupies."""
+    docs = load_table(spark, "documents", sf_dir)
+    return extract_byte_histogram(attach_binary_payload(docs))

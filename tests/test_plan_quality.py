@@ -1,0 +1,109 @@
+"""Physical-plan quality regression tests.
+
+Correctness is the oracle's job (test_oracle_parity); these tests pin the
+*scale* properties of the plans — the things that decide whether a query
+that passes at sf0.01 still works on a 1000-executor cluster at 100 TB:
+
+  - small dimension joins must broadcast (no shuffle of the big side);
+  - filters must reach the parquet scan (PushedFilters);
+  - scans must prune columns (never read l_comment for a 4-column query);
+  - aggregations must have a map-side partial before the shuffle;
+  - blocked pair-generation (LSH bands, SimHash bands, cosine blocks)
+    must never degrade into a CartesianProduct.
+
+A refactor that silently breaks one of these still returns correct rows,
+which is exactly why they need their own tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dend_covid19_spark.plans.registry import all_queries
+
+from conftest import SF_DIR
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q5_local_supplier_volume", "flagship_daily_join", "dedup_minhash_lsh"],
+)
+def test_small_dims_broadcast(spark, name):
+    plan = formatted_plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: expected broadcast joins\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,expected_pushed",
+    [
+        ("q6_forecast_revenue", "GreaterThanOrEqual(l_shipdate"),
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("flagship_daily_join", "EqualTo(event_type,purchase)"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, expected_pushed):
+    plan = formatted_plan(spark, name)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert expected_pushed in pushed, f"{name}: filter not pushed down\n{pushed}"
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q5_local_supplier_volume", "q6_forecast_revenue"]
+)
+def test_column_pruning(spark, name):
+    """lineitem has 16 columns incl. the wide l_comment; a pruned scan
+    never reads it, and reads under half the table width."""
+    plan = formatted_plan(spark, name)
+    schemas = read_schemas(plan)
+    assert schemas, f"{name}: no ReadSchema found\n{plan}"
+    for s in schemas:
+        assert "l_comment" not in s, f"{name}: scan reads l_comment\n{s}"
+    lineitem = [s for s in schemas if "l_" in s]
+    assert lineitem and all(s.count(":") <= 8 for s in lineitem), (
+        f"{name}: lineitem scan too wide\n{lineitem}"
+    )
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "dedup_exact_keyed"])
+def test_partial_aggregation(spark, name):
+    """groupBy must plan map-side partial + reduce-side final HashAggregate
+    (2 nodes), not a single post-shuffle aggregate over raw rows."""
+    plan = formatted_plan(spark, name)
+    assert plan.count("HashAggregate") >= 2, f"{name}: no partial aggregation\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "ann_lsh_bucketed",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_pair_generation_is_blocked(spark, name):
+    """Candidate-pair ops must join on block keys — a CartesianProduct or
+    unconditioned BroadcastNestedLoopJoin over the full input would be the
+    O(n^2) plan that dies at scale. (dedup_embedding_cosine's bucket-pair
+    join is over B=8 packed rows, constant-size, and plans as a broadcast
+    nested loop over 8x8 block descriptors — that one is allowed.)"""
+    plan = formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian pair generation\n{plan}"
+    if name != "dedup_embedding_cosine":
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop pair generation\n{plan}"
+        )
