@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     relational,
     textops,
     timeseries,
+    tpch_extra,
 )
 from ..operators import advanced_joins, dedup, similarity  # noqa: F401
 from .registry import all_oracles, all_queries, get_spec  # noqa: F401

@@ -33,9 +33,15 @@ def dsum(col: Column | str, scale: int = 2, out_round: int = 2) -> Column:
     makes the aggregate exact integer arithmetic — the same trick keeps
     100 TB sums reproducible across retries/partitionings, not just
     oracle-stable.
+
+    The final rounding happens in DECIMAL space too (both engines round
+    decimals half-away-from-zero), THEN casts to double. Rounding after
+    the double cast is engine-dependent for exact half-way sums like
+    307843.595: Spark rounds the shortest decimal repr (-> .60) while
+    DuckDB rounds the binary double 307843.59499... (-> .59).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), out_round)
+    return F.round(F.sum(c.cast(f"decimal(18,{scale})")), out_round).cast("double")
 
 
 def davg(col: Column | str, scale: int = 2, out_round: int = 4) -> Column:
@@ -48,7 +54,8 @@ def davg(col: Column | str, scale: int = 2, out_round: int = 4) -> Column:
 
 
 def _sql_dsum(expr: str, scale: int = 2, out_round: int = 2) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE), {out_round})"
+    """DuckDB twin of dsum: decimal-space round, then double cast."""
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,{scale}))), {out_round}) AS DOUBLE)"
 
 
 def _sql_davg(expr: str, scale: int = 2, out_round: int = 4) -> str:
