@@ -31,6 +31,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_volume",
     "flagship_daily_join",
     "window_rank_orders",
     "events_sessionize",
@@ -38,6 +39,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
+    "ann_ivf_topk",
     "text_fingerprint",
     "sentiment_pipeline_histogram",
     "multimodal_binary_meta",

@@ -141,6 +141,105 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF coarse quantizer: centroids are the embeddings of fixed vec_ids (a
+# deterministic stand-in for a k-means codebook — at scale you'd train
+# centroids offline and broadcast them exactly like this). Cell-assignment
+# cosines are rounded to 6 dp on both engines before the argmax so ulp-level
+# accumulation differences can't flip an assignment; ties break to the
+# smaller centroid id.
+CENTROID_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+NPROBE = 2
+
+_SPARK_CELL_SCORES = (
+    "transform(cents, c -> struct("
+    "round(aggregate(zip_with({v}, c.cvec, (x, y) -> x * y), 0D, (acc, p) -> acc + p) / "
+    "(sqrt(aggregate({v}, 0D, (acc, x) -> acc + x * x)) * "
+    " sqrt(aggregate(c.cvec, 0D, (acc, x) -> acc + x * x))), 6) AS s, "
+    "-c.cid AS negcid))"
+)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})
+), v AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+    SELECT vec_id, label, v,
+           (SELECT c.cid FROM cents c
+            ORDER BY round(CAST(list_cosine_similarity(v.v, c.cvec) AS DOUBLE), 6) DESC,
+                     c.cid
+            LIMIT 1) AS cell
+    FROM v
+), q AS (SELECT v FROM v WHERE vec_id = {QUERY_VEC_ID}
+), probed AS (
+    SELECT c.cid FROM cents c, q
+    ORDER BY round(CAST(list_cosine_similarity(q.v, c.cvec) AS DOUBLE), 6) DESC, c.cid
+    LIMIT {NPROBE}
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       round(CAST(list_cosine_similarity(a.v, q.v) AS DOUBLE), 6) AS cosine
+FROM assigned a, q
+WHERE a.cell IN (SELECT cid FROM probed) AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: broadcast a centroid codebook, assign every vector
+    to its nearest cell entirely inside codegen (one transform+array_max
+    per row — no shuffle, no window), probe the query's NPROBE best cells,
+    exact cosine + top-k within the probed ~NPROBE/|codebook| fraction.
+
+    This is the scale path beyond sign-LSH: the codebook is trained data
+    (here: pinned vectors standing in for k-means output), so cells track
+    the actual density of the corpus instead of axis signs. At 10^9
+    vectors you'd partition the table by cell so a probe is a partition-
+    pruned scan; the per-row assignment cost is O(|codebook| * d) in
+    whole-stage codegen.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = F.broadcast(
+        emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    )
+    # argmax over (rounded cosine, -cid): struct comparison is
+    # lexicographic, so ties go to the smaller centroid id.
+    assigned = (
+        emb.crossJoin(cents)
+        .withColumn(
+            "cell", -F.expr(f"array_max({_SPARK_CELL_SCORES.format(v='v')})").negcid
+        )
+        .drop("cents")
+    )
+    q = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(cents)
+        .select(
+            F.col("qv"),
+            F.expr(
+                f"transform(slice(reverse(array_sort({_SPARK_CELL_SCORES.format(v='qv')})), "
+                f"1, {NPROBE}), x -> -x.negcid)"
+            ).alias("probed"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(q), F.expr("array_contains(probed, cell)"))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cosine", F.expr(_SPARK_COS))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "cell", "cosine")
+    )
+
+
 @query(
     "vector_norms",
     oracle="""
