@@ -52,6 +52,41 @@ def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFram
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: drop event_id replays within the watermark
+    horizon (``dropDuplicatesWithinWatermark``) — the at-least-once ->
+    effectively-once repair stage in front of any streaming aggregate.
+
+    Scale: state is one entry per event_id seen inside the watermark
+    window, evicted as the watermark advances — bounded by arrival rate x
+    lateness, not by stream history. Plain ``dropDuplicates`` on a stream
+    would keep every key forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_dedup_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "deduped_events_stream",
+) -> None:
+    """availableNow catch-up of the streaming dedup into a memory sink."""
+    events = read_events_stream(spark, src_dir)
+    q = (
+        dedup_events_stream(events)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession,
     src_dir: str,

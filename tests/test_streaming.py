@@ -4,7 +4,10 @@ events table must produce exactly the batch tumbling-window result."""
 from __future__ import annotations
 
 from dend_covid19_spark.plans.timeseries import events_tumbling_daily
-from dend_covid19_spark.streaming.daily import run_available_now
+from dend_covid19_spark.streaming.daily import (
+    run_available_now,
+    run_dedup_available_now,
+)
 from tests.conftest import SF_DIR
 
 
@@ -31,3 +34,23 @@ def test_available_now_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    """Feed the events file TWICE (an at-least-once replay); the
+    watermark-bounded dedup must emit each event_id exactly once."""
+    import shutil
+
+    from dend_covid19_spark.catalog import load_table
+
+    src = tmp_path / "replayed_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-1.parquet")
+    run_dedup_available_now(
+        spark, str(src), str(tmp_path / "ckpt_dedup"), sink_table="deduped"
+    )
+    n_unique = load_table(spark, "events", SF_DIR).select("event_id").distinct().count()
+    out = spark.table("deduped")
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
