@@ -24,8 +24,20 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
+from ..plans.registry import query
 
-_REAGG = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+_REAGG = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    # exact distinct under salting: phase one collects the per-salt value
+    # set, the final phase unions them (distinct-flatten). Partial sets
+    # stay small because each reducer only sees 1/salt_buckets of a key.
+    "set": lambda c: F.array_distinct(F.flatten(F.collect_list(c))),
+}
 
 
 def salted_aggregate(
@@ -37,7 +49,7 @@ def salted_aggregate(
     """Two-phase (salted) aggregation for skew-heavy keys.
 
     ``aggs`` maps output names to (partial aggregate column, kind) where
-    kind in {count, sum, min, max} — the algebraic aggregates that can be
+    kind in {count, sum, min, max, set} — aggregates that can be
     re-aggregated. The partial phase groups by (keys..., salt) — a hot
     key fans out over ``salt_buckets`` reducers; the final phase
     re-aggregates the tiny partial results per key.
@@ -56,6 +68,46 @@ def salted_aggregate(
         for name, (_, kind) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*finals)
+
+
+@query(
+    "agg_salted_event_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-event-type stats through the two-phase salted
+    aggregation — identical results to a plain GROUP BY (the oracle), but
+    a hot event_type spreads over 16 reducers in the first shuffle
+    instead of serializing on one.
+
+    count(distinct user_id) is NOT algebraic, so it rides phase one as a
+    collect_set and re-aggregates as the size of the set union — the
+    standard exact-distinct-under-salting decomposition (sketch-based
+    approx_distinct is the 100 TB alternative, registered separately).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    partial = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), "count"),
+            "total_value": (F.sum(F.col("value").cast("decimal(18,2)")), "sum"),
+            "users": (F.collect_set("user_id"), "set"),
+        },
+    )
+    return partial.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+        F.size("users").alias("n_users"),
+    )
 
 
 def write_bucketed(
