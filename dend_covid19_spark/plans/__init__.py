@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     aggregates,
     annotate,
+    cdc,
     multimodal_plans,
     parity,
     relational,

@@ -1,0 +1,139 @@
+"""Unpivot and CDC/SCD2 shapes.
+
+The reference's warehouse tables are overwrite-only (reset_tables DAG,
+/root/reference/airflow/dags/reset_tables.py:20-38); a real serving layer
+needs slowly-changing-dimension history and MERGE-style upserts. Spark
+(without Delta) has no MERGE INTO, so both are built from the primitives
+Catalyst optimizes well: windows, anti joins, unions.
+
+``unpivot`` completes the pivot surface from parity.py (A2): the melt
+direction via ``stack`` — constant-width row explosion inside codegen, no
+shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .parity import EVENT_TYPES
+from .registry import query
+
+
+@query(
+    "events_daily_unpivot",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot's inverse: the wide per-day counts melted back to long form
+    with ``stack`` — proves round-trip fidelity of the pivot surface
+    (wide rows whose pivot cell was 0 are dropped to match the sparse
+    long form). stack() is a generator expression: constant fan-out per
+    row, evaluated inside codegen, zero extra shuffles beyond the pivot's
+    own aggregation."""
+    wide = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    n = len(EVENT_TYPES)
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in EVENT_TYPES)
+    return (
+        wide.select(
+            "day",
+            F.expr(f"stack({n}, {stack_args}) AS (event_type, cnt)"),
+        )
+        .where(F.col("cnt").isNotNull() & (F.col("cnt") > 0))
+    )
+
+
+@query(
+    "scd2_customer_value_history",
+    oracle="""
+WITH daily_last AS (
+    SELECT user_id, day, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(value, 2) AS value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT d.user_id, c.c_name,
+       d.value,
+       d.day AS valid_from,
+       lead(d.day) OVER (PARTITION BY d.user_id ORDER BY d.day) AS valid_to,
+       (lead(d.day) OVER (PARTITION BY d.user_id ORDER BY d.day) IS NULL)
+           AS is_current
+FROM daily_last d
+JOIN customer c ON c.c_custkey = d.user_id
+""",
+)
+def scd2_customer_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension built from a change feed: each user's
+    last-of-day value becomes a version row with [valid_from, valid_to)
+    validity and an is_current flag (valid_to = next version's start,
+    NULL while open) — the CDC-compaction + history shape MERGE INTO
+    would maintain incrementally.
+
+    Scale: one shuffle on user_id serves both windows (last-of-day pick
+    and lead), the customer join broadcasts, and version rows are
+    |users| x |active days| — key-cardinality, not event-cardinality."""
+    ev = load_table(spark, "events", sf_dir).withColumn("day", F.to_date("ts"))
+    pick = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily_last = (
+        ev.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.round("value", 2).alias("value"))
+    )
+    versions = Window.partitionBy("user_id").orderBy("day")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    return (
+        daily_last.withColumn("valid_to", F.lead("day").over(versions))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        .select(
+            "user_id",
+            "c_name",
+            "value",
+            F.col("day").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """MERGE INTO emulation without Delta: new snapshot = rows whose key
+    has no update (left anti join) UNION the latest update per key.
+
+    ``updates`` may carry several versions of a key; the winner is the
+    max-``ts_col`` row (equal timestamps break deterministically on the
+    remaining columns, descending). Pure transform — callers write the result
+    atomically (overwrite or versioned path) to get the transactional
+    behavior Delta's MERGE provides.
+
+    Scale: one shuffle of ``updates`` on key for the latest-pick, one
+    anti join (broadcast when the update batch is small — the common CDC
+    case); the untouched majority of ``current`` streams through."""
+    tiebreak = [
+        F.col(c).desc() for c in updates.columns if c not in (key, ts_col)
+    ]
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), *tiebreak)
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    unchanged = current.join(latest, on=key, how="left_anti")
+    return unchanged.unionByName(latest.select(*current.columns))

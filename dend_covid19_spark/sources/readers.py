@@ -68,6 +68,28 @@ def read_partitioned(
     return df
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV read with an explicit schema (inferSchema would add a full
+    extra pass over the data — never in production paths)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (interchange format; parquet is the default
+    for anything read back by the engine)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
 def from_rows(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:
     """S5: in-memory rows -> DataFrame with explicit schema
     (tweets.py:81 without dict-shape inference)."""

@@ -11,10 +11,13 @@ from dend_covid19_spark.multimodal.binary_ops import (
     attach_binary_payload,
     extract_binary_meta,
 )
+from dend_covid19_spark.plans.cdc import merge_upsert
 from dend_covid19_spark.sources.readers import (
     from_rows,
+    read_csv,
     read_jsonl,
     read_partitioned,
+    write_csv,
     write_jsonl,
     write_partitioned,
 )
@@ -39,6 +42,31 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # partition pruning must reach the physical scan
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one_day.count() < ev.count()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "lang").limit(40)
+    path = str(tmp_path / "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(spark, path, schema="doc_id long, lang string")
+    assert back.count() == 40
+    assert back.schema["doc_id"].dataType.typeName() == "long"
+
+
+def test_merge_upsert(spark):
+    current = from_rows(
+        spark,
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)],
+        "id long, v string, ts long",
+    )
+    updates = from_rows(
+        spark,
+        [(2, "b2", 11), (2, "b3", 12), (4, "d", 11)],
+        "id long, v string, ts long",
+    )
+    out = {r.id: (r.v, r.ts) for r in merge_upsert(current, updates, "id", "ts").collect()}
+    # key 1,3 untouched; key 2 takes the latest update; key 4 inserted
+    assert out == {1: ("a", 10), 2: ("b3", 12), 3: ("c", 10), 4: ("d", 11)}
 
 
 def test_from_rows(spark):
