@@ -83,10 +83,18 @@ def scd2_customer_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL while open) — the CDC-compaction + history shape MERGE INTO
     would maintain incrementally.
 
-    Scale: one shuffle on user_id serves both windows (last-of-day pick
-    and lead), the customer join broadcasts, and version rows are
-    |users| x |active days| — key-cardinality, not event-cardinality."""
-    ev = load_table(spark, "events", sf_dir).withColumn("day", F.to_date("ts"))
+    Scale: one shuffle on user_id serves both windows — the explicit
+    repartition("user_id") satisfies the (user_id, day) pick-window's
+    clustered distribution (subset rule) AND the lead window's, where the
+    per-window defaults would exchange twice (verified by
+    test_plan_quality::test_scd2_single_shuffle). The customer join
+    broadcasts; version rows are |users| x |active days| —
+    key-cardinality, not event-cardinality."""
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("day", F.to_date("ts"))
+        .repartition("user_id")
+    )
     pick = Window.partitionBy("user_id", "day").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )

@@ -85,6 +85,15 @@ def test_partial_aggregation(spark, name):
     assert plan.count("HashAggregate") >= 2, f"{name}: no partial aggregation\n{plan}"
 
 
+def test_scd2_single_shuffle(spark):
+    """Both SCD2 windows (pick per (user_id, day), lead per user_id) must
+    ride ONE user_id exchange — the explicit repartition satisfies both
+    clustered distributions; per-window defaults would shuffle twice."""
+    plan = formatted_plan(spark, "scd2_customer_value_history")
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange, found {n_hash}\n{plan}"
+
+
 @pytest.mark.parametrize(
     "name",
     [
