@@ -1,0 +1,124 @@
+"""Scaling probe: do the engine's plans degrade when the data grows?
+
+Synthesizes k x sf0.1 inputs IN THE PLAN (union of k key-offset scans —
+no disk staging) and times the two headline shapes whose cost profiles
+bracket the engine:
+
+  q1-shape   scan -> filter -> 8-agg groupBy       (scan + partial-agg bound)
+  q3-shape   3-table join -> agg -> top-k          (shuffle-join bound)
+
+Near-linear wall-time in k means the plan's shuffle/agg structure holds
+as data outgrows any single task: partial aggregation keeps the exchange
+at group-cardinality for q1, and the broadcast+shuffle-join split keeps
+q3's exchange proportional to the fact side. Superlinear growth here
+would flag a plan that hits a wall at 100 TB.
+
+Usage: python scripts/scaling_probe.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dend_covid19_spark.catalog import load_table  # noqa: E402
+from dend_covid19_spark.plans.parity import dsum  # noqa: E402
+from dend_covid19_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULTIPLIERS = [1, 2, 4, 8]
+KEY_SPAN = 10_000_000  # > max orderkey at any test sf; keeps replicas disjoint
+
+
+def replicate(df, k: int, key_cols: tuple[str, ...]):
+    """k key-offset copies of df unioned — replica i's keys shift by
+    i*KEY_SPAN so joins fan out per-replica instead of cross-replica."""
+    parts = [
+        df.select(
+            *[
+                (F.col(c) + F.lit(i * KEY_SPAN)).alias(c) if c in key_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+        for i in range(k)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def q1_shape(spark, k: int):
+    li = replicate(load_table(spark, "lineitem", SF_DIR), k, ("l_orderkey",))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shape(spark, k: int):
+    cust = replicate(load_table(spark, "customer", SF_DIR), k, ("c_custkey",))
+    orders = replicate(
+        load_table(spark, "orders", SF_DIR), k, ("o_orderkey", "o_custkey")
+    )
+    li = replicate(load_table(spark, "lineitem", SF_DIR), k, ("l_orderkey",))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_table(spark, "lineitem", SF_DIR).count()  # warm file listing
+
+    results: dict[str, dict[str, float]] = {}
+    for name, builder in (("q1_shape", q1_shape), ("q3_shape", q3_shape)):
+        builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
+        per_k: dict[str, float] = {}
+        for k in MULTIPLIERS:
+            t0 = time.perf_counter()
+            builder(spark, k).write.format("noop").mode("overwrite").save()
+            per_k[f"x{k}"] = round(time.perf_counter() - t0, 3)
+        per_k["scaling_exponent"] = round(
+            (per_k[f"x{MULTIPLIERS[-1]}"] / per_k["x1"]) ** (1 / 3), 3
+        )  # 8x data -> exponent^3 time; 2.0 = linear per doubling
+        results[name] = per_k
+
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_probe_sec_by_multiplier",
+                "sf_base": SF_DIR,
+                "results": results,
+                "note": "scaling_exponent: time multiplier per data doubling "
+                "over the x1->x8 span; ~<=2.0 means at-worst-linear scaling",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
