@@ -301,6 +301,32 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quantiles_totalprice_by_status",
+    oracle="""
+SELECT o_orderstatus,
+       list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]),
+                      x -> round(x, 6)) AS quantiles
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def quantiles_totalprice_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (linear interpolation) of order value
+    per status. Both engines interpolate sorted neighbors identically;
+    elements round to 6 dp. Exact percentile is a full-sort-per-group
+    aggregate — acceptable for dashboard-grade groups; at 100 TB the
+    drop-in is approx_percentile (t-digest), registered rows-only as
+    approx_distinct_users is."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95)), "
+            "x -> round(x, 6))"
+        ).alias("quantiles")
+    )
+
+
 @query("approx_distinct_users", oracle=None)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-aggregate surface (rows-only check: approximate results
