@@ -134,3 +134,56 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.to_date(F.min("ts")).alias("session_date"),
     )
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM ordered
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + 1800000000 AS end_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (use the native operator when
+    one exists): merges each user's events whose [ts, ts+30min) intervals
+    overlap; window end = last event + gap.
+
+    Boundary semantics differ from the lag+sum islands operator
+    (events_sessionize): a gap of EXACTLY 30 minutes starts a new session
+    here (intervals are half-open), vs. > 30 minutes there — the oracle
+    states >= accordingly. Session bounds surface as epoch micros
+    (BIGINT) so the value hash is timezone-free.
+
+    Scale: one shuffle on user_id, then session merging runs inside the
+    aggregation operator itself — no self-join, no second window pass.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+    )
