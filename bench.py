@@ -35,6 +35,9 @@ HEADLINE = [
     "flagship_daily_join",
     "window_rank_orders",
     "events_sessionize",
+    "events_session_window_native",
+    "scd2_customer_value_history",
+    "agg_salted_event_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -241,6 +241,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_centroid_per_label",
+    oracle="""
+WITH ex AS (
+    SELECT label, pos, embedding[pos + 1] AS x
+    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+), m AS (
+    SELECT label, pos,
+           CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+    FROM ex GROUP BY label, pos
+)
+SELECT label,
+       list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
+                      s -> round(s.m, 6)) AS centroid
+FROM m GROUP BY label
+""",
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the distributed vector-mean that one
+    k-means/IVF training step is made of: posexplode to (label, pos, x),
+    aggregate per (label, pos), fold back to an ordered vector.
+
+    Scale: the shuffle key is (label, pos) — n*d rows but ~|labels|*d
+    groups, with map-side partial aggregation doing almost all the
+    reduction; no vector ever transits whole. Determinism: each float
+    casts to DECIMAL(18,9) (same rounding of the same float both
+    engines), the sum is exact, and the /count division is one IEEE op —
+    accumulation order cannot move the mean.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 6))"
+            ).alias("centroid")
+        )
+    )
+
+
+@query(
     "vector_norms",
     oracle="""
 SELECT vec_id, label,
