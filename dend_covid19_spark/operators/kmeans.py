@@ -1,0 +1,100 @@
+"""Iterative k-means over the embeddings table — the 'iterative algorithm
+on Spark' shape (Lloyd's algorithm), built from the same decomposition as
+embedding_centroid_per_label.
+
+Per iteration:
+  1. assignment — broadcast the k x d codebook, per-row argmin of squared
+     L2 distance entirely inside codegen (transform + array_max; no
+     shuffle, no window);
+  2. update — posexplode to (cluster, pos, x), decimal-exact mean per
+     (cluster, pos) (map-side partials do nearly all the reduction),
+     collect k*d values to the driver and re-broadcast.
+
+The driver only ever holds the codebook (k x d doubles) — never data.
+Determinism: distances and updated centroids round to 6 dp each
+iteration with ties broken toward the smaller cluster id, so the whole
+trajectory is reproducible across partitionings/retries (and mirrorable
+by the numpy reference in tests/test_kmeans.py).
+
+No SQL oracle: iterative fixpoints are outside single-statement SQL; the
+driver records the rows-only check (see __spark_entry__ docstring), and
+the pytest twin checks exact assignment agreement against a
+mirrored-arithmetic local implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..plans.registry import query
+
+K = 4
+ITERS = 3
+SEED_VEC_IDS = [1, 2, 3, 4]  # deterministic init: k pinned vectors
+
+
+def _dist_scores(cents_expr: str, v: str = "v") -> str:
+    """array<struct<negd, negcid>> whose array_max picks the nearest
+    centroid: maximize (-rounded_distance, -cid) == minimize (distance,
+    cid)."""
+    return (
+        f"transform({cents_expr}, c -> struct("
+        f"-round(aggregate(zip_with({v}, c.cvec, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (acc, d) -> acc + d), 6) AS negd, -c.cid AS negcid))"
+    )
+
+
+def _assign(emb: DataFrame, cents_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Append (cluster, dist2) via a broadcast literal codebook."""
+    cents_expr = (
+        "array("
+        + ", ".join(
+            f"struct({cid} AS cid, array({', '.join(f'{x!r}D' for x in vec)}) AS cvec)"
+            for cid, vec in cents_rows
+        )
+        + ")"
+    )
+    best = f"array_max({_dist_scores(cents_expr)})"
+    return emb.withColumn(
+        "cluster", F.expr(f"-({best}).negcid")
+    ).withColumn("dist2", F.expr(f"-({best}).negd"))
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New codebook: decimal-exact per-(cluster, pos) means, rounded 6dp,
+    collected as k x d (tiny) to the driver."""
+    rows = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .groupBy("cluster")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("cvec"))
+        .collect()
+    )
+    return sorted((r.cluster, list(r.cvec)) for r in rows)
+
+
+@query("kmeans_clusters", oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 Lloyd iterations (ITERS=3) from pinned seed vectors; returns
+    (vec_id, cluster, dist2) for every embedding. Rows-only driver check;
+    exact-assignment parity vs a mirrored numpy reference in tests."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.persist()  # scanned once per iteration + final assignment
+    seeds = emb.where(F.col("vec_id").isin(SEED_VEC_IDS)).collect()
+    cents = sorted(
+        (SEED_VEC_IDS.index(r.vec_id) + 1, [round(x, 6) for x in r.v]) for r in seeds
+    )
+    for _ in range(ITERS):
+        cents = _update(_assign(emb, cents))
+    return _assign(emb, cents).select("vec_id", "cluster", "dist2")

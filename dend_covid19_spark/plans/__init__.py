@@ -11,5 +11,5 @@ from . import (  # noqa: F401
     timeseries,
     tpch_extra,
 )
-from ..operators import advanced_joins, dedup, scale, similarity  # noqa: F401
+from ..operators import advanced_joins, dedup, kmeans, scale, similarity  # noqa: F401
 from .registry import all_oracles, all_queries, get_spec  # noqa: F401

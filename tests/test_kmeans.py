@@ -1,0 +1,48 @@
+"""Exact-trajectory parity for the distributed k-means: a local numpy
+implementation mirroring the operator's arithmetic (6dp rounding of
+distances and centroids, smaller-cid tie-break, decimal-exact means must
+agree with float64 sums after rounding) must produce IDENTICAL
+assignments — catching any nondeterminism in the Spark trajectory."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from dend_covid19_spark.operators.kmeans import ITERS, SEED_VEC_IDS, kmeans_clusters
+from tests.conftest import SF_DIR
+
+
+def _reference(sf_dir: str) -> dict[int, int]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+
+    cents = {}
+    for i, vid in enumerate(SEED_VEC_IDS):
+        cents[i + 1] = np.round(X[ids == vid][0], 6)
+
+    def assign(cents_d):
+        cids = sorted(cents_d)
+        C = np.stack([cents_d[c] for c in cids])
+        d2 = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+        # argmin with smaller-cid tie-break == numpy argmin (first minimum)
+        return np.array([cids[j] for j in d2.argmin(axis=1)])
+
+    for _ in range(ITERS):
+        labels = assign(cents)
+        cents = {
+            c: np.round(X[labels == c].sum(axis=0) / (labels == c).sum(), 6)
+            for c in sorted(set(labels))
+        }
+    labels = assign(cents)
+    return dict(zip(ids.tolist(), labels.tolist()))
+
+
+def test_kmeans_matches_mirrored_reference(spark):
+    got = {
+        r.vec_id: r.cluster for r in kmeans_clusters(spark, SF_DIR).collect()
+    }
+    want = _reference(SF_DIR)
+    assert got == want
+    assert len(set(got.values())) > 1  # actually clustered, not collapsed
