@@ -337,3 +337,61 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@query(
+    "user_event_gap_stats",
+    oracle="""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap
+    FROM events
+)
+SELECT user_id,
+       count(gap) AS n_gaps,
+       CAST(median(gap) AS DOUBLE) AS median_gap_us,
+       max(gap) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id
+""",
+)
+def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (``applyInPandas``): per-user inter-event
+    gap stats, each group handed to pandas as one DataFrame — the shape
+    for per-entity logic that needs the whole ordered history at once
+    (feature windows, per-user models). Single-event users emit nothing,
+    matching the oracle's NULL-gap drop.
+
+    Scale: one shuffle on user_id; group size = one user's events, which
+    bounds executor memory (use applyInPandasWithState when a user's
+    history outgrows memory — streaming/stateful.py). The median here is
+    pandas' interpolated middle, same definition as DuckDB median().
+    The UDF closure imports pandas inside and references nothing from
+    this module, so executors never need the package importable.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts", "event_id")
+
+    def gap_stats(pdf):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = (pdf["ts"].astype("int64") // 1000).diff().dropna()
+        if gaps.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_gaps", "median_gap_us", "max_gap_us"]
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "median_gap_us": [float(gaps.median())],
+                "max_gap_us": [int(gaps.max())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gap_stats,
+        "user_id long, n_gaps long, median_gap_us double, max_gap_us long",
+    )

@@ -436,3 +436,81 @@ def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return a.intersect(b)
+
+
+@query(
+    "window_sliding_avg_orders",
+    oracle="""
+WITH c AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+), f AS (
+    SELECT o_custkey, o_orderkey,
+           sum(cents) OVER w AS cents3, count(*) OVER w AS n3
+    FROM c
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey,
+       ((2 * cents3 + n3) // (2 * n3)) / 100.0 AS moving_avg3
+FROM f
+""",
+)
+def window_sliding_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window (ROWS BETWEEN 2 PRECEDING): 3-order moving
+    average of spend per customer timeline.
+
+    The average is computed entirely in exact integer cents —
+    round-half-up(a/n) == (2a + n) DIV (2n) for positive a — because
+    frame-sum/count division in either decimal or double space rounds
+    differently per engine for exact half-cent quotients (sum of two
+    2-decimal prices / 2 lands on .xx5 routinely). The final /100.0 is
+    one exact-input IEEE division, identical everywhere."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents3 = F.sum(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    ).over(w)
+    n3 = F.count(F.lit(1)).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (cents3 * 2 + n3).alias("num"),
+        (n3 * 2).alias("den"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        (F.expr("num DIV den") / F.lit(100.0)).alias("moving_avg3"),
+    )
+
+
+@query(
+    "window_ntile_customers",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile,
+       round(cume_dist() OVER (ORDER BY c_acctbal DESC, c_custkey), 6) AS cume
+FROM customer
+""",
+)
+def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-ordering analytics: ntile quartiles + cume_dist over the
+    balance ranking (fully deterministic — ties broken by key).
+
+    Scale note: an un-partitioned window is a single-reducer sort; at
+    real scale compute quartile cutoffs once (percentile/approx) and
+    assign by range join or bucketize — kept here as the API-parity
+    surface, with the scalable pattern in quantiles_totalprice_by_status.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
