@@ -11,5 +11,12 @@ from . import (  # noqa: F401
     timeseries,
     tpch_extra,
 )
-from ..operators import advanced_joins, dedup, kmeans, scale, similarity  # noqa: F401
+from ..operators import (  # noqa: F401
+    advanced_joins,
+    components,
+    dedup,
+    kmeans,
+    scale,
+    similarity,
+)
 from .registry import all_oracles, all_queries, get_spec  # noqa: F401
