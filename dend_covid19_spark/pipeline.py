@@ -152,3 +152,40 @@ def flagship_join(spark: SparkSession) -> DataFrame:
         JOIN tweets_sentiment ts ON mv.date = ts.date
         """
     )
+
+
+def incremental_daily_counts(
+    spark: SparkSession,
+    prior_agg: DataFrame,
+    new_events: DataFrame,
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge yesterday's
+    aggregate table with the aggregate of ONLY the new partition —
+    algebraic aggregates (count, decimal sum) re-aggregate exactly, so
+    merge(agg(old), agg(delta)) == agg(old ∪ delta) with cost
+    O(|delta| + |aggregate|) instead of a full recompute.
+
+    This is the batch twin of the streaming update mode: the daily
+    Airflow-style schedule (SURVEY.md §2.7) maintains the serving
+    aggregate by folding one day at a time. Late/replayed days are safe:
+    group keys merge; exactly-once delivery of deltas is the caller's
+    contract (e.g., one partition == one day, tracked in a manifest).
+    """
+    delta = (
+        new_events.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_dec"),
+        )
+    )
+    prior = prior_agg.select(
+        "day", "event_type", "cnt", F.col("total_value").cast("decimal(18,2)").alias("value_dec")
+    )
+    return (
+        prior.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+    )

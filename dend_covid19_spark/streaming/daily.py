@@ -87,6 +87,38 @@ def run_dedup_available_now(
     q.awaitTermination()
 
 
+def enrich_events_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins the static
+    customer dimension. Spark re-plans the static side per batch, and a
+    broadcast hint keeps it a broadcast hash join — no stream-side
+    shuffle, no state store (unlike stream-stream joins). The standard
+    enrichment shape in front of a streaming aggregate."""
+    dim = F.broadcast(customers.select("c_custkey", "c_name", "c_mktsegment"))
+    return events.join(dim, events.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment", "value"
+    )
+
+
+def run_enriched_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    customers: DataFrame,
+    checkpoint_dir: str,
+    sink_table: str = "enriched_events_stream",
+) -> None:
+    events = read_events_stream(spark, src_dir)
+    q = (
+        enrich_events_stream(events, customers)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession,
     src_dir: str,

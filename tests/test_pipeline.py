@@ -84,3 +84,35 @@ def test_quality_gates(warehouse):
     with pytest.raises(DataQualityError):
         dup = df.union(df)
         expect_unique_key(dup, "tweets_sentiment_id", name="dup-pk")
+
+
+def test_incremental_daily_counts_matches_full(spark):
+    """Folding the last day into the aggregate of all earlier days must
+    equal the full-recompute aggregate exactly (algebraic re-aggregation
+    over exact decimals)."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.pipeline import incremental_daily_counts
+    from dend_covid19_spark.plans.timeseries import events_tumbling_daily
+
+    ev = load_table(spark, "events", SF_DIR)
+    cutoff = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0].d
+    old = ev.where(F.to_date("ts") < F.lit(cutoff))
+    new = ev.where(F.to_date("ts") >= F.lit(cutoff))
+    prior = (
+        old.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    got = {
+        (str(r.day), r.event_type): (r.cnt, round(r.total_value, 2))
+        for r in incremental_daily_counts(spark, prior, new).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.cnt, round(r.total_value, 2))
+        for r in events_tumbling_daily(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -7,6 +7,7 @@ from dend_covid19_spark.plans.timeseries import events_tumbling_daily
 from dend_covid19_spark.streaming.daily import (
     run_available_now,
     run_dedup_available_now,
+    run_enriched_available_now,
 )
 from tests.conftest import SF_DIR
 
@@ -54,3 +55,30 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     out = spark.table("deduped")
     assert out.count() == n_unique
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Streamed stream-static broadcast join == the same join in batch."""
+    import shutil
+
+    from dend_covid19_spark.catalog import load_table
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    cust = load_table(spark, "customer", SF_DIR)
+    run_enriched_available_now(
+        spark, str(src), cust, str(tmp_path / "ckpt_enrich"), sink_table="enriched"
+    )
+    streamed = {
+        (r.event_id, r.c_name, r.c_mktsegment)
+        for r in spark.table("enriched").collect()
+    }
+    ev = load_table(spark, "events", SF_DIR)
+    batch = {
+        (r.event_id, r.c_name, r.c_mktsegment)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .select("event_id", "c_name", "c_mktsegment")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
