@@ -187,3 +187,115 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "funnel_signup_view_purchase",
+    oracle="""
+WITH s AS (
+    SELECT user_id, min(epoch_us(ts)) FILTER (WHERE event_type = 'signup') AS t_signup
+    FROM events GROUP BY user_id
+), v AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_view
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'view' AND epoch_us(e.ts) > s.t_signup
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+    FROM events e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+    GROUP BY e.user_id
+)
+SELECT s.user_id, s.t_signup, v.t_view, p.t_purchase
+FROM s LEFT JOIN v ON v.user_id = s.user_id
+       LEFT JOIN p ON p.user_id = s.user_id
+WHERE s.t_signup IS NOT NULL
+""",
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: earliest signup, then earliest view
+    strictly after it, then earliest purchase strictly after that — the
+    sequence-matching shape behind conversion metrics (each step's
+    timestamp NULL once the user falls out).
+
+    Built as an aggregate-then-join cascade: each stage is one
+    conditional min-aggregate at user cardinality joined back — 3 small
+    shuffles on user_id (AQE broadcasts the shrinking stage frames), vs.
+    the collect_list-per-user alternative that materializes every user's
+    full history in one row. Timestamps surface as epoch micros."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias(
+                "t_signup"
+            )
+        )
+        .where(F.col("t_signup").isNotNull())
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("us") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_signup", "t_view", "t_purchase")
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH first_day AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN first_day f ON f.user_id = e.user_id
+)
+SELECT cohort_day, day_offset, count(*) AS active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each subsequent day-offset (first week). The
+    distinct-(user, offset) dedup means a user active twice on day N
+    counts once.
+
+    Scale: first_day is one user-cardinality aggregate reused via
+    broadcast; the distinct and final count share the same
+    (cohort_day, day_offset) shuffle under AQE."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
