@@ -299,3 +299,45 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+@query(
+    "date_spine_daily_purchases",
+    oracle="""
+WITH bounds AS (
+    SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+), spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+), daily AS (
+    SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT s.day, coalesce(d.cnt, 0) AS purchases
+FROM spine s LEFT JOIN daily d USING (day)
+""",
+)
+def date_spine_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill: a generated continuous day axis left-joined
+    to the sparse daily aggregate, absent days zero-filled — the pattern
+    every time-series chart/forecast input needs (a groupBy alone
+    silently drops empty days).
+
+    Scale: the spine is sequence+explode from a one-row bounds aggregate
+    — generated, never scanned; it broadcasts to the daily-counts side.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("cnt", F.lit(0)).alias("purchases")
+    )
