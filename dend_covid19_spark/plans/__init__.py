@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     textops,
     timeseries,
     tpch_extra,
+    tpch_full,
 )
 from ..operators import (  # noqa: F401
     advanced_joins,
