@@ -21,7 +21,7 @@ relational algebra, so "switch to this repo" implies it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -43,12 +43,13 @@ WITH supply AS (
     JOIN nation ON n_nationkey = s_nationkey
     JOIN region ON r_regionkey = n_regionkey
     WHERE r_name = 'EUROPE'
-), best AS (
-    SELECT l_partkey, min(cost) AS min_cost FROM eu_supply GROUP BY l_partkey
+), ranked AS (
+    SELECT eu_supply.*,
+           min(cost) OVER (PARTITION BY l_partkey) AS min_cost
+    FROM eu_supply
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name
-FROM eu_supply
-JOIN best USING (l_partkey)
+FROM ranked
 JOIN part ON p_partkey = l_partkey
 WHERE cost = min_cost AND p_size = 15 AND p_type = 'STANDARD'
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
@@ -58,17 +59,17 @@ LIMIT 100
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the European supplier
     offering it at minimum unit cost — the correlated-MIN subquery,
-    decorrelated to (per-key min) ⋈ (equality on the min back to the
-    detail rows). Unit cost derives from lineitem (no partsupp in this
-    schema): min(l_extendedprice / l_quantity) per (part, supplier).
+    decorrelated to a per-partition window min + equality filter (one
+    pass over the supply relation; the naive agg-then-join-back form
+    scans and aggregates lineitem twice). Unit cost derives from
+    lineitem (no partsupp in this schema):
+    min(l_extendedprice / l_quantity) per (part, supplier).
 
-    Scale: the only big shuffle is the supply aggregation on
-    (l_partkey, l_suppkey); supplier/nation/region broadcast into it,
-    and the per-part min is a second, much smaller agg on a prefix of
-    the same key — AQE coalesces its post-shuffle partitions. The
-    min-cost equality join is self-joining two aggregates of the same
-    exchange. The double unit costs are computed by the identical IEEE
-    expression in both engines, so the equality is exact.
+    Scale: one big shuffle for the supply aggregation on
+    (l_partkey, l_suppkey); supplier/nation/region broadcast into it;
+    the window min re-shuffles only the |part×supplier| aggregate on
+    l_partkey. The double unit costs come from the identical IEEE
+    expression in both engines, so the = min_cost cut is exact.
     """
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
@@ -86,9 +87,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
         .select("l_partkey", "cost", "s_name", "s_acctbal", "n_name")
     )
-    best = eu_supply.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    w = Window.partitionBy("l_partkey")
     return (
-        eu_supply.join(best, "l_partkey")
+        eu_supply.withColumn("min_cost", F.min("cost").over(w))
         .where(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(part), part.p_partkey == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")

@@ -77,6 +77,49 @@ def test_column_pruning(spark, name):
     )
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_profit_by_nation",
+        "q16_part_supplier_counts",
+        "q19_disjunctive_revenue",
+        "q21_waiting_supplier",
+    ],
+)
+def test_tpch_full_dims_broadcast(spark, name):
+    """The completed-suite queries join 3-7 dimension tables; every one
+    must broadcast (the only sort-merge/shuffle joins allowed are fact-
+    to-fact correlations on orderkey/partkey), and no plan may fall back
+    to a cartesian product."""
+    plan = formatted_plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: expected broadcast joins\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_single_lineitem_scan(spark):
+    """Q2's correlated min is a window over one supply aggregate; the
+    agg-then-join-back decorrelation would scan lineitem twice."""
+    plan = formatted_plan(spark, "q2_min_cost_supplier")
+    n = plan.count("lineitem.parquet")
+    assert n == 1, f"expected 1 lineitem scan, found {n}\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name,expected_pushed",
+    [
+        ("q15_top_supplier", "GreaterThanOrEqual(l_shipdate"),
+        ("q12_late_shipment_priority", "LessThan(l_shipdate"),
+        ("q20_excess_suppliers", "StringStartsWith(p_name,red"),
+    ],
+)
+def test_tpch_full_pushdown(spark, name, expected_pushed):
+    plan = formatted_plan(spark, name)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert expected_pushed in pushed, f"{name}: filter not pushed down\n{pushed}"
+
+
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "dedup_exact_keyed"])
 def test_partial_aggregation(spark, name):
     """groupBy must plan map-side partial + reduce-side final HashAggregate
