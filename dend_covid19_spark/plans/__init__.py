@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     aggregates,
     annotate,
     cdc,
+    llm_pipeline,
     multimodal_plans,
     parity,
     relational,

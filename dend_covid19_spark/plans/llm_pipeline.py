@@ -1,0 +1,178 @@
+"""Training-data pipeline operators (north-star extension): chunking,
+deterministic dataset splits, denylist scrubbing, stratified sampling.
+
+These are the corpus-preparation passes an LLM data pipeline runs after
+hygiene (textops.py) and dedup (operators/dedup.py): cut documents into
+overlapping context-window chunks, assign reproducible train/val/test
+splits, mask denylisted spans (the PII-redaction shape), and draw
+deterministic per-stratum samples. All pure column expressions — no
+Python in the hot path, no driver-side materialization, and every
+randomness source is a content hash (md5) so results are identical
+across engines, retries, and partitionings.
+
+Reference scope note: the reference's text handling is a filter + NLP
+annotate + count (tasks/tweets.py:50-62); these ops are the driver's
+north-star extension (BASELINE.json), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text), 1), {CHUNK_STRIDE})) AS start
+    FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       substr(text, start, {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substr(text, start, {CHUNK_SIZE})) AS INT) AS chunk_len
+FROM starts
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking: cut each document into
+    CHUNK_SIZE-char pieces every CHUNK_STRIDE chars (50-char overlap) —
+    the standard pre-embedding / context-window packing step. The start
+    offsets come from ``sequence``, so chunking is a generator expression
+    (explode), not a UDF, and the final ragged chunk is kept.
+
+    Scale: explode fans each doc out to ceil(len/stride) rows with no
+    shuffle at all — chunking is map-side; downstream ops decide their
+    own partitioning. Chunk counts scale with document length, so skew
+    follows the corpus's length distribution (bound it upstream by
+    splitting giant docs at ingest).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    starts = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(text), 1), {CHUNK_STRIDE})")
+        ).alias("start"),
+    )
+    chunk = F.expr(f"substring(text, start, {CHUNK_SIZE})")
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+@query(
+    "dataset_split_assign",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substr(md5('doc-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                 THEN 'train'
+            WHEN substr(md5('doc-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash: bucket
+    on the first md5 byte of a salted key ('doc-' || id), thresholds at
+    0xcc (~80%) and 0xe6 (~90%). Hash-based splits are the only kind
+    that survive re-runs, backfills, and engine changes — ``rand()``
+    splits silently reshuffle examples between train and test.
+
+    Scale: pure map-side projection (no shuffle, no state); the split
+    is a function of the row alone, so it distributes trivially and the
+    same row always lands in the same split on any cluster.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    first_byte = F.expr("substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 2)")
+    return docs.select(
+        "doc_id",
+        F.when(first_byte < "cc", "train")
+        .when(first_byte < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "text_scrub_denylist",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(spark|customer)\b', '<MASK>', 'g') AS scrubbed,
+       CAST(length(text) - length(regexp_replace(text, '\b(spark|customer)\b', '', 'g'))
+            AS BIGINT) AS masked_chars
+FROM documents
+""",
+)
+def text_scrub_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist span masking — the PII-redaction shape: replace every
+    word-boundary-delimited denylisted token with a mask marker and
+    report how many characters were dropped. In production the pattern
+    is emails/phones/SSNs; the corpus here has no digits, so a token
+    denylist exercises the identical regexp_replace plan.
+
+    Scale: regexp_replace is a codegen'd JVM expression evaluated
+    per-row at the scan — no shuffle, no UDF. Pattern complexity is the
+    only cost knob; anchored alternations like this stay linear.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pat = r"\b(spark|customer)\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "<MASK>").alias("scrubbed"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint").alias("masked_chars"),
+    )
+
+
+@query(
+    "stratified_sample_events",
+    oracle="""
+WITH ranked AS (
+    SELECT event_id, event_type, user_id,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('ev-' || CAST(event_id AS VARCHAR)), event_id
+           ) AS rn
+    FROM events
+)
+SELECT event_id, event_type, user_id
+FROM ranked WHERE rn <= 100
+""",
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 100 events per
+    event_type, chosen by ranking each stratum on a content hash —
+    reproducible across runs and engines, unlike ``df.sample`` whose
+    output depends on partitioning. This is how a training pipeline
+    draws stable eval slices per source/domain.
+
+    Scale: one shuffle on the stratum key, then a per-partition top-k
+    (rank + filter). For heavy strata, swap row_number for a two-phase
+    per-partition heap (take k per partition, then k of k·P) — same
+    semantics, bounded memory; at |stratum| ≪ partition size the
+    window form is already the cheap plan.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr("md5(concat('ev-', CAST(event_id AS STRING)))"), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "event_type", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .drop("rn")
+    )
