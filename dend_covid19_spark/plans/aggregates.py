@@ -9,7 +9,7 @@ warehouse user switching to this engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
@@ -394,4 +394,153 @@ def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         gap_stats,
         "user_id long, n_gaps long, median_gap_us double, max_gap_us long",
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle=f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       count(*) AS n_orders,
+       {_sql_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the cube/rollup queries): the
+    (status, priority) detail, per-status subtotal, and grand total in
+    one pass, with grouping_id disambiguating subtotal rows from real
+    NULL groups. Group keys are coalesced to 'ALL' so the three levels
+    stay distinguishable by value as well as by gid.
+
+    Scale: Catalyst plans one Expand (3 rows per input row, one per
+    grouping set) + a single partial/final hash aggregate — one shuffle
+    total, vs. three scans for the UNION ALL spelling.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "stats_exact_moments",
+    oracle="""
+WITH sums AS (
+    SELECT c_nationkey,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS stddev_totalprice,
+       round((n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS corr_price_acctbal
+FROM sums
+""",
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, correlation) per nation — built
+    from exact DECIMAL power sums (Σx, Σx², Σxy) instead of the native
+    streaming stddev/corr aggregates. The running-moment algorithms both
+    engines use are accumulation-order-dependent in the last ulps; power
+    sums over 2-decimal data are exact integers, so the aggregate is
+    partitioning- and retry-independent; the closing double formula is
+    rounded (4dp/8dp) because the two engines convert wide decimals to
+    double through different paths (BigDecimal vs int128/10^k) and the
+    cancellation in n·Σx² − (Σx)² amplifies that last-ulp gap to ~1e-11.
+
+    Scale: identical plan to any groupBy-agg (partial decimal sums
+    map-side, one shuffle of 5 numbers per group); the dim join
+    broadcasts. The decimal(38,4) products cannot overflow below ~1e30
+    row-value mass per group.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    dx = F.col("o_totalprice").cast("decimal(18,2)")
+    dy = F.col("c_acctbal").cast("decimal(18,2)")
+    sums = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dx).cast("double").alias("sx"),
+            F.sum(dy).cast("double").alias("sy"),
+            F.sum(dx * dx).cast("double").alias("sxx"),
+            F.sum(dy * dy).cast("double").alias("syy"),
+            F.sum(dx * dy).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "c_nationkey",
+        "n",
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4).alias(
+            "stddev_totalprice"
+        ),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            8,
+        ).alias("corr_price_acctbal"),
+    )
+
+
+@query(
+    "window_percent_rank_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank, cume_dist) per
+    status partition — the remaining ranking family beyond
+    rank/row_number/ntile/lag. The (o_totalprice, o_orderkey) order key
+    is a total order, so both ratios are exact (rank-1)/(N-1) and
+    rank/N divisions of identical integers in either engine.
+
+    Scale: one hash exchange on the partition key + per-partition sort;
+    both functions are computed in the same Window operator (one pass).
+    A near-empty partition key set would serialize — partition keys
+    here are the order statuses, so parallelism is bounded by their
+    cardinality; range-repartition first if a single giant partition
+    ever dominates.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
