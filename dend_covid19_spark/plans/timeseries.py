@@ -341,3 +341,57 @@ def date_spine_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(daily, "day", "left").select(
         "day", F.coalesce("cnt", F.lit(0)).alias("purchases")
     )
+
+
+@query(
+    "attribution_view_purchase",
+    oracle="""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS seconds_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+""",
+)
+def attribution_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join attribution: every (view, purchase) pair for
+    the same user where the purchase lands within one hour of the view —
+    the ad-attribution / conversion-window join. All time arithmetic is
+    integer microseconds so both engines cut the window identically.
+
+    Scale: an equi-join on user_id with the interval as a residual —
+    one shuffle of each filtered side, never a time-theta cross join.
+    Per-user pair fan-out is bounded by activity × window; the same
+    logical join runs incrementally as a watermarked stream-stream join
+    in streaming/daily.py::attribution_stream (state evicted past the
+    conversion horizon).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_us") >= F.col("v_us"))
+            & (F.col("p_us") <= F.col("v_us") + 3_600_000_000),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            F.expr("(p_us - v_us) div 1000000").alias("seconds_to_purchase"),
+        )
+    )

@@ -139,3 +139,66 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def attribution_stream(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: views matched to same-user purchases
+    within the conversion horizon. Both sides carry watermarks, and the
+    time-range condition bounds the join state — Spark evicts buffered
+    views once the purchase-side watermark passes view_ts + horizon, so
+    state is O(traffic × horizon), not unbounded.
+
+    Same logical join as plans/timeseries.py::attribution_view_purchase
+    (the oracle-checked batch twin); the equality test in
+    tests/test_streaming.py pins streamed == batch.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000"
+        ).alias("seconds_to_purchase"),
+    )
+
+
+def run_attribution_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "attribution_stream",
+) -> None:
+    events = read_events_stream(spark, src_dir)
+    q = (
+        attribution_stream(events)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -82,3 +82,29 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch interval
+    self-join (every in-horizon pair emitted exactly once)."""
+    import shutil
+
+    from dend_covid19_spark.plans.timeseries import attribution_view_purchase
+    from dend_covid19_spark.streaming.daily import run_attribution_available_now
+
+    src = tmp_path / "attr_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    run_attribution_available_now(
+        spark, str(src), str(tmp_path / "ckpt_attr"), sink_table="attributed"
+    )
+    streamed = {
+        (r.view_id, r.purchase_id, r.user_id, r.seconds_to_purchase)
+        for r in spark.table("attributed").collect()
+    }
+    batch = {
+        (r.view_id, r.purchase_id, r.user_id, r.seconds_to_purchase)
+        for r in attribution_view_purchase(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
