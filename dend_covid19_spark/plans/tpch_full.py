@@ -242,7 +242,7 @@ WITH part_value AS (
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
-    WHERE n_name = 'NATION_5'
+    WHERE n_name = 'NATION_3'
     GROUP BY l_partkey
 )
 SELECT l_partkey AS p_partkey, value
@@ -264,7 +264,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)
-    nation = load_table(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_5")
+    nation = load_table(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_3")
     part_value = (
         li.join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
         .join(F.broadcast(nation), F.col("n_nationkey") == supp.s_nationkey)

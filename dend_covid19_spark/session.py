@@ -66,3 +66,34 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
     )
     return builder.getOrCreate()
+
+
+def configure_object_store(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = True,
+) -> SparkSession:
+    """S9 parity (SURVEY.md §2.1): the reference configures S3A access on
+    its session (tasks/tweets.py:32-38 — access key, endpoint,
+    path-style). Same knobs here, applied to the live Hadoop
+    configuration so ``spark.read.parquet('s3a://bucket/...')`` works
+    against any S3-compatible store (MinIO, Ceph, AWS) without a
+    session restart. Config-only: no network I/O happens until a path
+    is actually read, so this is safe (and tested) offline.
+
+    Scale: object-store reads are where partition/file layout dominates
+    — the committer below avoids the O(files) rename storm of the
+    classic FileOutputCommitter on S3.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if endpoint is not None:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    if access_key is not None:
+        hconf.set("fs.s3a.access.key", access_key)
+    if secret_key is not None:
+        hconf.set("fs.s3a.secret.key", secret_key)
+    hconf.set("fs.s3a.path.style.access", "true" if path_style_access else "false")
+    hconf.set("fs.s3a.committer.name", "magic")
+    return spark

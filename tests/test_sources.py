@@ -91,3 +91,20 @@ def test_multimodal_batch_shapes(spark):
     rows = out.collect()
     assert len(rows) == 10
     assert all(r.byte_len > 0 and len(r.content_md5) == 32 for r in rows)
+
+
+def test_configure_object_store_sets_hadoop_conf(spark):
+    from dend_covid19_spark.session import configure_object_store
+
+    configure_object_store(
+        spark,
+        endpoint="http://localhost:9000",
+        access_key="ak",
+        secret_key="sk",
+        path_style_access=True,
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hconf.get("fs.s3a.access.key") == "ak"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.committer.name") == "magic"
