@@ -1,0 +1,78 @@
+"""Table-maintenance operators: small-file compaction and range-
+clustered (sort-ordered) rewrites.
+
+At 100 TB these are the jobs that keep read performance from decaying:
+streaming/incremental writers emit thousands of small files (each a
+task + an open cost per scan), and unclustered data defeats parquet
+min/max row-group pruning. The reference never needs these (its output
+is ~1 row/day — SURVEY.md §6), but any engine serving its workload at
+scale does.
+
+No new execution machinery: compaction is a size-aware coalesce-write,
+clustering is repartitionByRange + sortWithinPartitions — both pure
+DataFrame plans, so they distribute like any other query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a many-small-files parquet directory into ~target-size
+    files. Returns the number of output files requested.
+
+    The file count comes from the *actual* input byte size (driver-side
+    filesystem metadata, not a data scan), so compaction of a 10 TB
+    table plans exactly ceil(10 TB / target) tasks. ``coalesce`` (not
+    ``repartition``) avoids a shuffle: each output task reads whole
+    input files. Use this after streaming ingest; pair with
+    ``cluster_by_range`` when reads filter on a key.
+    """
+    n_files = max(1, -(-_dir_bytes(in_path) // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def cluster_by_range(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: list[str],
+    out_path: str,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` range-partitioned and sorted on ``keys`` so each
+    output file owns a disjoint key range — parquet footer min/max
+    stats then let any engine (Spark, DuckDB, Trino) skip whole files
+    for selective key predicates.
+
+    repartitionByRange samples the key distribution (so skewed keys
+    still split evenly) and gives disjoint ranges across files;
+    sortWithinPartitions orders rows inside each file so row-group
+    stats are tight too. This is the batch form of clustering/Z-order
+    for the single-key case; for multi-key locality, interleave key
+    bits into a derived column and range-cluster on that.
+    """
+    (
+        df.repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -544,3 +544,38 @@ def window_percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "table_stats_orders",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS ndv_custkey,
+       count(DISTINCT o_orderstatus) AS ndv_status,
+       round(min(o_totalprice), 2) AS min_totalprice,
+       round(max(o_totalprice), 2) AS max_totalprice,
+       CAST(min(o_orderdate) AS DATE) AS min_orderdate,
+       CAST(max(o_orderdate) AS DATE) AS max_orderdate
+FROM orders
+""",
+)
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics in one pass: row count, per-column
+    NDV, min/max — the numbers a cost-based optimizer (or a human
+    deciding broadcast vs shuffle) needs. Exact NDV here since the
+    oracle must match; swap count_distinct for approx_count_distinct
+    (HLL) at 100 TB where ±2% is fine and memory is O(1).
+
+    Scale: one aggregate; the two exact distincts expand the plan per
+    distinct key but everything stays partial-aggregated map-side.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("ndv_custkey"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_totalprice"),
+        F.round(F.max("o_totalprice"), 2).alias("max_totalprice"),
+        F.min(F.to_date("o_orderdate")).alias("min_orderdate"),
+        F.max(F.to_date("o_orderdate")).alias("max_orderdate"),
+    )
