@@ -159,3 +159,36 @@ def test_pair_generation_is_blocked(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop pair generation\n{plan}"
         )
+
+
+# Queries that intentionally contain a tiny/bounded nested-loop or cross
+# join (scalar-subquery broadcasts, constant-size block descriptors, an
+# explicit small cross join) — everything else must never plan one.
+_NESTED_LOOP_ALLOWED = {
+    "join_cross_small",          # deliberate cross join of two tiny dims
+    "dedup_embedding_cosine",    # 8x8 constant block-descriptor pairs
+    "ann_threshold_search",      # scalar query-vector broadcast
+    "ann_topk_bruteforce",       # scalar query-vector broadcast
+    "ann_ivf_topk",              # one-row collect_list codebook broadcast
+    "q11_important_parts",       # one-row threshold broadcast
+    "q15_top_supplier",          # one-row max-revenue broadcast
+    "q22_dormant_customers",     # one-row mean-balance broadcast
+    "subquery_above_nation_avg", # one-row scalar-average broadcast
+    "date_spine_daily_purchases",# one-row bounds -> generated spine
+    "stats_exact_moments",       # power-sum scalars
+}
+
+
+def test_no_query_plans_cartesian(spark):
+    """Global sweep: no registered query may degrade to CartesianProduct,
+    and only the allowlisted ones may use BroadcastNestedLoopJoin (all of
+    those join a one-row/constant-size side). This is the blanket
+    guarantee that nothing in the registry is secretly O(n^2) at scale."""
+    flagged = []
+    for name in sorted(all_queries()):
+        plan = formatted_plan(spark, name)
+        if "CartesianProduct" in plan:
+            flagged.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
+            flagged.append((name, "BroadcastNestedLoopJoin"))
+    assert not flagged, f"unbounded pair generation in: {flagged}"
