@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, register_views
 from .parity import _sql_davg, _sql_dsum, davg, dsum
 from .registry import query
 
@@ -513,4 +513,48 @@ def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).alias("balance_quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "lateral_top_orders_per_nation",
+    oracle="""
+SELECT n_name, o_orderkey, o_totalprice
+FROM nation,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE c_nationkey = n_nationkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+) top_orders
+""",
+)
+def lateral_top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-row top-k idiom in its SQL
+    form: for each nation, its 3 highest-value orders. Catalyst
+    decorrelates the LIMIT-per-group into a partitioned rank window
+    (DomainJoin rewrite), so the executed plan is the same shuffle-once
+    window top-k a hand-written DataFrame version produces — no
+    per-nation re-execution, which is what a naive nested-loop LATERAL
+    would mean at scale.
+
+    Scale: one customer⋈orders broadcast join, one exchange on the
+    correlation key, one window; |nations| never drives job count.
+    (o_totalprice DESC, o_orderkey) is a total order so the LIMIT-3 cut
+    is deterministic in both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderkey, o_totalprice
+        FROM nation,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_nationkey = n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) top_orders
+        """
     )
