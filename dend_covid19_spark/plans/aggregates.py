@@ -316,14 +316,49 @@ def quantiles_totalprice_by_status(spark: SparkSession, sf_dir: str) -> DataFram
     per status. Both engines interpolate sorted neighbors identically;
     elements round to 6 dp. Exact percentile is a full-sort-per-group
     aggregate — acceptable for dashboard-grade groups; at 100 TB the
-    drop-in is approx_percentile (t-digest), registered rows-only as
-    approx_distinct_users is."""
+    drop-in is approx_percentile — see approx_quantiles_totalprice,
+    which is oracle-checked in its own right."""
     orders = load_table(spark, "orders", sf_dir)
     return orders.groupBy("o_orderstatus").agg(
         F.expr(
             "transform(percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95)), "
             "x -> round(x, 6))"
         ).alias("quantiles")
+    )
+
+
+@query(
+    "approx_quantiles_totalprice",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75,
+       quantile_disc(o_totalprice, 0.90) AS p90
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def approx_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Greenwald-Khanna percentile_approx) —
+    the 100 TB scale path for quantiles_totalprice_by_status: partial
+    sketches merge associatively across partitions, so the shuffle
+    carries one ~KB sketch per group per task instead of the group's
+    values, and no per-group sort happens anywhere.
+
+    Oracle-checkable despite "approx": at accuracy 1e6 the rank error
+    bound (n/accuracy) is < 1 row for any group the driver's scales
+    produce, and the sketch returns an actual dataset element — exactly
+    DuckDB's quantile_disc discrete-quantile convention (verified to
+    hash-match at sf0.001 and sf0.01). At 100 TB, dial accuracy down and
+    drop the oracle, not the operator.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.25, 1000000).alias("p25"),
+        F.percentile_approx("o_totalprice", 0.50, 1000000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.75, 1000000).alias("p75"),
+        F.percentile_approx("o_totalprice", 0.90, 1000000).alias("p90"),
     )
 
 
