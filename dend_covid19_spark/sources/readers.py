@@ -90,6 +90,24 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """ORC read — same columnar footing as parquet (predicate pushdown,
+    column pruning, vectorized reader) for lakes standardized on ORC."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (interchange with Hive/Trino ORC-first warehouses)."""
+    df.write.mode(mode).orc(path)
+
+
 def from_rows(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:
     """S5: in-memory rows -> DataFrame with explicit schema
     (tweets.py:81 without dict-shape inference)."""

@@ -16,9 +16,11 @@ from dend_covid19_spark.sources.readers import (
     from_rows,
     read_csv,
     read_jsonl,
+    read_orc,
     read_partitioned,
     write_csv,
     write_jsonl,
+    write_orc,
     write_partitioned,
 )
 from tests.conftest import SF_DIR
@@ -51,6 +53,23 @@ def test_csv_roundtrip(spark, tmp_path):
     back = read_csv(spark, path, schema="doc_id long, lang string")
     assert back.count() == 40
     assert back.schema["doc_id"].dataType.typeName() == "long"
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC round-trips with schema intact and a key predicate reaches
+    the ORC scan as a pushed filter (columnar parity with parquet)."""
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema["o_totalprice"].dataType == orders.schema["o_totalprice"].dataType
+    filtered = back.where(F.col("o_orderstatus") == "F")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters:")[1][:200]
+    assert filtered.count() == orders.where("o_orderstatus = 'F'").count()
 
 
 def test_merge_upsert(spark):
