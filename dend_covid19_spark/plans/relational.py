@@ -439,6 +439,35 @@ def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setops_bag_all",
+    oracle="""
+SELECT * FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+)
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def setops_bag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics, duplicates
+    preserved by min/difference of per-row counts. Complements the
+    distinct variants (setops_union_except/setops_intersect): the ALL
+    forms skip the global dedup aggregation, so at scale they are one
+    count-aggregate + generate instead of distinct-then-join — cheaper
+    and exactly what duplicate-aware pipeline accounting (rows per
+    customer, not customers) needs. Parenthesized oracle pins the
+    left-assoc grouping so both engines evaluate (A ∩all B) ∖all C.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    a = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    c = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b).exceptAll(c)
+
+
+@query(
     "window_sliding_avg_orders",
     oracle="""
 WITH c AS (
