@@ -17,11 +17,17 @@ driver-side data), all oracle-checked:
   dedup_embedding_cosine embedding-space near-dup pairs over a cosine
                          threshold
 
+  dedup_embedding_blocked flagship embedding dedup: sign-LSH blocking
+                         (operators/similarity.py) composed with the
+                         within-block matmul — sub-quadratic candidates
+
 Scale design: pair generation is always *blocked* (LSH band buckets,
-SimHash byte bands, label blocks) so the candidate set is ~linear in data
-size, never the quadratic cross join; the only unblocked pairwise op is
-dedup_embedding_cosine, which is why it also carries a blocked variant in
-operators/similarity.py.
+SimHash byte bands, sign-LSH buckets) so the candidate set is ~linear in
+data size, never the quadratic cross join. ``dedup_embedding_cosine`` is
+the one deliberate exception — it is the *within-block primitive*
+(all-bucket-pairs matmul, exact recall); ``dedup_embedding_blocked`` is
+the 100 TB composition that LSH-blocks first and runs the matmul only
+within blocks.
 """
 
 from __future__ import annotations
@@ -388,3 +394,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return blocks.mapInPandas(block_cosine, "vec_a long, vec_b long, cosine double")
+
+
+_EMB_BLOCKED_ORACLE = """
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {bucket} AS bucket
+    FROM embeddings
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 6) >= 0.40
+"""
+
+
+def _blocked_oracle() -> str:
+    from .similarity import _DUCK_BUCKET
+
+    return _EMB_BLOCKED_ORACLE.format(bucket=_DUCK_BUCKET.format(col="embedding"))
+
+
+@query("dedup_embedding_blocked", oracle=_blocked_oracle())
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship embedding near-dup at scale: sign-LSH blocking composed
+    with the within-block BLAS matmul (find -> verify in one pass).
+
+    Vectors are bucketed by the sign pattern of their first 8 components
+    (the reproducible LSH family from operators/similarity.py — 256
+    buckets); each bucket is packed into one row and a mapInPandas stage
+    runs the normalized matmul WITHIN the bucket only, emitting pairs
+    with cosine >= 0.40. Near-identical vectors agree on sign bits with
+    high probability, so recall loss is the standard LSH trade.
+
+    100 TB plan shape: total pairwise FLOPs drop from O(n^2) to
+    sum_b O(n_b^2) ~ O(n^2/256) (sub-quadratic for any bucket balance
+    better than degenerate — pinned by tests/test_plan_quality.py); the
+    only shuffle is the bucket pack (n rows, one exchange); blocks are
+    independent tasks sized ~n/256. Contrast dedup_embedding_cosine,
+    which is this operator's within-block primitive run over ALL bucket
+    pairs (exact recall, quadratic FLOPs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _SPARK_BUCKET
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    packed = (
+        emb.withColumn("bucket", F.expr(_SPARK_BUCKET.format(col="v")))
+        .groupBy("bucket")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
+    )
+
+    def block_cosine(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for vecs in pdf["vecs"]:
+                if len(vecs) < 2:
+                    continue
+                ids = np.array([r["vec_id"] for r in vecs], dtype=np.int64)
+                m = np.vstack([r["v"] for r in vecs]).astype(np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                sims = np.round(m @ m.T, 6)
+                ii, jj = np.nonzero((sims >= 0.40) & (ids[:, None] < ids[None, :]))
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+                out_c.append(sims[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return packed.mapInPandas(block_cosine, "vec_a long, vec_b long, cosine double")

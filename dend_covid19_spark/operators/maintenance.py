@@ -15,17 +15,26 @@ DataFrame plans, so they distribute like any other query.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _dir_bytes(path: str) -> int:
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive byte size of ``path`` through the Hadoop FileSystem API,
+    so any URI Spark itself can read (file://, hdfs://, s3a://) sizes
+    correctly — an os.walk would silently return 0 for remote stores and
+    collapse compaction to a single output file. Hidden/underscore
+    entries (_SUCCESS, .crc) are excluded like FileSourceScanExec does.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += status.getLen()
     return total
 
 
@@ -45,7 +54,7 @@ def compact_small_files(
     input files. Use this after streaming ingest; pair with
     ``cluster_by_range`` when reads filter on a key.
     """
-    n_files = max(1, -(-_dir_bytes(in_path) // target_file_bytes))
+    n_files = max(1, -(-_dir_bytes(spark, in_path) // target_file_bytes))
     df = spark.read.parquet(in_path)
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

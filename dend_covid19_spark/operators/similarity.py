@@ -243,24 +243,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_centroid_per_label",
     oracle="""
-WITH ex AS (
-    SELECT label, pos, embedding[pos + 1] AS x
-    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
-), m AS (
-    SELECT label, pos,
-           CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
-    FROM ex GROUP BY label, pos
-)
 SELECT label,
-       list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
-                      s -> round(s.m, 6)) AS centroid
-FROM m GROUP BY label
+       CAST(pos AS INT) AS pos,
+       round(CAST(sum(CAST(embedding[CAST(pos + 1 AS INT)] AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS centroid_val
+FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+GROUP BY label, pos
 """,
 )
 def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding — the distributed vector-mean that one
     k-means/IVF training step is made of: posexplode to (label, pos, x),
-    aggregate per (label, pos), fold back to an ordered vector.
+    aggregate per (label, pos). Surfaced one row per (label, pos) —
+    registry rule: no array output columns (and at 100 TB the exploded
+    form IS the scale form: no collect_list re-assembly shuffle).
 
     Scale: the shuffle key is (label, pos) — n*d rows but ~|labels|*d
     groups, with map-side partial aggregation doing almost all the
@@ -274,16 +270,11 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
-            (
+            F.round(
                 F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 6))"
-            ).alias("centroid")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid_val")
         )
     )
 

@@ -304,26 +304,42 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantiles_totalprice_by_status",
     oracle="""
+WITH qt AS (
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS qs
+    FROM orders
+    GROUP BY o_orderstatus
+)
 SELECT o_orderstatus,
-       list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]),
-                      x -> round(x, 6)) AS quantiles
-FROM orders
-GROUP BY o_orderstatus
+       CAST(i AS INT) AS p_idx,
+       round(qs[CAST(i + 1 AS INT)], 6) AS quantile_value
+FROM qt CROSS JOIN (SELECT unnest(range(0, 4)) AS i) p
 """,
 )
 def quantiles_totalprice_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous quantiles (linear interpolation) of order value
-    per status. Both engines interpolate sorted neighbors identically;
-    elements round to 6 dp. Exact percentile is a full-sort-per-group
+    per status, surfaced one row per (status, p_idx) — never an array
+    output column (registry rule: the harness canonicalizer can't hash
+    lists). Both engines interpolate sorted neighbors identically;
+    values round to 6 dp. Exact percentile is a full-sort-per-group
     aggregate — acceptable for dashboard-grade groups; at 100 TB the
     drop-in is approx_percentile — see approx_quantiles_totalprice,
     which is oracle-checked in its own right."""
     orders = load_table(spark, "orders", sf_dir)
-    return orders.groupBy("o_orderstatus").agg(
-        F.expr(
-            "transform(percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95)), "
-            "x -> round(x, 6))"
-        ).alias("quantiles")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias("qs")
+        )
+        .select(
+            "o_orderstatus",
+            F.posexplode("qs").alias("p_idx", "q"),
+        )
+        .select(
+            "o_orderstatus",
+            "p_idx",
+            F.round("q", 6).alias("quantile_value"),
+        )
     )
 
 

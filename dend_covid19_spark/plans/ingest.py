@@ -1,0 +1,114 @@
+"""Ingest/sink round-trip queries — driver-visible correctness for the
+reference's primary ingest paths (SURVEY.md §2.1 S1/S2/S6).
+
+The reference's ingest is a gzipped-JSONL glob scan
+(/root/reference/airflow/dags/tasks/tweets.py:44,48) over a
+date-templated directory tree (tweets.py:41-45), and its sink is a JSONL
+hand-off file (tweets.py:82). These queries exercise the engine's
+equivalents END TO END inside a registered query: write the documents
+table out through the sink under test into a temp dir, read it back
+through the source under test, and aggregate to a deterministic digest.
+The DuckDB oracle computes the same digest from the ORIGINAL parquet —
+so a hash match proves the sink+source pair is lossless, not just that
+both sides ran.
+
+Digest design: group-by-lang aggregates that are order-independent and
+engine-stable — count, exact integer sums, min/max ids, and min/max
+md5(text) (both engines emit lowercase hex) as a content fingerprint.
+
+Scale note: the round-trip writes happen at driver-test scale only; the
+operators under test (read_jsonl / write_jsonl / write_partitioned /
+read_partitioned) are the production surface and are partition-parallel
+distributed reads/writes with no driver data path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS, load_table
+from ..sources.readers import (
+    read_jsonl,
+    read_partitioned,
+    write_jsonl,
+    write_partitioned,
+)
+from .registry import query
+
+# Digest shared by both round-trips: lossless iff every (doc_id, text,
+# lang, source, n_chars) survives the sink+source pair byte-identically.
+_DIGEST_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       min(md5(text)) AS min_md5,
+       max(md5(text)) AS max_md5
+FROM documents
+{where}
+GROUP BY lang
+"""
+
+
+def _digest(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
+@query("ingest_jsonl_roundtrip", oracle=_DIGEST_SQL.format(where=""))
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + S6: documents -> gzipped-JSONL sink -> glob scan -> digest.
+
+    Mirrors the reference's ingest exactly: ``write_jsonl`` with gzip
+    produces ``part-*.json.gz`` shards and ``read_jsonl`` scans them via
+    a ``*.json.gz`` glob with an EXPLICIT schema (no inference pass —
+    the reference double-reads to infer, SURVEY.md §4.2). The oracle
+    digests the original parquet, so the hash match certifies the whole
+    JSON encode/decode loop is lossless.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    out = tempfile.mkdtemp(prefix="ingest_jsonl_")
+    path = os.path.join(out, "docs")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = read_jsonl(spark, os.path.join(path, "*.json.gz"), SCHEMAS["documents"])
+    return _digest(back)
+
+
+_PRUNE_LANG = "en"
+
+
+@query(
+    "ingest_partitioned_roundtrip",
+    oracle=_DIGEST_SQL.format(where=f"WHERE lang = '{_PRUNE_LANG}'"),
+)
+def ingest_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + S7/S8: documents -> partitioned-parquet sink -> partition-
+    pruned scan -> digest.
+
+    ``write_partitioned`` lays out ``lang=<v>/`` directories (the
+    distributed replacement for the reference's row INSERT / COPY
+    sinks); ``read_partitioned(lang='en')`` turns the equality filter
+    into a planning-time directory prune — the moral equivalent of the
+    reference's ``{y}/{m}/{d}/*.jsonl.gz`` path templating. The oracle
+    digests the original parquet WHERE lang='en', so the match certifies
+    both the write layout and the pruned read.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    out = tempfile.mkdtemp(prefix="ingest_part_")
+    path = os.path.join(out, "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = read_partitioned(spark, path, lang=_PRUNE_LANG)
+    return _digest(back).select(
+        "lang", "n_docs", "total_chars", "min_doc_id", "max_doc_id", "min_md5", "max_md5"
+    )

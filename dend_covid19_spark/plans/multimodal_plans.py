@@ -6,6 +6,7 @@ octet_length / ascii / md5)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..multimodal.binary_ops import (
@@ -49,20 +50,22 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle=f"""
 SELECT doc_id,
-       list_transform(range(0, {RESIZE_W}),
-           i -> CAST(ascii(substring(text,
-                CAST(1 + (i * octet_length(encode(text))) // {RESIZE_W} AS INT), 1)) AS INT)
-       ) AS pixels
-FROM documents
+       CAST(i AS INT) AS px_idx,
+       CAST(ascii(substring(text,
+            CAST(1 + (i * octet_length(encode(text))) // {RESIZE_W} AS INT), 1)) AS INT) AS pixel
+FROM documents CROSS JOIN (SELECT unnest(range(0, {RESIZE_W})) AS i) p
 """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor 'resize' of the payload to a fixed 8-wide vector
     via mapInPandas (image-resize plumbing with the decoder stubbed as raw
     bytes). ASCII corpus makes byte i == ascii(char i), so the whole
-    Arrow round-trip is value-checked in SQL."""
+    Arrow round-trip is value-checked in SQL. Surfaced one row per
+    (doc_id, px_idx) — registry rule: no array output columns."""
     docs = load_table(spark, "documents", sf_dir)
-    return resize_payload(attach_binary_payload(docs))
+    return resize_payload(attach_binary_payload(docs)).select(
+        "doc_id", F.posexplode("pixels").alias("px_idx", "pixel")
+    )
 
 
 @query(
@@ -96,14 +99,17 @@ WITH bytes AS (
     FROM documents
 )
 SELECT doc_id,
-       list_transform(range(0, {HIST_BINS}),
-           b -> CAST(len(list_filter(bs, x -> x // 16 = b)) AS BIGINT)) AS hist
-FROM bytes
+       CAST(b AS INT) AS bin,
+       CAST(len(list_filter(bs, x -> x // 16 = b)) AS BIGINT) AS cnt
+FROM bytes CROSS JOIN (SELECT unnest(range(0, {HIST_BINS})) AS b) bb
 """,
 )
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stage: numpy bincount of payload byte values
     (>>4) per Arrow batch -> fixed 16-long feature vector, the slot a real
-    embedding model occupies."""
+    embedding model occupies. Surfaced one row per (doc_id, bin) —
+    registry rule: no array output columns."""
     docs = load_table(spark, "documents", sf_dir)
-    return extract_byte_histogram(attach_binary_payload(docs))
+    return extract_byte_histogram(attach_binary_payload(docs)).select(
+        "doc_id", F.posexplode("hist").alias("bin", "cnt")
+    )

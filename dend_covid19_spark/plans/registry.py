@@ -12,8 +12,17 @@ Rules enforced by convention (SURVEY.md §7 "discipline for the oracle"):
   - double aggregates are rounded (sum->2dp, avg/ratio->4dp+) on BOTH
     sides so accumulation-order ulps can't flip the value hash;
   - timestamps are surfaced as DATE (or truncated) — never raw ts;
+  - NO top-level array/map output columns, ever: the driver's pandas
+    canonicalizer sort_values()-hashes cells and dies on unhashable
+    lists (round-1 ERRs). Explode to one row per element (posexplode +
+    an index column) or array_join to a string — on BOTH sides;
   - any query without an expressible SQL twin registers oracle=None and
     gets the driver's weaker rows-only check.
+
+Registration ORDER is part of the contract: the driver's correctness
+harness checks only the FIRST 50 registered names, so the package
+__init__ calls ``finalize_order`` with an explicit priority list after
+importing every module.
 """
 
 from __future__ import annotations
@@ -59,3 +68,22 @@ def all_oracles() -> dict[str, str]:
 
 def get_spec(name: str) -> QuerySpec:
     return _REGISTRY[name]
+
+
+def finalize_order(priority: list[str]) -> None:
+    """Rebuild the registry so ``priority`` names come first (in the given
+    order), everything else after in original registration order. The
+    driver's correctness harness oracle-checks only the first 50 names,
+    so the priority list decides which operators get hard verification
+    signal each round. Raises on unknown or duplicate names so a renamed
+    query can't silently fall out of the checked window."""
+    if len(set(priority)) != len(priority):
+        dupes = sorted({n for n in priority if priority.count(n) > 1})
+        raise ValueError(f"duplicate names in priority list: {dupes}")
+    missing = [n for n in priority if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"priority names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in priority}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)

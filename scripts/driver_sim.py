@@ -9,6 +9,8 @@ stringified rows.
 Usage:
     python scripts/driver_sim.py                     # sf0.01 (driver scale)
     SPARK_GRAFT_SIM_SF=/root/testdata/sf0.001 python scripts/driver_sim.py
+    python scripts/driver_sim.py name1 name2 ...     # only these queries
+    python scripts/driver_sim.py --first50           # driver's checked window
 """
 
 from __future__ import annotations
@@ -58,6 +60,13 @@ def main() -> int:
     assert n > 0, "entry() returned 0 rows"
 
     qs, osql = contract.queries(), contract.oracle_sql()
+    args = sys.argv[1:]
+    if args == ["--first50"]:
+        qs = dict(list(qs.items())[:50])
+    elif args:
+        unknown = [a for a in args if a not in qs]
+        assert not unknown, f"unknown query names: {unknown}"
+        qs = {a: qs[a] for a in args}
     fails: list[str] = []
     for name, fn in sorted(qs.items()):
         try:

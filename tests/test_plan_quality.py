@@ -137,6 +137,45 @@ def test_scd2_single_shuffle(spark):
     assert n_hash == 1, f"expected 1 hash exchange, found {n_hash}\n{plan}"
 
 
+def test_q7_dimension_prefilter_below_fact_join(spark):
+    """Q7's nation-pair predicate must reach the two nation *scans*
+    (PushedFilters with the Or(EqualTo(n_name,...)) disjunction), so fact
+    rows for the other 23 nations drop at the broadcast-hash probe —
+    post-join filtering would carry ~25x the rows through the big
+    lineitem⋈orders shuffle. Catalyst derives this from the pair filter
+    today; this pin keeps a refactor from regressing it."""
+    plan = formatted_plan(spark, "q7_nation_volume")
+    pushed = re.findall(r"PushedFilters: \[[^\]]*n_name[^\]]*\]", plan)
+    assert len(pushed) == 2, f"nation-pair filter not pushed to both scans\n{plan}"
+    for p in pushed:
+        assert "NATION_19" in p and "NATION_11" in p, p
+
+
+def test_embedding_blocked_subquadratic(spark):
+    """dedup_embedding_blocked's whole point is sub-quadratic FLOPs:
+    the sum of within-bucket pairs must be a small fraction of n(n-1)/2
+    (measured ~0.4% at sf0.001 with 256 sign-LSH buckets). If a change
+    to the bucket expression collapses buckets, this catches it."""
+    import pyspark.sql.functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.similarity import _SPARK_BUCKET
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    counts = (
+        emb.withColumn("bucket", F.expr(_SPARK_BUCKET.format(col="v")))
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in counts)
+    blocked_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in counts)
+    ratio = blocked_pairs / (n * (n - 1) / 2)
+    assert ratio < 0.05, f"bucket blocking degenerated: pair ratio {ratio:.4f}"
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -145,6 +184,7 @@ def test_scd2_single_shuffle(spark):
         "dedup_ngram_jaccard",
         "ann_lsh_bucketed",
         "dedup_embedding_cosine",
+        "dedup_embedding_blocked",
     ],
 )
 def test_pair_generation_is_blocked(spark, name):
