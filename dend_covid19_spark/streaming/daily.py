@@ -141,6 +141,56 @@ def run_available_now(
     q.awaitTermination()
 
 
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming sessionization: the native ``session_window`` operator
+    under a watermark — the incremental twin of
+    plans/timeseries.py::events_session_window_native (same gap, same
+    epoch-micros output; the equality test in tests/test_streaming.py
+    pins streamed == batch).
+
+    Scale: state is one open session per active user, merged in place as
+    events arrive and EMITTED+EVICTED once the watermark passes the
+    session's end (append mode) — so state is O(active users), not
+    O(history), and late events inside the watermark still merge into
+    their session instead of fragmenting it.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_sessionize_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "sessionized_stream",
+) -> None:
+    """availableNow catch-up of the streaming sessionization (append mode:
+    only watermark-closed sessions emit — with availableNow over a finite
+    source, that is every session)."""
+    events = read_events_stream(spark, src_dir)
+    q = (
+        sessionize_stream(events)
+        .writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def attribution_stream(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Stream-stream interval join: views matched to same-user purchases
     within the conversion horizon. Both sides carry watermarks, and the

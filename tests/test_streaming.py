@@ -84,6 +84,60 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Watermarked streaming session_window == the native batch session
+    windows (every user session emitted exactly once, same bounds).
+
+    Append mode only emits a session once the watermark passes its end,
+    so the source gets one sentinel event 3 days past the real data (the
+    standard flush trick for finite replays — in production the stream
+    simply keeps running); the sentinel user is excluded from compare."""
+    import shutil
+
+    from dend_covid19_spark.catalog import SCHEMAS
+    from dend_covid19_spark.plans.timeseries import events_session_window_native
+    from dend_covid19_spark.streaming.daily import run_sessionize_available_now
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    max_ns = (
+        spark.read.schema(SCHEMAS["events"]).parquet(str(src)).agg({"ts": "max"})
+    ).collect()[0][0]
+    # single FILE (not a Spark output directory — the file source does
+    # not recurse into subdirectories)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([max_ns + 3 * 86400 * 10**9], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["flush"]),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"]),
+            }
+        ),
+        str(src / "part-1.parquet"),
+    )
+    run_sessionize_available_now(
+        spark, str(src), str(tmp_path / "ckpt_sess"), sink_table="sessionized"
+    )
+    streamed = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.table("sessionized").collect()
+        if r.user_id >= 0
+    }
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in events_session_window_native(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     """Watermarked stream-stream interval join == the batch interval
     self-join (every in-horizon pair emitted exactly once)."""
