@@ -20,8 +20,12 @@ graphs are shallow — dup groups are cliques-ish, so 2-4 rounds).
 constant. This is the standard large-graph CC shape (GraphX/GraphFrames
 use the same alternating join under the hood).
 
-No SQL oracle (iterative fixpoint); rows-only driver check + exact
-union-find parity in tests/test_components.py.
+The Spark side iterates to a fixpoint, but the RESULT is still
+SQL-expressible: DuckDB's WITH RECURSIVE computes the same min-reachable
+label as a transitive closure (fine at oracle scale; the closure is
+O(n*m) which is exactly why the distributed side iterates instead), so
+the driver gets a full value-hash check — plus exact union-find parity
+in tests/test_components.py.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from .dedup import _duck_minhash_cte
 
 MAX_ROUNDS = 10  # backstop; near-dup graphs converge in 2-4
 
@@ -73,7 +78,49 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     return labels
 
 
-@query("dedup_components", oracle=None)
+# The oracle rebuilds the verified near-dup pairs (the dedup_ngram_jaccard
+# twin), symmetrizes them, and takes the transitive closure: reach(a, x)
+# iff a = x or some edge (a, b) has reach(b, x). UNION-dedup bounds the
+# recursion; component = min reachable node. Shared (via
+# duck_components_ctes) with the corpus-level dedup query in
+# plans/llm_pipeline.py.
+def duck_components_ctes() -> str:
+    """The WITH-body (RECURSIVE) computing pairs/edges/reach from the
+    documents view — compose as f"WITH RECURSIVE {duck_components_ctes()}, ..."."""
+    return _COMPONENTS_CTES
+
+
+_COMPONENTS_CTES = f"""{_duck_minhash_cte()},
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+)"""
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_COMPONENTS_CTES}
+SELECT node AS doc_id,
+       min(r) AS component,
+       (node = min(r)) AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups from the verified near-dup pairs
     (dedup_ngram_jaccard): (doc_id, component, is_canonical) where

@@ -77,6 +77,8 @@ PRIORITY = [
     "dataset_split_assign",
     "text_scrub_denylist",
     "stratified_sample_events",
+    "corpus_dedup_canonical",
+    "training_mixture_sample",
     # multimodal plumbing
     "multimodal_binary_meta",
     "multimodal_resize",
@@ -91,10 +93,8 @@ PRIORITY = [
     "events_sessionize",
     "funnel_signup_view_purchase",
     "cohort_retention",
-    # annotator stages
-    "annotate_sentiment_docs",
-    "sentiment_pipeline_histogram",
     # round-1 ERR fix re-check + advanced joins + decorrelated lateral
+    # (annotate_* rotated out — green in CORRECTNESS_r01)
     "quantiles_totalprice_by_status",
     "asof_join_latest_order",
     "range_join_value_tiers",

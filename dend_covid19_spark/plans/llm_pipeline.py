@@ -138,6 +138,88 @@ def text_scrub_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_dedup_oracle() -> str:
+    from ..operators.components import duck_components_ctes
+
+    return f"""
+WITH RECURSIVE {duck_components_ctes()},
+noncanon AS (
+    SELECT node FROM reach GROUP BY node HAVING node <> min(r)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM noncanon)
+"""
+
+
+@query("corpus_dedup_canonical", oracle=_corpus_dedup_oracle())
+def corpus_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied to the corpus — the full near-dup
+    pipeline composed end to end: MinHash/LSH candidates -> exact-Jaccard
+    verify (operators/dedup.py) -> connected components
+    (operators/components.py) -> drop every non-canonical group member,
+    keep the rest of the corpus untouched. This is the pass that actually
+    shrinks a 100 TB crawl before training.
+
+    Scale: the pairs/components stages are the blocked shapes already
+    pinned sub-quadratic; the final apply is one left_anti hash join of
+    documents against the (tiny) non-canonical id set — AQE broadcasts
+    it, so the corpus never shuffles.
+    """
+    from ..operators.components import dedup_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    noncanon = (
+        dedup_components(spark, sf_dir)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(noncanon, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# Per-language mixture rates: first md5 byte of a salted key under the
+# hex threshold. en is the in-domain bulk (keep all), de downsampled to
+# ~50%, everything else to ~25% — the sampling-proportions shape of
+# training-mixture construction (the rates themselves are config).
+_MIX_KEY = "md5(concat('mix-', CAST(doc_id AS {cast_str})))"
+_MIX_DEFAULT = "40"
+
+
+@query(
+    "training_mixture_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CASE WHEN lang = 'en' THEN TRUE
+           WHEN lang = 'de' THEN substr({_MIX_KEY.format(cast_str='VARCHAR')}, 1, 2) < '80'
+           ELSE substr({_MIX_KEY.format(cast_str='VARCHAR')}, 1, 2) < '40'
+      END
+""",
+)
+def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling: per-language keep rates
+    applied by content-hash thresholding (md5 byte < rate*256), so the
+    mixture is reproducible across runs, engines, retries, and
+    partitionings — ``df.sample`` would reshuffle the corpus every run.
+
+    Scale: pure map-side filter (no shuffle, no state); upsampling a
+    domain is the same op with an explode-by-epoch in front. The rates
+    here are fixtures; production passes a rate table and broadcasts it.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    hh = F.expr(
+        "substring(" + _MIX_KEY.format(cast_str="STRING") + ", 1, 2)"
+    )
+    keep = (
+        F.when(F.col("lang") == "en", F.lit(True))
+        .when(F.col("lang") == "de", hh < "80")
+        .otherwise(hh < _MIX_DEFAULT)
+    )
+    return docs.where(keep).select("doc_id", "lang", "source")
+
+
 @query(
     "stratified_sample_events",
     oracle="""
