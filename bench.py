@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_blocked",
+    "corpus_dedup_canonical",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "text_fingerprint",
@@ -71,6 +73,10 @@ def main() -> None:
         t1 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t1, 3)
+        # each query persists its own intermediates (e.g. the minhash
+        # signature table); drop them so queries are isolated and the
+        # executor heap doesn't accumulate dead cache across the run
+        spark.catalog.clearCache()
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     try:

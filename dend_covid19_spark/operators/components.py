@@ -33,8 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dedup_sql import duck_components_ctes
 from ..plans.registry import query
-from .dedup import _duck_minhash_cte
 
 MAX_ROUNDS = 10  # backstop; near-dup graphs converge in 2-4
 
@@ -79,39 +79,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
 
 
 # The oracle rebuilds the verified near-dup pairs (the dedup_ngram_jaccard
-# twin), symmetrizes them, and takes the transitive closure: reach(a, x)
-# iff a = x or some edge (a, b) has reach(b, x). UNION-dedup bounds the
-# recursion; component = min reachable node. Shared (via
-# duck_components_ctes) with the corpus-level dedup query in
-# plans/llm_pipeline.py.
-def duck_components_ctes() -> str:
-    """The WITH-body (RECURSIVE) computing pairs/edges/reach from the
-    documents view — compose as f"WITH RECURSIVE {duck_components_ctes()}, ..."."""
-    return _COMPONENTS_CTES
-
-
-_COMPONENTS_CTES = f"""{_duck_minhash_cte()},
-pairs AS (
-    SELECT c.doc_a, c.doc_b
-    FROM cand c
-    JOIN sigs sa ON sa.doc_id = c.doc_a
-    JOIN sigs sb ON sb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
-),
-edges AS (
-    SELECT doc_a AS a, doc_b AS b FROM pairs
-    UNION
-    SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-reach(node, r) AS (
-    SELECT a, a FROM edges
-    UNION
-    SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
-)"""
-
+# twin), symmetrizes them, and takes the transitive closure — the shared
+# CTEs live in functions/dedup_sql.py (pure SQL builders, no registry
+# import) so plans/llm_pipeline.py composes them too without a cycle.
 _COMPONENTS_ORACLE = f"""
-WITH RECURSIVE {_COMPONENTS_CTES}
+WITH RECURSIVE {duck_components_ctes()}
 SELECT node AS doc_id,
        min(r) AS component,
        (node = min(r)) AS is_canonical

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from ..functions.dedup_sql import duck_minhash_cte
 from ..plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -121,25 +122,10 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_cte() -> str:
-    """Shared DuckDB CTE producing (doc_id, shingles, sig)."""
-    toks = H.duck_tokens("text")
-    shingles = H.duck_shingles("toks")
-    return f"""
-tok AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (SELECT doc_id, {shingles} AS shingles FROM tok),
-hs AS (SELECT doc_id, shingles, {H.duck_shingle_hashes('shingles')} AS hs FROM sh),
-sigs AS (SELECT doc_id, shingles, {H.duck_minhash_sig('hs')} AS sig FROM hs),
-bands AS (
-    SELECT doc_id, j.j AS band_id,
-           md5(array_to_string(sig[j.j * {H.ROWS} + 1 : j.j * {H.ROWS} + {H.ROWS}], '-')) AS band_key
-    FROM sigs CROSS JOIN (SELECT unnest(range(0, {H.BANDS})) AS j) j
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)"""
+# Shared DuckDB CTE producing (doc_id, shingles, sig) — lives in
+# functions/dedup_sql.py so components/llm_pipeline can compose it
+# without importing this (registry-registering) module.
+_duck_minhash_cte = duck_minhash_cte
 
 
 _MINHASH_EST = (

@@ -32,7 +32,7 @@ from ..operators import (  # noqa: F401
     scale,
     similarity,
 )
-from .registry import all_oracles, all_queries, finalize_order, get_spec  # noqa: F401
+from .registry import all_oracles, all_queries, get_spec, set_priority  # noqa: F401
 
 # The driver-checked top 50 (slots 11+ = the round-2 north-star block;
 # the round-1 report already has green rows for the relational/TPC-H
@@ -101,4 +101,4 @@ PRIORITY = [
     "lateral_top_orders_per_nation",
 ]
 
-finalize_order(PRIORITY)
+set_priority(PRIORITY)

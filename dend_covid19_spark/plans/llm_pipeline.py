@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.dedup_sql import duck_components_ctes
 from .registry import query
 
 CHUNK_SIZE = 200
@@ -138,10 +139,7 @@ def text_scrub_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_dedup_oracle() -> str:
-    from ..operators.components import duck_components_ctes
-
-    return f"""
+_CORPUS_DEDUP_ORACLE = f"""
 WITH RECURSIVE {duck_components_ctes()},
 noncanon AS (
     SELECT node FROM reach GROUP BY node HAVING node <> min(r)
@@ -152,7 +150,7 @@ WHERE d.doc_id NOT IN (SELECT node FROM noncanon)
 """
 
 
-@query("corpus_dedup_canonical", oracle=_corpus_dedup_oracle())
+@query("corpus_dedup_canonical", oracle=_CORPUS_DEDUP_ORACLE)
 def corpus_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION applied to the corpus — the full near-dup
     pipeline composed end to end: MinHash/LSH candidates -> exact-Jaccard

@@ -21,8 +21,8 @@ Rules enforced by convention (SURVEY.md §7 "discipline for the oracle"):
 
 Registration ORDER is part of the contract: the driver's correctness
 harness checks only the FIRST 50 registered names, so the package
-__init__ calls ``finalize_order`` with an explicit priority list after
-importing every module.
+__init__ declares an explicit priority list via ``set_priority``;
+``all_queries``/``all_oracles`` iterate priority-first.
 """
 
 from __future__ import annotations
@@ -44,6 +44,7 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+_PRIORITY: list[str] = []
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -58,32 +59,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _ordered() -> dict[str, QuerySpec]:
+    """Registry in priority-first order. Validates lazily (at read time,
+    when every module has finished importing) so that importing an
+    operator module directly — which triggers this package's __init__
+    mid-way through the operator package's own init — can't fail on
+    not-yet-registered priority names."""
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"priority names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in _ordered().items() if spec.oracle is not None
+    }
 
 
 def get_spec(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
-def finalize_order(priority: list[str]) -> None:
-    """Rebuild the registry so ``priority`` names come first (in the given
-    order), everything else after in original registration order. The
-    driver's correctness harness oracle-checks only the first 50 names,
-    so the priority list decides which operators get hard verification
-    signal each round. Raises on unknown or duplicate names so a renamed
-    query can't silently fall out of the checked window."""
+def set_priority(priority: list[str]) -> None:
+    """Declare the names that must come first in ``all_queries()`` /
+    ``all_oracles()`` iteration order. The driver's correctness harness
+    oracle-checks only the first 50 names, so this list decides which
+    operators get hard verification signal each round. Unknown names are
+    rejected when the registry is READ (see _ordered), so a renamed
+    query still fails loudly rather than silently falling out of the
+    checked window."""
     if len(set(priority)) != len(priority):
         dupes = sorted({n for n in priority if priority.count(n) > 1})
         raise ValueError(f"duplicate names in priority list: {dupes}")
-    missing = [n for n in priority if n not in _REGISTRY]
-    if missing:
-        raise ValueError(f"priority names not registered: {missing}")
-    ordered = {n: _REGISTRY[n] for n in priority}
-    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
-    _REGISTRY.clear()
-    _REGISTRY.update(ordered)
+    _PRIORITY.clear()
+    _PRIORITY.extend(priority)

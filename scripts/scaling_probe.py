@@ -4,8 +4,11 @@ Synthesizes k x sf0.1 inputs IN THE PLAN (union of k key-offset scans —
 no disk staging) and times the two headline shapes whose cost profiles
 bracket the engine:
 
-  q1-shape   scan -> filter -> 8-agg groupBy       (scan + partial-agg bound)
-  q3-shape   3-table join -> agg -> top-k          (shuffle-join bound)
+  q1-shape        scan -> filter -> 8-agg groupBy    (scan + partial-agg bound)
+  q3-shape        3-table join -> agg -> top-k       (shuffle-join bound)
+  ivf-shape       broadcast-codebook cell assignment
+                  -> probed-cell top-k               (codegen compute bound)
+  sessionize-shape lag/sum windows per user          (single-exchange window/state bound)
 
 Near-linear wall-time in k means the plan's shuffle/agg structure holds
 as data outgrows any single task: partial aggregation keeps the exchange
@@ -89,13 +92,96 @@ def q3_shape(spark, k: int):
     )
 
 
+def ivf_shape(spark, k: int):
+    """ann_ivf_topk's plan over k x embeddings: broadcast codebook,
+    whole-stage-codegen cell assignment (O(n * |codebook| * d)), probe
+    the query's cells, exact top-k within — compute-bound and linear if
+    the no-shuffle assignment holds at scale."""
+    from dend_covid19_spark.operators.similarity import (
+        _SPARK_CELL_SCORES,
+        _SPARK_COS,
+        CENTROID_IDS,
+        NPROBE,
+        QUERY_VEC_ID,
+    )
+
+    emb = replicate(load_table(spark, "embeddings", SF_DIR), k, ("vec_id",)).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = F.broadcast(
+        emb.where(F.col("vec_id").isin(CENTROID_IDS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cvec"))
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    )
+    assigned = (
+        emb.crossJoin(cents)
+        .withColumn(
+            "cell", -F.expr(f"array_max({_SPARK_CELL_SCORES.format(v='v')})").negcid
+        )
+        .drop("cents")
+    )
+    q = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(cents)
+        .select(
+            "qv",
+            F.expr(
+                f"transform(slice(reverse(array_sort({_SPARK_CELL_SCORES.format(v='qv')})), "
+                f"1, {NPROBE}), x -> -x.negcid)"
+            ).alias("probed"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(q), F.expr("array_contains(probed, cell)"))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cosine", F.expr(_SPARK_COS))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "cell", "cosine")
+    )
+
+
+def sessionize_shape(spark, k: int):
+    """events_sessionize's plan over k x events: lag + running-sum islands
+    per user — ONE user_id exchange feeding both window passes; linear if
+    per-user state stays partition-local."""
+    from pyspark.sql import Window
+
+    ev = replicate(load_table(spark, "events", SF_DIR), k, ("event_id", "user_id"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.to_date(F.min("ts")).alias("session_date"),
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     load_table(spark, "lineitem", SF_DIR).count()  # warm file listing
 
     results: dict[str, dict[str, float]] = {}
-    for name, builder in (("q1_shape", q1_shape), ("q3_shape", q3_shape)):
+    for name, builder in (
+        ("q1_shape", q1_shape),
+        ("q3_shape", q3_shape),
+        ("ivf_shape", ivf_shape),
+        ("sessionize_shape", sessionize_shape),
+    ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
         for k in MULTIPLIERS:
