@@ -16,10 +16,13 @@ iteration with ties broken toward the smaller cluster id, so the whole
 trajectory is reproducible across partitionings/retries (and mirrorable
 by the numpy reference in tests/test_kmeans.py).
 
-No SQL oracle: iterative fixpoints are outside single-statement SQL; the
-driver records the rows-only check (see __spark_entry__ docstring), and
-the pytest twin checks exact assignment agreement against a
-mirrored-arithmetic local implementation.
+Oracle: an open-ended fixpoint isn't single-statement SQL, but ITERS is
+a fixed constant — so the DuckDB twin UNROLLS the three Lloyd iterations
+as nested CTEs mirroring the arithmetic exactly (sequential fold for
+distances via list_reduce, DECIMAL(18,9)-exact means, 6 dp rounds, ties
+to the smaller cid). The driver hash-checks the full trajectory's final
+assignment; the pytest twin additionally checks exact assignment
+agreement against a mirrored numpy reference.
 """
 
 from __future__ import annotations
@@ -82,11 +85,65 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     return sorted((r.cluster, list(r.cvec)) for r in rows)
 
 
-@query("kmeans_clusters", oracle=None)
+# --- DuckDB oracle: the ITERS Lloyd iterations unrolled as CTEs ---
+
+_DUCK_DIST = (
+    "round(list_reduce(list_transform(range(1, 65), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (acc, x) -> acc + x), 6)"
+)
+
+
+def _duck_assign(prev_cl: str, out: str) -> str:
+    best = (
+        "list_aggregate(list_transform(cents, c -> struct_pack("
+        f"negd := -{_DUCK_DIST.format(v='v', c='c.cvec')}, negcid := -c.cid)), 'max')"
+    )
+    return f"""{out} AS (
+    SELECT vec_id, v,
+           CAST(-(({best}).negcid) AS INT) AS cluster,
+           -(({best}).negd) AS dist2
+    FROM emb CROSS JOIN {prev_cl}
+)"""
+
+
+def _duck_update(a: str, out_c: str, out_cl: str) -> str:
+    return f"""u_{out_c} AS (
+    SELECT cluster AS cid, pos,
+           round(CAST(sum(CAST(v[CAST(pos + 1 AS INT)] AS DECIMAL(18,9))) AS DOUBLE)
+                 / count(*), 6) AS m
+    FROM {a} CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+    GROUP BY cluster, pos
+),
+{out_c} AS (SELECT cid, list(m ORDER BY pos) AS cvec FROM u_{out_c} GROUP BY cid),
+{out_cl} AS (SELECT list(struct_pack(cid := cid, cvec := cvec) ORDER BY cid) AS cents FROM {out_c})"""
+
+
+def _duck_kmeans_oracle() -> str:
+    parts = [
+        """emb AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""",
+        f"""c0 AS (
+    SELECT vec_id AS cid, list_transform(v, x -> round(x, 6)) AS cvec
+    FROM emb WHERE vec_id IN ({", ".join(map(str, SEED_VEC_IDS))})
+)""",
+        "cl0 AS (SELECT list(struct_pack(cid := cid, cvec := cvec) ORDER BY cid) AS cents FROM c0)",
+    ]
+    for i in range(ITERS):
+        parts.append(_duck_assign(f"cl{i}", f"a{i + 1}"))
+        parts.append(_duck_update(f"a{i + 1}", f"c{i + 1}", f"cl{i + 1}"))
+    parts.append(_duck_assign(f"cl{ITERS}", f"a{ITERS + 1}"))
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster, dist2 FROM a{ITERS + 1}"
+    )
+
+
+@query("kmeans_clusters", oracle=_duck_kmeans_oracle())
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=4 Lloyd iterations (ITERS=3) from pinned seed vectors; returns
-    (vec_id, cluster, dist2) for every embedding. Rows-only driver check;
-    exact-assignment parity vs a mirrored numpy reference in tests."""
+    (vec_id, cluster, dist2) for every embedding. Hash-checked against
+    the unrolled-CTE DuckDB twin; exact-assignment parity vs a mirrored
+    numpy reference in tests."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
