@@ -5,13 +5,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Methodology: a tiny warm-up action first, then each query runs TWICE
-with a noop sink (``df.write.format("noop")``) so every output column is
-fully computed and nothing funnels through the driver. The FIRST run
-pays Spark's one-time whole-stage-codegen + JIT compile for that plan
-(amortized to nothing over a real 100 TB job); the SECOND, steady-state
-run is what ``queries``/``value`` report. The cold first-run total is
-kept in ``cold_first_run_total_sec`` for transparency.
+Methodology: a tiny warm-up action first, then each query runs THREE
+times with a noop sink (``df.write.format("noop")``) so every output
+column is fully computed and nothing funnels through the driver. The
+FIRST run pays Spark's one-time whole-stage-codegen + JIT compile for
+that plan (amortized to nothing over a real 100 TB job) and is kept in
+``cold_first_run_total_sec`` for transparency; ``queries``/``value``
+report the MINIMUM of the two steady-state runs — the noise floor of a
+shared host sits on top of every sample, so the min is the best
+estimate of the plan's actual cost (observed run-to-run spread on this
+host is up to 2x on sub-second queries).
 """
 
 from __future__ import annotations
@@ -70,9 +73,12 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold_total += time.perf_counter() - t0
-        t1 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t1, 3)
+        steady = []
+        for _ in range(2):
+            t1 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            steady.append(time.perf_counter() - t1)
+        timings[name] = round(min(steady), 3)
         # each query persists its own intermediates (e.g. the minhash
         # signature table); drop them so queries are isolated and the
         # executor heap doesn't accumulate dead cache across the run

@@ -76,12 +76,75 @@ def cluster_by_range(
     still split evenly) and gives disjoint ranges across files;
     sortWithinPartitions orders rows inside each file so row-group
     stats are tight too. This is the batch form of clustering/Z-order
-    for the single-key case; for multi-key locality, interleave key
-    bits into a derived column and range-cluster on that.
+    for the single-key case; for multi-key locality use
+    ``cluster_by_zorder``.
     """
     (
         df.repartitionByRange(n_files, *keys)
         .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+ZORDER_BITS = 16  # per-dimension resolution of the space-filling curve
+
+
+def zorder_key(df: DataFrame, keys: list[str], bits: int = ZORDER_BITS):
+    """A Z-order (Morton) key column over numeric ``keys``.
+
+    Each key is min/max-normalized to a ``bits``-bit integer (the
+    min/max pass is one tiny 2-scalars-per-key aggregate, collected once
+    — never data), then the bit planes are interleaved with a codegen'd
+    fold: bit i of dimension d lands at position i*|keys| + d. Rows
+    close on the curve are close in EVERY key dimension, so sorting by
+    this one column gives multi-key file/row-group locality.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__min_{k}"), F.max(k).alias(f"__max_{k}")]
+    stats = df.agg(*aggs).collect()[0]
+    scaled = []
+    for k in keys:
+        lo, hi = float(stats[f"__min_{k}"]), float(stats[f"__max_{k}"])
+        span = hi - lo if hi > lo else 1.0
+        scaled.append(
+            f"CAST(((CAST({k} AS DOUBLE) - {lo!r}) / {span!r}) * {(1 << bits) - 1} AS BIGINT)"
+        )
+    planes = " + ".join(
+        f"shiftleft(shiftright({expr}, i) & 1L, CAST(i * {len(keys)} + {d} AS INT))"
+        for d, expr in enumerate(scaled)
+    )
+    return F.expr(f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + {planes})")
+
+
+def cluster_by_zorder(
+    spark: SparkSession,
+    df: DataFrame,
+    keys: list[str],
+    out_path: str,
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` clustered on the Z-order curve over ``keys`` — the
+    multi-key generalization of ``cluster_by_range``: every output file
+    (and row group) covers a small hyper-rectangle of the key space, so
+    parquet footer min/max stats prune files for selective predicates on
+    ANY of the keys, not just the leading one.
+
+    Same plan shape as cluster_by_range (range-partition + local sort on
+    the derived key; the curve key is dropped from the output): one
+    shuffle, linear in data, no driver data path. This is what
+    engine-level CLUSTER BY / OPTIMIZE ZORDER BY compile to.
+    """
+    zkey = zorder_key(df, keys, bits).alias("__zorder")
+    (
+        df.withColumn("__zorder", zkey)
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
         .write.mode("overwrite")
         .parquet(out_path)
     )

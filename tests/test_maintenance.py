@@ -11,6 +11,7 @@ import pyarrow.parquet as pq
 from dend_covid19_spark.catalog import load_table
 from dend_covid19_spark.operators.maintenance import (
     cluster_by_range,
+    cluster_by_zorder,
     compact_small_files,
 )
 
@@ -63,6 +64,57 @@ def test_cluster_by_range_disjoint_file_stats(spark, tmp_path):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo, f"overlapping file ranges: {ranges}"
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def _file_spans(path: str, col: str) -> list[tuple]:
+    """(min, max) footer stats per data file for ``col``."""
+    spans = []
+    for f in _data_files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_cluster_by_zorder_localizes_both_keys(spark, tmp_path):
+    """Z-order clustering on (o_custkey, o_totalprice) must give BOTH
+    keys file-level locality: every file's footer min/max span is a
+    fraction of the global span in each dimension — which single-key
+    range clustering cannot do for the second key (its per-file span
+    stays ~the whole domain). That locality is what lets footer stats
+    prune files for predicates on either key."""
+    dst_z = str(tmp_path / "zordered")
+    dst_r = str(tmp_path / "ranged")
+    orders = load_table(spark, "orders", SF_DIR)
+    keys = ["o_custkey", "o_totalprice"]
+    cluster_by_zorder(spark, orders, keys, dst_z, n_files=8)
+    cluster_by_range(spark, orders, ["o_custkey"], dst_r, n_files=8)
+
+    assert spark.read.parquet(dst_z).count() == orders.count()
+    for col in keys:
+        glob_lo = min(lo for lo, _ in _file_spans(dst_z, col))
+        glob_hi = max(hi for _, hi in _file_spans(dst_z, col))
+        width = float(glob_hi) - float(glob_lo)
+        spans = _file_spans(dst_z, col)
+        avg_frac = sum((float(hi) - float(lo)) / width for lo, hi in spans) / len(spans)
+        assert avg_frac < 0.65, f"{col}: z-order files too wide ({avg_frac:.2f})"
+
+    # the single-key layout leaves the NON-leading key unlocalized
+    r_spans = _file_spans(dst_r, "o_totalprice")
+    r_lo = min(float(lo) for lo, _ in r_spans)
+    r_hi = max(float(hi) for _, hi in r_spans)
+    r_avg = sum((float(hi) - float(lo)) / (r_hi - r_lo) for lo, hi in r_spans) / len(r_spans)
+    z_spans = _file_spans(dst_z, "o_totalprice")
+    z_avg = sum((float(hi) - float(lo)) / (r_hi - r_lo) for lo, hi in z_spans) / len(z_spans)
+    assert z_avg < r_avg, "z-order should localize o_totalprice better than range-by-custkey"
 
 
 def test_clustered_scan_prunes(spark, tmp_path):
