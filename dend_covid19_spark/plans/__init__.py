@@ -32,7 +32,13 @@ from ..operators import (  # noqa: F401
     scale,
     similarity,
 )
-from .registry import all_oracles, all_queries, get_spec, set_priority  # noqa: F401
+from .registry import (  # noqa: F401
+    all_oracles,
+    all_queries,
+    get_spec,
+    registered_names,
+    set_priority,
+)
 
 # The driver-checked top 50 (slots 11+ = the round-2 north-star block;
 # the round-1 report already has green rows for the relational/TPC-H
@@ -101,4 +107,69 @@ PRIORITY = [
     "lateral_top_orders_per_nation",
 ]
 
-set_priority(PRIORITY)
+# --- automatic rotation across rounds -------------------------------------
+# The driver records CORRECTNESS_r{N}.json into the repo each round. Once a
+# round >= 2 report exists, queries with a green row in ANY recorded round
+# yield their checked-window slot to never-green ones, so hard verification
+# ACCUMULATES across rounds without hand-editing this list. The 10-query §2
+# parity bar stays pinned first every round. (A green query whose semantics
+# later change should be re-pinned by hand — rotation can't detect edits.)
+
+_PARITY_BAR_N = 10
+
+
+def _green_names() -> tuple[set[str], bool]:
+    """Names with a green CORRECTNESS row in any recorded round, and
+    whether any round >= 2 report exists (rotation trigger)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    green: set[str] = set()
+    beyond_r1 = False
+    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if m and int(m.group(1)) >= 2:
+            beyond_r1 = True
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+            ):
+                green.add(name)
+    return green, beyond_r1
+
+
+def _effective_priority(
+    green: set[str] | None = None, rotate: bool | None = None
+) -> list[str]:
+    if green is None or rotate is None:
+        green, rotate = _green_names()
+    if not rotate:
+        return PRIORITY
+    bar = PRIORITY[:_PARITY_BAR_N]
+    curated_rest = [n for n in PRIORITY[_PARITY_BAR_N:] if n not in green]
+    others = [
+        n for n in registered_names() if n not in green and n not in set(PRIORITY)
+    ]
+    done = [n for n in PRIORITY[_PARITY_BAR_N:] if n in green] + [
+        n for n in registered_names() if n in green and n not in set(PRIORITY)
+    ]
+    seen: set[str] = set()
+    out: list[str] = []
+    for n in [*bar, *curated_rest, *others, *done]:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+set_priority(_effective_priority())

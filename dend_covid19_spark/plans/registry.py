@@ -87,6 +87,12 @@ def get_spec(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
+def registered_names() -> list[str]:
+    """All registered names in raw registration (module-import) order —
+    for building priority lists before ordering is finalized."""
+    return list(_REGISTRY)
+
+
 def set_priority(priority: list[str]) -> None:
     """Declare the names that must come first in ``all_queries()`` /
     ``all_oracles()`` iteration order. The driver's correctness harness

@@ -223,12 +223,28 @@ def test_no_query_plans_cartesian(spark):
     """Global sweep: no registered query may degrade to CartesianProduct,
     and only the allowlisted ones may use BroadcastNestedLoopJoin (all of
     those join a one-row/constant-size side). This is the blanket
-    guarantee that nothing in the registry is secretly O(n^2) at scale."""
+    guarantee that nothing in the registry is secretly O(n^2) at scale.
+
+    The same pass enforces the registry's no-array/map-output rule: the
+    driver's pandas canonicalizer cannot hash list cells, so a query
+    surfacing a top-level ArrayType/MapType column hard-ERRs the
+    correctness harness (the round-1 failure mode)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    from dend_covid19_spark.plans.registry import all_queries as _aq
+
     flagged = []
-    for name in sorted(all_queries()):
-        plan = formatted_plan(spark, name)
+    for name in sorted(_aq()):
+        df = _aq()[name](spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
         if "CartesianProduct" in plan:
             flagged.append((name, "CartesianProduct"))
         elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
             flagged.append((name, "BroadcastNestedLoopJoin"))
-    assert not flagged, f"unbounded pair generation in: {flagged}"
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                flagged.append((name, f"array/map output column {f.name!r}"))
+    assert not flagged, f"unbounded pair generation or unhashable outputs in: {flagged}"
