@@ -235,6 +235,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_EXPR_DUCK = (
+    "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    " / least(len(sa.shingles), len(sb.shingles))"
+)
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_duck_minhash_cte()}
+SELECT c.doc_a, c.doc_b,
+       {_CONTAIN_EXPR_DUCK} AS containment
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE {_CONTAIN_EXPR_DUCK} >= 0.7
+"""
+
+
+@query("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verify stage over the LSH candidate pairs:
+    |A∩B| / min(|A|, |B|) — catches PARTIAL duplication (one document
+    quoting or embedding another) that symmetric Jaccard misses: a
+    200-shingle doc containing a 20-shingle doc whole scores 1.0 here
+    but ~0.1 on Jaccard. The standard second verify lens next to
+    dedup_ngram_jaccard; same blocked candidate generation, so the same
+    linear scale shape. Exact set ratio of small ints — engine-stable.
+    """
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    containment = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+        " / least(size(sh_a), size(sh_b))"
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("containment", containment)
+        .where(F.col("containment") >= 0.7)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

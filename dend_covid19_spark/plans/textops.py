@@ -178,6 +178,60 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+m AS (
+    SELECT doc_id, lang, n_chars,
+           len(toks) AS n_tokens,
+           {_duck_hits("en")} AS stop_hits
+    FROM tok
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+             * (0.5 + CAST(stop_hits AS DOUBLE) / n_tokens), 6) AS quality_score
+FROM m
+WHERE n_chars >= 50
+  AND (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+      * (0.5 + CAST(stop_hits AS DOUBLE) / n_tokens) >= 0.6
+""",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hygiene GATE applied to the corpus — the keep/drop decision a
+    pre-training pipeline runs before dedup: minimum length plus the
+    composite quality score (length band x stopword density) over a
+    threshold. One scan, pure codegen predicates: the 100 TB cost is
+    exactly the read. Pairs with corpus_dedup_canonical (hygiene ->
+    dedup -> mixture is the standard pass order)."""
+    docs = load_table(spark, "documents", sf_dir)
+    m = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr("split(text, ' ')").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.expr(_spark_hits("en")).alias("stop_hits"),
+    )
+    score = F.when(F.col("n_tokens").between(20, 200), F.lit(1.0)).otherwise(0.5) * (
+        F.lit(0.5) + F.col("stop_hits").cast("double") / F.col("n_tokens")
+    )
+    return (
+        m.where((F.col("n_chars") >= 50) & (score >= 0.6))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("quality_score"),
+        )
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
