@@ -303,3 +303,67 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_norm"),
     )
+
+
+# int8 scalar quantization: per-dimension min/max calibration, then
+# q = round((x - lo) / (hi - lo) * 255); dequant = q/255*(hi-lo) + lo.
+# The identical formula on both engines; degenerate dims (hi = lo)
+# reconstruct exactly.
+_DEQUANT = (
+    "CASE WHEN {hi} = {lo} THEN {x} "
+    "ELSE round(({x} - {lo}) / ({hi} - {lo}) * 255) / 255 * ({hi} - {lo}) + {lo} END"
+)
+
+_QUANT_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, label, CAST(pos AS INT) AS pos,
+           CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS x
+    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+), st AS (
+    SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+), err AS (
+    SELECT vec_id, label,
+           abs(x - ({_DEQUANT.format(x="x", lo="lo", hi="hi")})) AS e
+    FROM ex JOIN st USING (pos)
+)
+SELECT vec_id, label,
+       round(CAST(sum(CAST(e AS DECIMAL(18,12))) AS DOUBLE) / 64, 6) AS mean_abs_err,
+       round(max(e), 6) AS max_abs_err
+FROM err
+GROUP BY vec_id, label
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column — the 4x storage
+    and memory-bandwidth cut a 100 TB vector corpus takes before ANN
+    serving: per-DIMENSION min/max calibration (one 64-row aggregate,
+    broadcast back), 8-bit codes, and the per-vector reconstruction
+    error that decides whether the codec is acceptable.
+
+    Scale: calibration reduces n*d rows to d stats rows (map-side
+    partials do the work); the quantize/error pass is a broadcast join
+    on pos + one groupBy at vector cardinality. Determinism: the error
+    sum crosses a groupBy, so each |err| casts to DECIMAL(18,12) first
+    — exact, accumulation-order-free on both engines; min/max/round are
+    order-free already.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    st = F.broadcast(
+        ex.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    err = ex.join(st, "pos").withColumn(
+        "e", F.expr(f"abs(x - ({_DEQUANT.format(x='x', lo='lo', hi='hi')}))")
+    )
+    return err.groupBy("vec_id", "label").agg(
+        F.round(
+            F.sum(F.col("e").cast("decimal(18,12)")).cast("double") / 64, 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("e"), 6).alias("max_abs_err"),
+    )

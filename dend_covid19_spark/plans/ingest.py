@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
 from ..sources.readers import (
+    read_csv,
     read_jsonl,
+    read_orc,
     read_partitioned,
+    write_csv,
     write_jsonl,
+    write_orc,
     write_partitioned,
 )
 from .registry import query
@@ -112,3 +116,32 @@ def ingest_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _digest(back).select(
         "lang", "n_docs", "total_chars", "min_doc_id", "max_doc_id", "min_md5", "max_md5"
     )
+
+
+@query("ingest_csv_roundtrip", oracle=_DIGEST_SQL.format(where=""))
+def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange round-trip: documents -> headered CSV sink ->
+    explicit-schema CSV scan -> digest vs the original parquet. CSV is
+    the lossy-prone interchange format (quoting, newlines, type
+    erasure); the value-hash match certifies the writer's quoting and
+    the reader's parsing are mutually lossless for real text data."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = tempfile.mkdtemp(prefix="ingest_csv_")
+    path = os.path.join(out, "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(spark, path, SCHEMAS["documents"])
+    return _digest(back)
+
+
+@query("ingest_orc_roundtrip", oracle=_DIGEST_SQL.format(where=""))
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip: documents -> ORC sink -> ORC scan ->
+    digest vs the original parquet — the interchange path for
+    Hive/Trino ORC-first lakes, on the same columnar footing (pushdown,
+    pruning) as parquet."""
+    docs = load_table(spark, "documents", sf_dir)
+    out = tempfile.mkdtemp(prefix="ingest_orc_")
+    path = os.path.join(out, "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path, SCHEMAS["documents"])
+    return _digest(back)
