@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import SCHEMAS, load_table
 from ..sources.readers import (
+    from_rows,
     read_csv,
     read_jsonl,
     read_orc,
@@ -115,6 +116,56 @@ def ingest_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_partitioned(spark, path, lang=_PRUNE_LANG)
     return _digest(back).select(
         "lang", "n_docs", "total_chars", "min_doc_id", "max_doc_id", "min_md5", "max_md5"
+    )
+
+
+# S5 fixture: a hand-declared event-type dimension (the reference's
+# in-memory single-record hand-off, tweets.py:81, as typed rows).
+_TYPE_DIM = [
+    ("view", "engagement", 1),
+    ("click", "engagement", 2),
+    ("signup", "conversion", 5),
+    ("purchase", "conversion", 10),
+    ("error", "ops", 0),
+]
+
+
+@query(
+    "ingest_inmemory_dim_join",
+    oracle=f"""
+WITH dim(event_type, category, weight) AS (
+    VALUES {", ".join(f"('{t}', '{c}', {w})" for t, c, w in _TYPE_DIM)}
+)
+SELECT d.category,
+       count(*) AS n_events,
+       CAST(sum(d.weight) AS BIGINT) AS weighted_events
+FROM events e JOIN dim d USING (event_type)
+GROUP BY d.category
+""",
+)
+def ingest_inmemory_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 driver-visible: an in-memory rows source (``from_rows`` with an
+    explicit schema — the reference's dict hand-off without shape
+    inference) used as a broadcast dimension against the events fact
+    table. The oracle declares the same dimension as a VALUES list, so
+    the hash match certifies the createDataFrame path end to end.
+
+    Scale: the literal dim is driver-built but tiny (it broadcasts);
+    the fact side streams through one hash aggregate — the standard
+    config-table enrichment shape."""
+    dim = F.broadcast(
+        from_rows(
+            spark, _TYPE_DIM, "event_type string, category string, weight int"
+        )
+    )
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weight").alias("weighted_events"),
+        )
     )
 
 
