@@ -395,3 +395,89 @@ def attribution_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(p_us - v_us) div 1000000").alias("seconds_to_purchase"),
         )
     )
+
+
+@query(
+    "timeseries_interpolate_linear",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+), b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), j AS (
+    SELECT s.day, d.v FROM spine s LEFT JOIN daily d USING (day)
+), f AS (
+    SELECT day, v,
+        last_value(v IGNORE NULLS) OVER w_prev AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+        first_value(v IGNORE NULLS) OVER w_next AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+    FROM j
+    WINDOW w_prev AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT day,
+       round(CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END,
+             6) AS value_filled,
+       (v IS NULL) AS is_interpolated
+FROM f
+""",
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a sparse daily series (the
+    hypertable gap-fill + interpolate op; the reference's market series
+    has exactly these holes on non-trading days): build the day spine,
+    left-join observations, bracket each gap with the previous/next
+    known point via ignore-nulls window frames, interpolate by day
+    fraction.
+
+    Scale: interpolation runs at AGGREGATED granularity — the window is
+    over ~|days| rows per series, thousands at most, AFTER the raw data
+    reduced through one hash aggregate; in production you'd
+    partitionBy(series_key) and this exact plan runs per key in
+    parallel. Determinism: sums go through DECIMAL, the interpolation
+    expression is parenthesized identically on both engines (one
+    int/int->double division, one multiply, one add), rounded to 6 dp.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    daily = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    j = spine.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pd", F.last(known_day, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nd", F.first(known_day, ignorenulls=True).over(w_next))
+    )
+    interp = F.expr(
+        "pv + (nv - pv) * (CAST(datediff(day, pd) AS DOUBLE) / CAST(datediff(nd, pd) AS DOUBLE))"
+    )
+    return f.select(
+        "day",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6
+        ).alias("value_filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
