@@ -139,6 +139,50 @@ def sample_frames(
     )
 
 
+def dispatch_modalities(df: DataFrame) -> DataFrame:
+    """Heterogeneous-corpus routing: one Arrow mapInPandas stage that
+    dispatches each row to its modality's extractor (image -> byte_len,
+    audio -> first_byte, video -> frame count; each a stand-in for the
+    real PIL/librosa/ffmpeg feature) and emits a unified long-format
+    (doc_id, modality, feature, feature_value) frame.
+
+    This is the mixed-corpus shape: one scan, one Python stage, no
+    per-modality job — partition-parallel with no shuffle; adding a
+    modality is a new branch in the dispatch table, not a new pipeline.
+    The modality column would be real metadata in production; here it is
+    derived deterministically (doc_id % 3) so the oracle can mirror it.
+    """
+
+    extractors = {
+        "image": ("byte_len", lambda b: len(b)),
+        "audio": ("first_byte", lambda b: b[0] if b else -1),
+        "video": ("n_frames", lambda b: len(b) // FRAME_BYTES),
+    }
+    modality_of = {0: "image", 1: "audio", 2: "video"}
+
+    def dispatch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mods, feats, vals = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                mod = modality_of[doc_id % 3]
+                feat, fn = extractors[mod]
+                mods.append(mod)
+                feats.append(feat)
+                vals.append(fn(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": mods,
+                    "feature": feats,
+                    "feature_value": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        dispatch, "doc_id long, modality string, feature string, feature_value long"
+    )
+
+
 def extract_byte_histogram(df: DataFrame, bins: int = HIST_BINS) -> DataFrame:
     """Feature-extraction stage: 16-bin histogram of the payload's byte
     values (byte >> 4) as a fixed-length feature vector — numpy-vectorized

@@ -15,6 +15,7 @@ from ..multimodal.binary_ops import (
     HIST_BINS,
     RESIZE_W,
     attach_binary_payload,
+    dispatch_modalities,
     extract_binary_meta,
     extract_byte_histogram,
     resize_payload,
@@ -87,6 +88,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out inside mapInPandas). The md5-per-frame is SQL-checkable."""
     docs = load_table(spark, "documents", sf_dir)
     return sample_frames(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_modality_dispatch",
+    oracle=f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CASE doc_id % 3 WHEN 0 THEN 'byte_len' WHEN 1 THEN 'first_byte' ELSE 'n_frames' END AS feature,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN octet_length(encode(text))
+            WHEN 1 THEN ascii(substring(text, 1, 1))
+            ELSE octet_length(encode(text)) // {FRAME_BYTES} END AS BIGINT) AS feature_value
+FROM documents
+""",
+)
+def multimodal_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-corpus routing: ONE mapInPandas stage dispatches each row to
+    its modality's extractor (image/audio/video stand-ins) and emits a
+    unified long-format feature frame — the shape that processes a
+    heterogeneous 100 TB corpus in a single scan instead of one job per
+    modality. Every branch's fake feature is SQL-expressible, so the
+    whole dispatch path is value-checked."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dispatch_modalities(attach_binary_payload(docs))
 
 
 @query(
