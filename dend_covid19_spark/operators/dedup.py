@@ -457,53 +457,81 @@ def _blocked_oracle() -> str:
     return _EMB_BLOCKED_ORACLE.format(bucket=_DUCK_BUCKET.format(col="embedding"))
 
 
-@query("dedup_embedding_blocked", oracle=_blocked_oracle())
-def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship embedding near-dup at scale: sign-LSH blocking composed
-    with the within-block BLAS matmul (find -> verify in one pass).
+# Max vectors packed into one block row (= one matmul side in one task).
+# 4096 x 64 doubles = 2 MiB per side — a block-pair task touches <= 4 MiB
+# of vector data regardless of corpus size.
+BLOCK_TARGET = 4096
 
-    Vectors are bucketed by the sign pattern of their first 8 components
-    (the reproducible LSH family from operators/similarity.py — 256
-    buckets); each bucket is packed into one row and a mapInPandas stage
-    runs the normalized matmul WITHIN the bucket only, emitting pairs
-    with cosine >= 0.40. Near-identical vectors agree on sign bits with
-    high probability, so recall loss is the standard LSH trade.
 
-    100 TB plan shape: total pairwise FLOPs drop from O(n^2) to
-    sum_b O(n_b^2) ~ O(n^2/256) (sub-quadratic for any bucket balance
-    better than degenerate — pinned by tests/test_plan_quality.py); the
-    only shuffle is the bucket pack (n rows, one exchange); blocks are
-    independent tasks sized ~n/256. Contrast dedup_embedding_cosine,
-    which is this operator's within-block primitive run over ALL bucket
-    pairs (exact recall, quadratic FLOPs).
+def _bounded_blocks(emb: DataFrame, bucket_expr: str, target: int) -> DataFrame:
+    """(vec_id, v) -> bounded block-pair rows for within-bucket matmul.
+
+    A bucket with n_b vectors is salted into ceil(n_b / target)
+    sub-blocks (xxhash64 of vec_id — deterministic, rerun-stable), each
+    packed into one row of <= ~target vectors. Joining sub-block pairs
+    with sub_a <= sub_b inside the bucket covers every within-bucket
+    vector pair exactly once, so the result is identical to single-row
+    bucket packing — but no Spark row or task ever holds more than
+    ~target vectors, which is the 100 TB memory bound the single-row
+    form lacked (a hot bucket used to pack n_b/1 vectors into ONE row).
+
+    Cost: one small count aggregate (|buckets| rows, broadcast back) +
+    the same single pack exchange; cross-sub-block pairs add
+    S_b(S_b+1)/2 block tasks per bucket where S_b = ceil(n_b/target) —
+    the same FLOPs as before, just partitioned into bounded tasks.
     """
+    bucketed = emb.withColumn("bucket", F.expr(bucket_expr))
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    packed = (
+        bucketed.join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "sub",
+            F.pmod(
+                F.xxhash64("vec_id"), F.ceil(F.col("n_bucket") / target)
+            ).cast("int"),
+        )
+        .groupBy("bucket", "sub")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
+    )
+    pa = packed.select(
+        "bucket", F.col("sub").alias("sub_a"), F.col("vecs").alias("vecs_a")
+    )
+    pb = packed.select(
+        "bucket", F.col("sub").alias("sub_b"), F.col("vecs").alias("vecs_b")
+    )
+    return pa.join(pb, ["bucket"]).where(F.col("sub_a") <= F.col("sub_b"))
+
+
+def _block_pair_cosine(threshold: float):
+    """mapInPandas kernel: normalized matmul over one block pair,
+    emitting (vec_a < vec_b, cosine) above the threshold. Same-sub
+    blocks take the upper triangle; cross-sub blocks take all cells
+    (each unordered pair appears in exactly one block row)."""
     import numpy as np
     import pandas as pd
 
-    from .similarity import _SPARK_BUCKET
-
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    packed = (
-        emb.withColumn("bucket", F.expr(_SPARK_BUCKET.format(col="v")))
-        .groupBy("bucket")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("vecs"))
-    )
-
-    def block_cosine(batches):
+    def kernel(batches):
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for vecs in pdf["vecs"]:
-                if len(vecs) < 2:
-                    continue
-                ids = np.array([r["vec_id"] for r in vecs], dtype=np.int64)
-                m = np.vstack([r["v"] for r in vecs]).astype(np.float64)
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
-                sims = np.round(m @ m.T, 6)
-                ii, jj = np.nonzero((sims >= 0.40) & (ids[:, None] < ids[None, :]))
-                out_a.append(ids[ii])
-                out_b.append(ids[jj])
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["vec_id"] for r in row["vecs_a"]], dtype=np.int64)
+                ma = np.vstack([r["v"] for r in row["vecs_a"]]).astype(np.float64)
+                ids_b = np.array([r["vec_id"] for r in row["vecs_b"]], dtype=np.int64)
+                mb = np.vstack([r["v"] for r in row["vecs_b"]]).astype(np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = np.round(ma @ mb.T, 6)
+                if row["sub_a"] == row["sub_b"]:
+                    ii, jj = np.nonzero(
+                        (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                    )
+                    va, vb = ids_a[ii], ids_b[jj]
+                else:
+                    ii, jj = np.nonzero(sims >= threshold)
+                    va = np.minimum(ids_a[ii], ids_b[jj])
+                    vb = np.maximum(ids_a[ii], ids_b[jj])
+                out_a.append(va)
+                out_b.append(vb)
                 out_c.append(sims[ii, jj])
             if out_a:
                 yield pd.DataFrame(
@@ -514,4 +542,41 @@ def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    return packed.mapInPandas(block_cosine, "vec_a long, vec_b long, cosine double")
+    return kernel
+
+
+@query("dedup_embedding_blocked", oracle=_blocked_oracle())
+def dedup_embedding_blocked(
+    spark: SparkSession, sf_dir: str, block_target: int = BLOCK_TARGET
+) -> DataFrame:
+    """Flagship embedding near-dup at scale: sign-LSH blocking composed
+    with the within-block BLAS matmul (find -> verify in one pass).
+
+    Vectors are bucketed by the sign pattern of their first 8 components
+    (the reproducible LSH family from operators/similarity.py — 256
+    buckets); buckets are packed into BOUNDED block rows (<= BLOCK_TARGET
+    vectors each, oversized buckets salted into sub-blocks — see
+    _bounded_blocks) and a mapInPandas stage runs the normalized matmul
+    within the bucket only, emitting pairs with cosine >= 0.40.
+    Near-identical vectors agree on sign bits with high probability, so
+    recall loss is the standard LSH trade.
+
+    100 TB plan shape: total pairwise FLOPs drop from O(n^2) to
+    sum_b O(n_b^2) ~ O(n^2/256) (sub-quadratic for any bucket balance
+    better than degenerate — pinned by tests/test_plan_quality.py);
+    shuffles are the 256-row count broadcast + the bucket pack (n rows,
+    one exchange); block tasks are independent and hold <= 2*BLOCK_TARGET
+    vectors each (also pinned), so a hot bucket degrades into more tasks,
+    never a bigger row. Contrast dedup_embedding_cosine, which is this
+    operator's within-block primitive run over ALL bucket pairs (exact
+    recall, quadratic FLOPs).
+    """
+    from .similarity import _SPARK_BUCKET
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    blocks = _bounded_blocks(emb, _SPARK_BUCKET.format(col="v"), block_target)
+    return blocks.mapInPandas(
+        _block_pair_cosine(0.40), "vec_a long, vec_b long, cosine double"
+    )

@@ -529,19 +529,72 @@ FROM customer
 )
 def window_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-ordering analytics: ntile quartiles + cume_dist over the
-    balance ranking (fully deterministic — ties broken by key).
+    balance ranking (fully deterministic — ties broken by key), computed
+    WITHOUT an un-partitioned window.
 
-    Scale note: an un-partitioned window is a single-reducer sort; at
-    real scale compute quartile cutoffs once (percentile/approx) and
-    assign by range join or bucketize — kept here as the API-parity
-    surface, with the scalable pattern in quantiles_totalprice_by_status.
+    ``Window.orderBy(...)`` with no partition key is a single-reducer
+    sort — the plan that dies at 100x scale (and the global plan sweep
+    now forbids it). Instead this uses the classic distributed ranking:
+
+      1. range-bucket rows by approx quantile cutoffs of c_acctbal
+         (cutoff list is O(1), fetched driver-side like Spark's own
+         range-partitioned orderBy sampling);
+      2. row_number within each bucket — a PARTITIONED window, parallel
+         across buckets;
+      3. per-bucket counts (tiny agg, collected — |buckets| rows) give
+         each bucket's global offset; exact global rank = offset + rn;
+      4. ntile(4)/cume_dist are closed forms of (rank, n): bucket sizes
+         differ by at most one (first n%4 buckets get the extra row),
+         cume = rank/n since the tie-broken order is total.
+
+    Buckets are keyed only by c_acctbal, so equal balances share a
+    bucket and the bucket order is consistent with the global order;
+    within-bucket ties then break on c_custkey exactly as the oracle's
+    ORDER BY does. Result is bit-identical to the single-window form.
     """
-    cust = load_table(spark, "customer", sf_dir)
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return cust.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_acctbal")
+    probs = [i / 16.0 for i in range(1, 16)]
+    cuts = sorted(set(cust.approxQuantile("c_acctbal", probs, 0.01)))
+    cuts_arr = "array({})".format(
+        ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
+    )
+    # bucket = #cutoffs >= value: descending balances land in ascending
+    # bucket ids, matching the DESC sort direction.
+    bucketed = cust.withColumn(
+        "bucket",
+        F.expr(f"size(filter({cuts_arr}, c -> c >= CAST(c_acctbal AS DOUBLE)))"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = bucketed.withColumn("rn", F.row_number().over(w))
+    counts = sorted(
+        (r["bucket"], r["cnt"])
+        for r in ranked.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket int, offset long"
+    )
+    base, rem = n // 4, n % 4
+    rank = F.col("offset") + F.col("rn")
+    head = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    quartile = F.when(
+        rank <= F.lit(head), F.expr(f"CAST((offset + rn + {base}) DIV {base + 1} AS INT)")
+    ).otherwise(
+        F.expr(f"CAST({rem} + (offset + rn - {head} + {max(base, 1) - 1}) DIV {max(base, 1)} AS INT)")
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "bucket")
+        .select(
+            "c_custkey",
+            quartile.alias("balance_quartile"),
+            F.round(rank.cast("double") / F.lit(float(n)), 6).alias("cume"),
+        )
     )
 
 

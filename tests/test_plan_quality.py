@@ -176,6 +176,41 @@ def test_embedding_blocked_subquadratic(spark):
     assert ratio < 0.05, f"bucket blocking degenerated: pair ratio {ratio:.4f}"
 
 
+def test_embedding_blocked_rows_bounded(spark):
+    """The flagship's block packing must be BOUNDED: no packed row (and
+    hence no matmul task) may hold more than ~target vectors, however
+    hot a sign-LSH bucket gets — oversized buckets salt into sub-blocks.
+    Pinned with a tiny target so the sub-splitting path actually runs at
+    sf0.01, and the split result must equal the unsplit result exactly
+    (every within-bucket pair still compared exactly once)."""
+    import pyspark.sql.functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.dedup import (
+        _bounded_blocks,
+        dedup_embedding_blocked,
+    )
+    from dend_covid19_spark.operators.similarity import _SPARK_BUCKET
+
+    target = 16
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    packed = (
+        _bounded_blocks(emb, _SPARK_BUCKET.format(col="v"), target)
+        .select(F.size("vecs_a").alias("na"), F.size("vecs_b").alias("nb"))
+        .agg(F.max("na").alias("ma"), F.max("nb").alias("mb"))
+        .collect()[0]
+    )
+    # xxhash64 salting is balanced-in-expectation, not exact — allow 2x.
+    assert max(packed["ma"], packed["mb"]) <= 2 * target, packed
+    small = sorted(
+        map(tuple, dedup_embedding_blocked(spark, SF_DIR, block_target=target).collect())
+    )
+    full = sorted(map(tuple, dedup_embedding_blocked(spark, SF_DIR).collect()))
+    assert small == full
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -218,12 +253,43 @@ _NESTED_LOOP_ALLOWED = {
     "stats_exact_moments",       # power-sum scalars
 }
 
+# Queries allowed to plan a Window with an EMPTY partition spec (the
+# single-reducer global sort). Only bounded post-aggregate spines belong
+# here: inputs whose cardinality is fixed by the calendar / group count,
+# not by data volume. Everything else must rank via partitioned windows
+# (see window_ntile_customers for the distributed-rank pattern).
+_GLOBAL_WINDOW_ALLOWED = {
+    "timeseries_interpolate_linear",  # ~|days| rows, post-aggregate spine
+    "date_spine_daily_purchases",     # ~|days| rows, generated spine
+}
+
+_WINDOW_ARGS = re.compile(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)")
+
+
+def global_windows(plan: str) -> list[str]:
+    """Window nodes with an empty partition spec. Arguments print as
+    [exprs], [partition], [order] — partitioned+ordered shows three
+    lists; partition-only (agg-over-partition, no sort) shows two with
+    NO sort direction in the last; an unpartitioned global sort shows
+    two lists where the last IS a sort spec; exprs alone (no partition,
+    no order) is a whole-input single partition too."""
+    out = []
+    for a in _WINDOW_ARGS.findall(plan):
+        groups = a.count("], [") + 1
+        last = a.rsplit("], [", 1)[-1]
+        if groups == 1 or (groups == 2 and (" ASC" in last or " DESC" in last)):
+            out.append(a)
+    return out
+
 
 def test_no_query_plans_cartesian(spark):
     """Global sweep: no registered query may degrade to CartesianProduct,
-    and only the allowlisted ones may use BroadcastNestedLoopJoin (all of
-    those join a one-row/constant-size side). This is the blanket
-    guarantee that nothing in the registry is secretly O(n^2) at scale.
+    only the allowlisted ones may use BroadcastNestedLoopJoin (all of
+    those join a one-row/constant-size side), and only bounded-spine
+    queries may plan an unpartitioned Window (single-reducer global
+    sort — the WindowExec 'moving all data to a single partition' plan).
+    This is the blanket guarantee that nothing in the registry is
+    secretly O(n^2) or single-reducer at scale.
 
     The same pass enforces the registry's no-array/map-output rule: the
     driver's pandas canonicalizer cannot hash list cells, so a query
@@ -244,6 +310,8 @@ def test_no_query_plans_cartesian(spark):
             flagged.append((name, "CartesianProduct"))
         elif "BroadcastNestedLoopJoin" in plan and name not in _NESTED_LOOP_ALLOWED:
             flagged.append((name, "BroadcastNestedLoopJoin"))
+        if name not in _GLOBAL_WINDOW_ALLOWED and global_windows(plan):
+            flagged.append((name, "unpartitioned Window (single-reducer sort)"))
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType)):
                 flagged.append((name, f"array/map output column {f.name!r}"))

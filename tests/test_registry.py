@@ -13,9 +13,25 @@ from dend_covid19_spark.plans.registry import set_priority
 
 def test_window_matches_curated_priority_without_rotation():
     """With no round>=2 CORRECTNESS report recorded, the checked window
-    is exactly the curated PRIORITY list."""
+    is exactly the curated PRIORITY list. The registry's live order
+    depends on which CORRECTNESS_r*.json files the driver has written
+    into the repo, so pin the unrotated state explicitly instead of
+    reading disk state."""
     assert plans._effective_priority(green=set(), rotate=False) == plans.PRIORITY
-    assert list(plans.all_queries())[: len(plans.PRIORITY)] == plans.PRIORITY
+    set_priority(plans.PRIORITY)
+    try:
+        assert list(plans.all_queries())[: len(plans.PRIORITY)] == plans.PRIORITY
+    finally:
+        set_priority(plans._effective_priority())
+
+
+def test_live_window_pins_parity_bar_regardless_of_disk_state():
+    """Whatever CORRECTNESS reports exist on disk, the live registry
+    order keeps the §2 parity bar in the first 10 slots and remains a
+    permutation of the full registry."""
+    live = list(plans.all_queries())
+    assert live[: plans._PARITY_BAR_N] == plans.PRIORITY[: plans._PARITY_BAR_N]
+    assert sorted(live) == sorted(plans.registered_names())
 
 
 def test_rotation_yields_slots_to_never_green_queries():
