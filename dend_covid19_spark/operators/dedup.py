@@ -100,26 +100,52 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# One persisted signature table per (Spark app, sf_dir): the four
+# LSH-based queries share it instead of each stacking a fresh persist in
+# executor storage for the session's lifetime (the round-2 leak).
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, shingles, sig) with everything computed by
     codegen'd higher-order functions (no UDF, no explode yet).
 
-    Persisted: the signature table feeds three plan branches (banding +
-    both sides of the candidate-pair join); without persist Spark
-    recomputes the md5/minhash work once per branch. Materializing
-    signatures once is also the production shape (a signature table you
-    incrementally maintain), and it's small: ~(K*8 + text shingles)
-    bytes/doc regardless of corpus size.
+    Persisted ONCE per (app, sf_dir) and shared by every caller: the
+    signature table feeds three plan branches per query (banding + both
+    sides of the candidate-pair join) and four registered queries;
+    without persist Spark recomputes the md5/minhash work per branch,
+    and with per-call persist each query leaked a duplicate cached copy.
+    Materializing signatures once is also the production shape (a
+    signature table you incrementally maintain), and it's small:
+    ~(K*8 + text shingles) bytes/doc regardless of corpus size.
+    ``unpersist_minhash_sigs`` releases the cache explicitly.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # A new Spark app invalidates old entries (their JVM is gone).
+    for k in [k for k in _SIG_CACHE if k[0] != key[0]]:
+        del _SIG_CACHE[k]
     docs = load_table(spark, "documents", sf_dir)
     toks = H.spark_tokens("text")
     shingles = H.spark_shingles(toks)
-    return (
+    sigs = (
         docs.select("doc_id", F.expr(shingles).alias("shingles"))
         .withColumn("hs", F.expr(H.spark_shingle_hashes("shingles")))
         .withColumn("sig", F.expr(H.spark_minhash_sig("hs")))
         .persist()
     )
+    _SIG_CACHE[key] = sigs
+    return sigs
+
+
+def unpersist_minhash_sigs(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Release the cached signature table(s) for this app — all sf_dirs
+    unless one is named. Call at pipeline/query-session boundaries."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _SIG_CACHE if k[0] == app and (sf_dir is None or k[1] == sf_dir)]:
+        _SIG_CACHE.pop(k).unpersist()
 
 
 # Shared DuckDB CTE producing (doc_id, shingles, sig) — lives in

@@ -90,7 +90,9 @@ PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_byte_histogram",
-    # clustering / scale ops (components & kmeans are rows-only by design)
+    # clustering / scale ops (components & kmeans both carry full
+    # value-hash oracles since round 2: recursive-CTE closure / unrolled
+    # Lloyd CTEs)
     "dedup_components",
     "kmeans_clusters",
     "agg_salted_event_stats",
@@ -120,7 +122,12 @@ _PARITY_BAR_N = 10
 
 def _green_names() -> tuple[set[str], bool]:
     """Names with a green CORRECTNESS row in any recorded round, and
-    whether any round >= 2 report exists (rotation trigger)."""
+    whether any round >= 2 report exists (rotation trigger).
+
+    A rows-only pass (``err == "no_oracle"`` with rows > 0) counts as
+    green ONLY while the query still has no oracle twin: once an oracle
+    is added later, the weaker historical check expires and the query
+    rotates back into the window for a hard value-hash row."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -128,6 +135,7 @@ def _green_names() -> tuple[set[str], bool]:
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     green: set[str] = set()
+    rows_only: set[str] = set()
     beyond_r1 = False
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -141,10 +149,13 @@ def _green_names() -> tuple[set[str], bool]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
-            ):
+            if rec.get("hash_match") is True:
                 green.add(name)
+            elif rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0:
+                rows_only.add(name)
+    from .registry import oracle_names
+
+    green |= {n for n in rows_only if n not in oracle_names()}
     return green, beyond_r1
 
 

@@ -378,15 +378,41 @@ def approx_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", oracle=None)
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS cnt,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+           <= 0.15 * count(DISTINCT user_id) AS estimate_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-aggregate surface (rows-only check: approximate results
-    have no SQL-exact twin by construction): HyperLogLog distinct users
-    per event type — the 100 TB substitute for exact countDistinct."""
+    """Sketch-aggregate surface: HyperLogLog distinct users per event
+    type — the 100 TB substitute for exact countDistinct (mergeable
+    ~KB sketch per group per task instead of a distinct shuffle of all
+    user_ids).
+
+    Oracle-checkable despite "approx": the raw HLL estimate differs
+    across engines by construction (different sketch implementations),
+    so the surfaced columns are the EXACT distinct count (value-hashed
+    bit-for-bit) plus ``estimate_ok`` — each engine asserting its own
+    HLL estimate lands within 3x the configured 5% rsd of its own exact
+    count. Both engines' sketches are far inside that bound at any SF,
+    so the boolean hashes equal while still failing loudly if either
+    sketch ever degrades. At 100 TB, drop the exact column and keep the
+    sketch."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("cnt"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.05) - F.countDistinct("user_id"))
+            <= 0.15 * F.countDistinct("user_id")
+        ).alias("estimate_ok"),
     )
 
 

@@ -60,6 +60,15 @@ GROUP BY lang
 """
 
 
+def _scratch(name: str) -> str:
+    """Fixed per-query scratch dir: every invocation overwrites the same
+    path (writers run mode('overwrite')), so repeated bench/correctness
+    runs reuse one directory instead of leaking a mkdtemp copy each."""
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ingest", name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _digest(df: DataFrame) -> DataFrame:
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -83,9 +92,8 @@ def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON encode/decode loop is lossless.
     """
     docs = load_table(spark, "documents", sf_dir)
-    out = tempfile.mkdtemp(prefix="ingest_jsonl_")
-    path = os.path.join(out, "docs")
-    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    path = os.path.join(_scratch("jsonl"), "docs")
+    write_jsonl(docs, path, compression="gzip")
     back = read_jsonl(spark, os.path.join(path, "*.json.gz"), SCHEMAS["documents"])
     return _digest(back)
 
@@ -110,8 +118,7 @@ def ingest_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the write layout and the pruned read.
     """
     docs = load_table(spark, "documents", sf_dir)
-    out = tempfile.mkdtemp(prefix="ingest_part_")
-    path = os.path.join(out, "docs_by_lang")
+    path = os.path.join(_scratch("partitioned"), "docs_by_lang")
     write_partitioned(docs, path, ["lang"])
     back = read_partitioned(spark, path, lang=_PRUNE_LANG)
     return _digest(back).select(
@@ -177,8 +184,7 @@ def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     erasure); the value-hash match certifies the writer's quoting and
     the reader's parsing are mutually lossless for real text data."""
     docs = load_table(spark, "documents", sf_dir)
-    out = tempfile.mkdtemp(prefix="ingest_csv_")
-    path = os.path.join(out, "docs_csv")
+    path = os.path.join(_scratch("csv"), "docs_csv")
     write_csv(docs, path)
     back = read_csv(spark, path, SCHEMAS["documents"])
     return _digest(back)
@@ -191,8 +197,7 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hive/Trino ORC-first lakes, on the same columnar footing (pushdown,
     pruning) as parquet."""
     docs = load_table(spark, "documents", sf_dir)
-    out = tempfile.mkdtemp(prefix="ingest_orc_")
-    path = os.path.join(out, "docs_orc")
+    path = os.path.join(_scratch("orc"), "docs_orc")
     write_orc(docs, path)
     back = read_orc(spark, path, SCHEMAS["documents"])
     return _digest(back)

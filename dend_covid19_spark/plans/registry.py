@@ -93,6 +93,12 @@ def registered_names() -> list[str]:
     return list(_REGISTRY)
 
 
+def oracle_names() -> set[str]:
+    """Names that carry an oracle twin — raw registry view, usable while
+    the priority list is in flux (no priority validation)."""
+    return {n for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
 def set_priority(priority: list[str]) -> None:
     """Declare the names that must come first in ``all_queries()`` /
     ``all_oracles()`` iteration order. The driver's correctness harness

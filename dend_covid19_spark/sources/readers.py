@@ -37,9 +37,15 @@ def read_jsonl(
     return reader.json(path)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """S6: JSONL sink (tweets.py:82 analog)."""
-    df.write.mode(mode).json(path)
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    """S6: JSONL sink (tweets.py:82 analog). ``compression='gzip'``
+    writes the reference's ``*.jsonl.gz`` shard layout (tweets.py:44)."""
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)
 
 
 def write_partitioned(
@@ -68,6 +74,12 @@ def read_partitioned(
     return df
 
 
+# RFC-4180 quoting, pinned identically on both CSV sides: quotes escape
+# by doubling, so text containing quotes/commas/newlines survives the
+# round trip with any standards-compliant third party.
+_CSV_OPTS = {"quote": '"', "escape": '"'}
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -75,8 +87,19 @@ def read_csv(
     header: bool = True,
 ) -> DataFrame:
     """CSV read with an explicit schema (inferSchema would add a full
-    extra pass over the data — never in production paths)."""
-    reader = spark.read.option("header", str(header).lower())
+    extra pass over the data — never in production paths).
+
+    ``multiLine`` is on so quoted fields containing embedded newlines
+    parse as one record instead of splitting mid-row. Scale note:
+    multiLine makes each FILE a parse unit (no intra-file split), so
+    parallelism comes from shard count — which is how the distributed
+    writer lays CSV out anyway; for huge single-file CSVs, pre-split or
+    convert to parquet at the edge."""
+    reader = spark.read.option("header", str(header).lower()).option(
+        "multiLine", "true"
+    )
+    for k, v in _CSV_OPTS.items():
+        reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -86,8 +109,12 @@ def read_csv(
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (interchange format; parquet is the default
-    for anything read back by the engine)."""
-    df.write.mode(mode).option("header", "true").csv(path)
+    for anything read back by the engine). Quoting pinned to RFC-4180
+    doubling to match ``read_csv`` — see _CSV_OPTS."""
+    writer = df.write.mode(mode).option("header", "true")
+    for k, v in _CSV_OPTS.items():
+        writer = writer.option(k, v)
+    writer.csv(path)
 
 
 def read_orc(
