@@ -305,6 +305,98 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kNN graph: blocked many-to-many top-k — every vector's k nearest
+# neighbors, not one query's. 4 sign bits (16 blocks) keep blocks dense
+# enough at test SF that most vectors have >= K_NN in-block neighbors;
+# at corpus scale the bit count grows with n exactly like the embedding
+# dedup flagship (log2(n / target_block)), and oversized blocks take the
+# same salt-split + sub-block pair join (operators/dedup.py) before the
+# per-source top-k window.
+KNN_BITS = 4
+K_NN = 3
+
+_SPARK_BUCKET_N = (
+    "aggregate(sequence(0, {bits} - 1), 0L, (acc, i) -> acc + "
+    "IF(element_at({col}, i + 1) > 0, shiftleft(1L, CAST(i AS INT)), 0L))"
+)
+_DUCK_BUCKET_N = (
+    "list_sum(list_transform(range(0, {bits}), i -> CASE WHEN {col}[i + 1] > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))"
+)
+
+_SPARK_PAIR_COS = (
+    "round(aggregate(zip_with(v, nv, (x, y) -> x * y), 0D, (acc, p) -> acc + p) / "
+    "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
+    " sqrt(aggregate(nv, 0D, (acc, x) -> acc + x * x))), 6)"
+)
+
+
+@query(
+    "knn_graph_blocked",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {_DUCK_BUCKET_N.format(col="embedding", bits=KNN_BITS)} AS bucket
+    FROM embeddings
+), p AS (
+    SELECT s.vec_id AS src_id, n.vec_id AS nbr_id,
+           round(CAST(list_cosine_similarity(s.v, n.v) AS DOUBLE), 6) AS cosine
+    FROM b s JOIN b n ON s.bucket = n.bucket AND s.vec_id <> n.vec_id
+)
+SELECT src_id, nbr_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY cosine DESC, nbr_id
+    ) AS rnk
+    FROM p
+)
+WHERE rnk <= {K_NN}
+""",
+)
+def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN GRAPH — each vector's k=3 nearest in-block
+    neighbors by cosine: the many-to-many top-k join behind near-dup
+    clustering, diversity sampling, and kNN-graph construction, where
+    every row is simultaneously query and candidate (vs the single
+    broadcast query vector of the ann_* family).
+
+    Plan: one scan computes the sign-LSH block id in codegen, a single
+    self-equi-join on the block key (shuffle hash join — never a
+    cartesian) forms in-block pairs, and a per-source window (PARTITION
+    BY src_id — bounded partitions, no global sort) takes the top k.
+    Scale: pair count is sum of block sizes squared — sub-quadratic for
+    any balanced blocking, and block width is controlled the same two
+    ways as dedup_embedding_blocked: more sign bits as n grows, salted
+    sub-block splits for skewed blocks. Recall beyond one block comes
+    from multi-probe (repeat with bit flips) — union more block keys,
+    same plan shape."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = emb.withColumn(
+        "bucket", F.expr(_SPARK_BUCKET_N.format(col="v", bits=KNN_BITS))
+    )
+    src = b.select(
+        F.col("vec_id").alias("src_id"), F.col("v"), F.col("bucket")
+    )
+    nbr = b.select(
+        F.col("vec_id").alias("nbr_id"), F.col("v").alias("nv"), F.col("bucket")
+    )
+    pairs = (
+        src.join(nbr, "bucket")
+        .where(F.col("src_id") != F.col("nbr_id"))
+        .withColumn("cosine", F.expr(_SPARK_PAIR_COS))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= K_NN)
+        .select("src_id", "nbr_id", "cosine", "rnk")
+    )
+
+
 # int8 scalar quantization: per-dimension min/max calibration, then
 # q = round((x - lo) / (hi - lo) * 255); dequant = q/255*(hi-lo) + lo.
 # The identical formula on both engines; degenerate dims (hi = lo)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import hashing as H
 from ..functions.dedup_sql import duck_components_ctes
 from .registry import query
 
@@ -216,6 +217,74 @@ def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(hh < _MIX_DEFAULT)
     )
     return docs.where(keep).select("doc_id", "lang", "source")
+
+
+# Benchmark decontamination: the eval-overlap pass a training pipeline
+# runs before the corpus ships — any training doc sharing a long-enough
+# n-gram with a benchmark/eval document is flagged (the GPT-3 13-gram
+# method, scaled to this corpus's short synthetic docs). The benchmark
+# set here is a deterministic pseudo-eval slice (doc_id % 11 = 0);
+# production swaps in the real eval corpora, same plan.
+DECON_NGRAM = 5
+DECON_MOD = 11
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
+sh AS (
+    SELECT doc_id, unnest({H.duck_shingle_hashes(H.duck_shingles("toks", DECON_NGRAM))}) AS gh
+    FROM tok
+),
+bench AS (SELECT doc_id AS bench_id, gh FROM sh WHERE doc_id % {DECON_MOD} = 0),
+train AS (SELECT doc_id, gh FROM sh WHERE doc_id % {DECON_MOD} <> 0)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gh) AS BIGINT) AS n_overlap_ngrams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM train t JOIN bench b ON t.gh = b.gh
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set DECONTAMINATION: flag every training document that
+    shares at least one 5-token n-gram with the benchmark slice — the
+    overlap-removal pass (GPT-3 appendix C / PaLM style) that keeps eval
+    data out of the training corpus. Output is the contamination report:
+    per flagged doc, how many distinct n-grams leaked and how many
+    benchmark docs they touch (the drop/quarantine decision input).
+
+    Plan/scale: each side explodes to (doc, ngram-HASH) rows — 8-byte
+    md5-derived keys (functions/hashing.py), never the n-gram strings —
+    and one hash equi-join on the n-gram key does the matching. The
+    benchmark side is eval-sized (tiny vs the corpus), so AQE broadcasts
+    it and the 100 TB side never shuffles; dedup within doc is free
+    (shingle sets are distinct by construction). Count-distinct runs at
+    flagged-doc cardinality. No UDFs anywhere.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                H.spark_shingle_hashes(
+                    H.spark_shingles(H.spark_tokens("text"), DECON_NGRAM)
+                )
+            )
+        ).alias("gh"),
+    )
+    bench = sh.where(F.col("doc_id") % DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = sh.where(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_overlap_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
 
 
 @query(

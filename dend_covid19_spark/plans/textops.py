@@ -231,6 +231,106 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition gates: a doc dominated by one token/bigram or
+# stuffed with repeated trigrams is boilerplate/spam, not prose. All
+# three signals are per-row array folds in codegen — the mode count is
+# O(m·distinct) per row, bounded by document length, zero shuffles.
+_SPARK_MODE_COUNT = "array_max(transform(array_distinct({a}), x -> size(filter({a}, y -> y = x))))"
+_DUCK_MODE_COUNT = (
+    "list_max(list_transform(list_distinct({a}), x -> len(list_filter({a}, y -> y = x))))"
+)
+# Non-distinct n-gram lists (the shingle helpers dedupe; repetition
+# needs the multiset).
+_SPARK_GRAMS = (
+    "transform(sequence(1, greatest(size(toks) - {n1}, 1)), "
+    "i -> concat_ws(' ', slice(toks, i, {n})))"
+)
+_DUCK_GRAMS = (
+    "list_transform(range(1, greatest(len(toks) - {n1}, 1) + 1), "
+    "i -> array_to_string(toks[i:i+{n1}], ' '))"
+)
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id, toks,
+           {_DUCK_GRAMS.format(n1=1)} AS bg,
+           {_DUCK_GRAMS.format(n1=2)} AS tg
+    FROM tok
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           {_DUCK_MODE_COUNT.format(a="toks")} AS top_tok,
+           {_DUCK_MODE_COUNT.format(a="bg")} AS top_bg,
+           len(bg) AS n_bg,
+           len(tg) AS n_tg,
+           len(list_distinct(tg)) AS n_tg_distinct
+    FROM g
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(top_tok AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+       round(CAST(top_bg AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+       round(1.0 - CAST(n_tg_distinct AS DOUBLE) / n_tg, 6) AS dup_trigram_frac,
+       (CAST(top_tok AS DOUBLE) / n_tokens <= 0.30
+        AND CAST(top_bg AS DOUBLE) / n_bg <= 0.20
+        AND 1.0 - CAST(n_tg_distinct AS DOUBLE) / n_tg <= 0.30) AS keep
+FROM m
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gates (the Gopher rules): fraction of
+    the doc taken by its most frequent token / bigram, and the
+    duplicate-trigram fraction — the signals that catch keyword-stuffed
+    spam and templated boilerplate that length/stopword gates miss.
+    ``keep`` applies the composite thresholds (most-common-token <= 30%,
+    top bigram <= 20%, dup trigrams <= 30%).
+
+    Scale: one scan, all three stats computed per row by array folds in
+    whole-stage codegen — no explode, no shuffle, no UDF; cost is
+    O(tokens · distinct-tokens) per row, bounded by doc length (bound
+    giant docs upstream at ingest, as with chunking). Determinism: every
+    frac is an int/int single IEEE division, rounded to 6 dp on both
+    engines; threshold comparisons happen on the unrounded values in
+    both engines identically."""
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(_SPARK_MODE_COUNT.format(a="toks")).alias("top_tok"),
+        F.expr(_SPARK_MODE_COUNT.format(a=_SPARK_GRAMS.format(n=2, n1=1))).alias(
+            "top_bg"
+        ),
+        F.expr(f"size({_SPARK_GRAMS.format(n=2, n1=1)})").alias("n_bg"),
+        F.expr(f"size({_SPARK_GRAMS.format(n=3, n1=2)})").alias("n_tg"),
+        F.expr(
+            f"size(array_distinct({_SPARK_GRAMS.format(n=3, n1=2)}))"
+        ).alias("n_tg_distinct"),
+    )
+    top_token_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    top_bigram_frac = F.col("top_bg").cast("double") / F.col("n_bg")
+    dup_trigram_frac = F.lit(1.0) - F.col("n_tg_distinct").cast("double") / F.col("n_tg")
+    return g.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(top_token_frac, 6).alias("top_token_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_trigram_frac, 6).alias("dup_trigram_frac"),
+        (
+            (top_token_frac <= 0.30)
+            & (top_bigram_frac <= 0.20)
+            & (dup_trigram_frac <= 0.30)
+        ).alias("keep"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""
