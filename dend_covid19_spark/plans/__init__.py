@@ -107,6 +107,46 @@ PRIORITY = [
     "asof_join_latest_order",
     "range_join_value_tiers",
     "lateral_top_orders_per_nation",
+    # --- beyond slot 50: the round-3 rotation set, curated so that
+    # pre-verified never-green queries keep their window slots ahead of
+    # queries registered later (rotation pulls these forward as the
+    # slots above go green; brand-new queries queue behind them).
+    "approx_distinct_users",
+    "ingest_inmemory_dim_join",
+    "ingest_csv_roundtrip",
+    "ingest_orc_roundtrip",
+    "multimodal_modality_dispatch",
+    "window_lag_orders",
+    "setops_union_except",
+    "setops_intersect",
+    "setops_bag_all",
+    "window_sliding_avg_orders",
+    "window_ntile_customers",
+    "corpus_quality_filter",
+    "events_hourly_activity",
+    "events_session_window_native",
+    "date_spine_daily_purchases",
+    "attribution_view_purchase",
+    "timeseries_interpolate_linear",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q13_order_count_distribution",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "dedup_ngram_containment",
+    "dedup_embedding_cosine",
+    "embedding_quantize_int8",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

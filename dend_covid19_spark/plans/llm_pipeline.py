@@ -219,6 +219,88 @@ def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(keep).select("doc_id", "lang", "source")
 
 
+# Sequence packing: concat-and-split — the standard pretraining pack
+# (stream the chunked corpus in a deterministic order, cut every
+# PACK_CONTEXT chars). Sharded so the running offset is a per-shard
+# window, not a global one; shard count scales with corpus size.
+PACK_CONTEXT = 512
+PACK_SHARDS = 16
+
+
+@query(
+    "pack_chunks_greedy",
+    oracle=f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text), 1), {CHUNK_STRIDE})) AS start
+    FROM documents
+), chunks AS (
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           length(substr(text, start, {CHUNK_SIZE})) AS chunk_len,
+           {H.duck_hash32("'pk-' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard
+    FROM starts
+), offs AS (
+    SELECT shard, doc_id, chunk_idx, chunk_len,
+           sum(chunk_len) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - chunk_len AS stream_offset
+    FROM chunks
+)
+SELECT CAST(shard AS BIGINT) AS shard, doc_id, chunk_idx,
+       CAST(stream_offset // {PACK_CONTEXT} AS BIGINT) AS pack_id,
+       CAST(stream_offset % {PACK_CONTEXT} AS BIGINT) AS offset_in_pack
+FROM offs
+""",
+)
+def pack_chunks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING — concat-and-split into fixed context windows:
+    chunks stream in a deterministic (doc_id, chunk_idx) order within a
+    hash shard, a running-length window assigns each chunk its stream
+    offset, and integer division by the context budget yields the pack
+    id (+ offset inside the pack). This is how pretraining corpora are
+    packed into fixed-length sequences without padding waste.
+
+    Scale: the only shuffle is the shard window — shard count (16 here)
+    grows with the corpus so each partition's running sum stays bounded,
+    and packing never compares chunks pairwise. Determinism: ordering is
+    (doc_id, chunk_idx) — unique per row — and the shard is an
+    md5-derived hash, so layout is stable across engines and re-runs.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, greatest(length(text), 1), {CHUNK_STRIDE})")
+        ).alias("start"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) div {CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+        F.expr(f"length(substring(text, start, {CHUNK_SIZE}))").alias("chunk_len"),
+        F.expr(
+            H.spark_hash32("concat('pk-', CAST(doc_id AS STRING))")
+            + f" % {PACK_SHARDS}"
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = chunks.withColumn(
+        "stream_offset", F.sum("chunk_len").over(w) - F.col("chunk_len")
+    )
+    return offs.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"CAST(stream_offset div {PACK_CONTEXT} AS BIGINT)").alias("pack_id"),
+        (F.col("stream_offset") % PACK_CONTEXT).cast("bigint").alias("offset_in_pack"),
+    )
+
+
 # Benchmark decontamination: the eval-overlap pass a training pipeline
 # runs before the corpus ships — any training doc sharing a long-enough
 # n-gram with a benchmark/eval document is flagged (the GPT-3 13-gram

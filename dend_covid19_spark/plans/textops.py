@@ -231,6 +231,104 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_top_terms",
+    oracle="""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: global top-50 tokens by count —
+    the frequency scan behind vocab construction, stopword discovery,
+    and boilerplate detection.
+
+    Scale: explode fans out map-side; the groupBy shuffles only
+    (token, partial-count) pairs after map-side combine — traffic is
+    vocabulary-sized per partition, not token-stream-sized — and the
+    top-50 is TakeOrdered (per-partition heaps), never a global sort.
+    For truly unbounded vocabularies swap in a count-min sketch; for
+    any natural-language corpus the exact form is the right plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.expr("split(text, ' ')")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token
+    ) AS rnk FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 most characteristic tokens per
+    document — term frequency times inverse document frequency, the
+    classic relevance/topic signal (and the cheap keyword labeler a
+    data pipeline runs before clustering or routing).
+
+    Plan/scale: token explode is map-side; TF and DF are two partial-agg
+    shuffles at (doc, token) and vocabulary cardinality; the corpus size
+    N is a 1-row broadcast; the DF table joins back on token (shuffle
+    join — vocabulary can be huge; AQE broadcasts it when it isn't); the
+    per-doc top-k is a partitioned window with WindowGroupLimit doing
+    map-side pre-filtering. Determinism: tfidf is rounded to 6 dp on
+    both engines BEFORE ranking and ties break on the token string, so
+    rank boundaries cannot disagree."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(F.expr("split(text, ' ')")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
+
+
 # Gopher-style repetition gates: a doc dominated by one token/bigram or
 # stuffed with repeated trigrams is boilerplate/spam, not prose. All
 # three signals are per-row array folds in codegen — the mode count is

@@ -251,6 +251,7 @@ _NESTED_LOOP_ALLOWED = {
     "subquery_above_nation_avg", # one-row scalar-average broadcast
     "date_spine_daily_purchases",# one-row bounds -> generated spine
     "stats_exact_moments",       # power-sum scalars
+    "tfidf_top_terms",           # one-row corpus-count broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the

@@ -35,12 +35,17 @@ def test_live_window_pins_parity_bar_regardless_of_disk_state():
 
 
 def test_rotation_yields_slots_to_never_green_queries():
-    """Once rotation triggers, green names yield their slots; the parity
-    bar stays pinned; the result is a permutation of the registry."""
+    """Once rotation triggers, green names yield their slots: every
+    never-green name packs immediately after the pinned parity bar (so
+    none can sit outside the window while a green name holds a slot);
+    the result is a permutation of the registry."""
     green = set(plans.PRIORITY[10:])  # everything beyond the bar went green
     eff = plans._effective_priority(green=green, rotate=True)
     assert eff[:10] == plans.PRIORITY[:10]
-    assert all(n not in green for n in eff[10:50])
+    never = {n for n in plans.registered_names() if n not in green} - set(
+        plans.PRIORITY[:10]
+    )
+    assert set(eff[10 : 10 + len(never)]) == never
     assert sorted(eff) == sorted(plans.all_queries())
 
 
