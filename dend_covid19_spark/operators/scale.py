@@ -134,3 +134,46 @@ def bucketed_join(
     bucket counts Spark plans SortMergeJoin with zero Exchange operators
     — verify with df.explain(); tests assert it."""
     return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+SKEW_TOP_N = 20
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+t AS (SELECT sum(cnt) AS total FROM c)
+SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, user_id
+LIMIT {SKEW_TOP_N}
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic: the 20 hottest shuffle keys (user_id) in
+    the events stream with each key's share of total traffic — the
+    profile you run BEFORE choosing salt_buckets / enabling AQE skew
+    handling, and the recurring health check that tells you when a
+    formerly balanced key went viral.
+
+    Plan/scale: one map-side-combined count per key (shuffle traffic is
+    key-cardinality, not row count), a one-row total broadcast for the
+    share, and a TakeOrdered top-20 (per-partition heaps, no global
+    sort). Determinism: share is a single int/int IEEE division rounded
+    to 6 dp; ties rank by key."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.expr("sum(cnt) AS total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)").alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(SKEW_TOP_N)
+    )

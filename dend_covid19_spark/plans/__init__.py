@@ -29,6 +29,7 @@ from ..operators import (  # noqa: F401
     components,
     dedup,
     kmeans,
+    pca,
     scale,
     similarity,
 )

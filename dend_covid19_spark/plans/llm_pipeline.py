@@ -407,3 +407,50 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+# Quota sampling: a hard per-stratum cap (vs stratified_sample_events'
+# per-stratum RATE) — "at most K docs per source", the dataset-balancing
+# primitive for over-represented crawl domains.
+# 10 of the test corpus's 20x25-doc sources: the cap genuinely binds at
+# every SF (a quota >= docs-per-source would make the check vacuous).
+QUOTA_PER_SOURCE = 10
+
+
+@query(
+    "quota_sample_per_source",
+    oracle=f"""
+SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {H.duck_hash32("'qs-' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= {QUOTA_PER_SOURCE}
+""",
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sample: keep at most K documents per source,
+    chosen by a deterministic hash order (md5-derived, salted 'qs-') so
+    the sample is uniform-at-random w.r.t. content, reproducible across
+    reruns/engines, and stable under corpus growth (a doc's hash never
+    changes, so adding new docs only displaces keeps at the quota
+    boundary).
+
+    Scale: one shuffle on source; the per-source window never sorts more
+    than one stratum per task, and WindowGroupLimit prunes beyond-quota
+    rows map-side. A skew-proof variant for a giant stratum: hash-bucket
+    within source, take K/buckets per bucket. Hash ties (32-bit, ~n^2/2^33
+    chance per stratum) break on doc_id identically in both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.expr(H.spark_hash32("concat('qs-', CAST(doc_id AS STRING))")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
+    )

@@ -454,3 +454,194 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_tokens"
         ),
     )
+
+
+# --- search / collocation statistics --------------------------------------
+
+# BM25 ranking over a fixed query-term set (Robertson/Sparck Jones; the
+# scoring function behind Lucene/Elasticsearch relevance). Constants are
+# the textbook defaults.
+BM25_TERMS = ("spark", "window", "merge")
+BM25_K1 = "1.5"
+BM25_B = "0.75"
+BM25_TOP_N = 20
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# Identical expression TEXT on both engines: every divide/multiply is
+# written once so IEEE evaluation order cannot differ.
+_BM25_SCORE = (
+    f"ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    f" * (tf * ({BM25_K1} + 1.0))"
+    f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+)
+
+
+@query(
+    "bm25_doc_scores",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+term AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf FROM term
+    WHERE token IN ({_BM25_TERM_LIST}) GROUP BY doc_id, token
+),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+SELECT doc_id,
+       CAST(sum(CAST(round({_BM25_SCORE}, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS score,
+       count(*) AS n_terms
+FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_N}
+""",
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: BM25 of each document against a fixed
+    query-term set, top-20 — the retrieval scorer a corpus pipeline runs
+    for search-based curation (and the exact-scoring baseline for any
+    learned retriever).
+
+    Plan/scale: the token explode is map-side and immediately filtered to
+    the |Q| query terms, so the TF shuffle carries at most |Q| rows per
+    doc; document frequencies (|Q| rows) and the corpus stats (1 row)
+    broadcast; the final ranking is TakeOrdered, never a global sort.
+    Determinism: per-term scores share one expression string with the
+    oracle (single IEEE evaluation order), are rounded to 6 dp, and sum
+    as DECIMAL(18,6) — exact, order-independent — before the final cast
+    back to double; ties rank by doc_id."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+    dl = tok.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl"),
+    )
+    term = tok.select("doc_id", F.explode("toks").alias("token"))
+    tf = (
+        term.where(F.expr(f"token IN ({_BM25_TERM_LIST})"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(round({_BM25_SCORE}, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_N)
+    )
+
+
+# Pointwise mutual information over adjacent-token bigrams: the classic
+# collocation detector ("new york" scores high because its joint count
+# beats the unigram-independence expectation).
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 50
+
+_PMI_EXPR = (
+    "round(ln((CAST(c_ab AS DOUBLE) * CAST(u_total AS DOUBLE)"
+    " * CAST(u_total AS DOUBLE))"
+    " / (CAST(t_total AS DOUBLE) * CAST(c_a AS DOUBLE)"
+    " * CAST(c_b AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "collocation_pmi_bigrams",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uc AS (
+    SELECT token, count(*) AS c FROM (SELECT unnest(toks) AS token FROM tok)
+    GROUP BY token
+),
+u AS (SELECT sum(c) AS u_total FROM uc),
+bgc AS (
+    SELECT b['tok_a'] AS tok_a, b['tok_b'] AS tok_b, count(*) AS c_ab
+    FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(tok_a := toks[i], tok_b := toks[i+1]))) AS b
+        FROM tok
+    )
+    GROUP BY 1, 2
+),
+t AS (SELECT sum(c_ab) AS t_total FROM bgc)
+SELECT tok_a, tok_b, c_ab, {_PMI_EXPR} AS pmi
+FROM (
+    SELECT bgc.tok_a, bgc.tok_b, bgc.c_ab,
+           ca.c AS c_a, cb.c AS c_b, u.u_total, t.t_total
+    FROM bgc
+    JOIN uc ca ON ca.token = bgc.tok_a
+    JOIN uc cb ON cb.token = bgc.tok_b
+    CROSS JOIN u CROSS JOIN t
+)
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT {PMI_TOP_N}
+""",
+)
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent-token bigrams by pointwise
+    mutual information, PMI = ln(p(ab) / (p(a)p(b))) with probabilities
+    from corpus counts — the statistical phrase detector a tokenizer /
+    vocab pipeline runs to find multi-word units worth merging.
+
+    Plan/scale: unigram and bigram counts are two partial-agg shuffles at
+    vocabulary cardinality (map-side combine keeps traffic bounded by
+    vocab, not token stream); the two corpus totals are one-row
+    broadcasts; the unigram table joins back per bigram side (AQE
+    broadcasts it while it fits, shuffle-joins when vocab is huge); final
+    top-50 is TakeOrdered. Determinism: PMI is all-integer counts pushed
+    through ONE shared expression string (identical IEEE order on both
+    engines), rounded to 6 dp, ties broken on the token pair; the
+    min-count floor (5) keeps rare-pair noise out of the ranking."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+    uc = (
+        tok.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = uc.agg(F.expr("sum(c) AS u_total"))
+    bg = tok.select(
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS tok_a,"
+                " element_at(toks, i + 1) AS tok_b)),"
+                " array())"
+            )
+        ).alias("b")
+    )
+    bgc = (
+        bg.select("b.tok_a", "b.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    t = bgc.agg(F.expr("sum(c_ab) AS t_total"))
+    ca = uc.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        bgc.where(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(ca, "tok_a")
+        .join(cb, "tok_b")
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(t))
+        .select("tok_a", "tok_b", "c_ab", F.expr(_PMI_EXPR).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(PMI_TOP_N)
+    )

@@ -481,3 +481,93 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("value_filled"),
         F.col("v").isNull().alias("is_interpolated"),
     )
+
+
+# Rolling z-score anomaly detection over the daily series: the ops-side
+# "did this metric spike" check a pipeline runs on every ingest batch.
+ZSCORE_WINDOW_DAYS = 7
+
+# Variance from exact integer window sums (n*s2 - s1^2 is an exact
+# bigint), pushed through ONE expression string shared with the oracle
+# so the doubles agree bit-for-bit. Sample variance (n-1 divisor).
+_Z_EXPR = (
+    "round((cnt - CAST(s1 AS DOUBLE) / n_win)"
+    " / sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE) / (n_win * (n_win - 1))), 6)"
+)
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+), w AS (
+    SELECT day, event_type, cnt,
+           count(*) OVER win AS n_win,
+           sum(cnt) OVER win AS s1,
+           sum(cnt * cnt) OVER win AS s2
+    FROM d
+    WINDOW win AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN {ZSCORE_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW
+    )
+), z AS (
+    SELECT day, event_type, cnt,
+           CASE WHEN n_win * s2 - s1 * s1 = 0 THEN NULL
+                ELSE {_Z_EXPR} END AS zscore
+    FROM w WHERE n_win = {ZSCORE_WINDOW_DAYS}
+)
+SELECT day, event_type, cnt,
+       zscore,
+       CASE WHEN zscore IS NULL THEN false ELSE abs(zscore) >= 2.0 END AS anomaly
+FROM z
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags on the daily per-type event counts:
+    each day's count is scored against the trailing 7-day window's mean
+    and sample standard deviation; |z| >= 2 flags the spike/crater.
+
+    Plan/scale: the daily aggregate is one map-side-combined shuffle at
+    (day, type) cardinality; the rolling window is PARTITIONED by
+    event_type over a calendar-bounded input (|days| x |types| rows), so
+    no single-reducer global sort exists anywhere. Determinism: the
+    window carries exact integer sums (s1, s2) — mean and variance
+    derive from them in one expression string shared with the oracle
+    (identical IEEE order), rounded to 6 dp; zero-variance windows yield
+    NULL score / false flag rather than an engine-dependent inf."""
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.groupBy(
+            F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ZSCORE_WINDOW_DAYS - 1), 0)
+    )
+    w = d.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.count(F.lit(1)).over(win).alias("n_win"),
+        F.sum("cnt").over(win).alias("s1"),
+        F.sum(F.expr("cnt * cnt")).over(win).alias("s2"),
+    ).where(F.col("n_win") == ZSCORE_WINDOW_DAYS)
+    z = w.withColumn(
+        "zscore",
+        F.expr(f"CASE WHEN n_win * s2 - s1 * s1 = 0 THEN NULL ELSE {_Z_EXPR} END"),
+    )
+    return z.select(
+        "day",
+        "event_type",
+        "cnt",
+        "zscore",
+        F.expr(
+            "CASE WHEN zscore IS NULL THEN false ELSE abs(zscore) >= 2.0 END"
+        ).alias("anomaly"),
+    )

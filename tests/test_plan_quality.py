@@ -252,6 +252,9 @@ _NESTED_LOOP_ALLOWED = {
     "date_spine_daily_purchases",# one-row bounds -> generated spine
     "stats_exact_moments",       # power-sum scalars
     "tfidf_top_terms",           # one-row corpus-count broadcast
+    "bm25_doc_scores",           # one-row corpus-stats broadcast
+    "collocation_pmi_bigrams",   # one-row unigram/bigram-total broadcasts
+    "key_skew_profile",          # one-row traffic-total broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
