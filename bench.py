@@ -51,6 +51,9 @@ HEADLINE = [
     "text_fingerprint",
     "sentiment_pipeline_histogram",
     "multimodal_binary_meta",
+    # round 3 additions (methodology unchanged: min of 2 steady-state)
+    "bm25_doc_scores",
+    "embedding_pca_power",
 ]
 
 

@@ -510,8 +510,25 @@ def _bounded_blocks(emb: DataFrame, bucket_expr: str, target: int) -> DataFrame:
     the same single pack exchange; cross-sub-block pairs add
     S_b(S_b+1)/2 block tasks per bucket where S_b = ceil(n_b/target) —
     the same FLOPs as before, just partitioned into bounded tasks.
+
+    Correctness guard (Spark 4.1): the projection defining ``bucket``
+    carries the constraint ``bucket <=> E(v)``; on ANY self-join keyed by
+    bucket, constraint inference rewrites that through the join equality
+    and pushes a filter referencing the OTHER side's ``v`` above this
+    side's aggregate — an invalid plan node that crashes with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when the interpreted predicate
+    path binds it (reproducible on a cold session; localCheckpoint alone
+    does not help because LogicalRDD preserves origin constraints). The
+    ``+ 0 * rand`` term is value-identity but marks the projection
+    nondeterministic, which legally suppresses ALL constraints on the
+    column. The eager localCheckpoint then materializes the bucketed
+    projection once for both plan branches — also the production shape
+    (compute each vector's bucket exactly once).
     """
-    bucketed = emb.withColumn("bucket", F.expr(bucket_expr))
+    bucketed = emb.withColumn(
+        "bucket",
+        F.expr(f"({bucket_expr}) + CAST(0 * rand(42) AS BIGINT)"),
+    ).localCheckpoint()
     sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
     packed = (
         bucketed.join(F.broadcast(sizes), "bucket")
@@ -610,4 +627,86 @@ def dedup_embedding_blocked(
     blocks = _bounded_blocks(emb, _SPARK_BUCKET.format(col="v"), block_target)
     return blocks.mapInPandas(
         _block_pair_cosine(0.40), "vec_a long, vec_b long, cosine double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+# The arriving-batch split: doc_id % 10 == 0 plays the "newly ingested"
+# batch (~10%), the rest the standing corpus. In production the batch is
+# yesterday's crawl and the corpus side is the maintained signature
+# table — exactly what _minhash_sigs materializes.
+INCR_BATCH_MOD = 10
+
+_INCR_ORACLE = f"""
+WITH {_duck_minhash_cte()},
+icand AS (
+    SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+    WHERE a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} != 0
+)
+SELECT c.batch_doc, c.corpus_doc,
+       CAST({_MINHASH_EST} AS DOUBLE) AS est_jaccard
+FROM icand c
+JOIN sigs sa ON sa.doc_id = c.batch_doc
+JOIN sigs sb ON sb.doc_id = c.corpus_doc
+WHERE {_MINHASH_EST} >= 0.25
+"""
+
+
+@query("dedup_incremental_batch", oracle=_INCR_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: which newly-arrived docs duplicate the
+    standing corpus? The daily-ingest shape — instead of re-deduping all
+    n docs (O(n) candidates per day), only the batch's band buckets probe
+    the corpus's, so work is O(|batch|) against a maintained signature
+    table and the decision is available before the batch is committed.
+
+    Same banded LSH + signature-estimate verify as dedup_minhash_lsh,
+    restricted to batch x corpus pairs (batch-internal dups are the
+    standard full pass's job). Scale: the band join's probe side carries
+    only the batch; the corpus side is the incrementally-maintained
+    signature table — nothing data-sized recomputes per day."""
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr(H.spark_band_structs("sig"))).alias("band"),
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    batch = bands.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = bands.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    a, b = batch.alias("a"), corpus.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("batch_doc"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("corpus_doc"), F.col("sig").alias("sig_b"))
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0,"
+            " (acc, v) -> acc + v)"
+        )
+        / F.lit(float(H.K))
+    )
+    return (
+        cand.join(sa, "batch_doc")
+        .join(sb, "corpus_doc")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.25)
+        .select("batch_doc", "corpus_doc", "est_jaccard")
     )

@@ -97,13 +97,21 @@ def ann_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Axis-aligned hyperplanes are a legitimate LSH family for unit-ish
 # random vectors and — unlike random Gaussian planes — are trivially
 # reproducible in ANSI SQL on both engines.
+# coalesce makes the bucket NON-NULLABLE: joins keyed on it then skip
+# the inferred isnotnull() null-filter. That filter is not just noise —
+# Catalyst inlines the bucket alias into it, and when such a filter
+# lands above an aggregate the interpreted (non-codegen) binding path
+# fails with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on cold sessions
+# (Spark 4.1; reproduced on dedup_embedding_blocked's sizes join).
+# A null embedding (none exist in the corpus) would bucket to -1 on
+# both engines instead of dropping silently — strictly better defined.
 _SPARK_BUCKET = (
-    "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + IF(element_at({col}, i + 1) > 0, "
-    "shiftleft(1L, CAST(i AS INT)), 0L))"
+    "coalesce(aggregate(sequence(0, 7), 0L, (acc, i) -> acc + IF(element_at({col}, i + 1) > 0, "
+    "shiftleft(1L, CAST(i AS INT)), 0L)), -1L)"
 )
 _DUCK_BUCKET = (
-    "list_sum(list_transform(range(0, 8), i -> CASE WHEN {col}[i + 1] > 0 "
-    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))"
+    "coalesce(list_sum(list_transform(range(0, 8), i -> CASE WHEN {col}[i + 1] > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), -1)"
 )
 
 

@@ -454,3 +454,56 @@ def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= QUOTA_PER_SOURCE)
         .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+WITH RECURSIVE {duck_components_ctes()},
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+m AS (
+    SELECT c.component, c.node AS doc_id, d.n_chars
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT component, doc_id AS keep_doc, n_chars AS keep_chars,
+       n_members
+FROM (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY component) AS n_members
+    FROM m
+)
+WHERE rn = 1
+""",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection as a pluggable POLICY: for each near-dup group
+    keep the highest-quality member (longest text, ties to the smaller
+    doc_id) instead of dedup_components' min-id pick — the policy real
+    pipelines want, since the shortest copy is usually the truncated one.
+    One row per duplicate group: the kept doc and the group size.
+
+    Scale: reuses the blocked pairs -> components stages unchanged;
+    the policy itself is one n_chars lookup join (group table is tiny —
+    AQE broadcasts it) plus a window PARTITIONED by component. Swapping
+    the ORDER BY swaps the policy; nothing upstream recomputes."""
+    from ..operators.components import dedup_components
+
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    m = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("component")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_members",
+        )
+    )

@@ -217,6 +217,7 @@ def test_embedding_blocked_rows_bounded(spark):
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_incremental_batch",
         "ann_lsh_bucketed",
         "dedup_embedding_cosine",
         "dedup_embedding_blocked",
@@ -316,6 +317,17 @@ def test_no_query_plans_cartesian(spark):
             flagged.append((name, "BroadcastNestedLoopJoin"))
         if name not in _GLOBAL_WINDOW_ALLOWED and global_windows(plan):
             flagged.append((name, "unpartitioned Window (single-reducer sort)"))
+        # Invalid ('!'-prefixed) optimizer output: Catalyst emitted a node
+        # referencing attributes its child does not produce (seen when
+        # constraint inference pushes a self-join key's defining expression
+        # to the re-aliased side). Such plans crash at runtime ONLY on the
+        # interpreted binding path, so they can pass warm tests and still
+        # fail a cold session — gate them mechanically here.
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            if re.match(r"^[\s:+|-]*!", line):
+                flagged.append((name, f"invalid plan node: {line.strip()[:80]}"))
+                break
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType)):
                 flagged.append((name, f"array/map output column {f.name!r}"))
