@@ -506,10 +506,14 @@ def _bounded_blocks(emb: DataFrame, bucket_expr: str, target: int) -> DataFrame:
     ~target vectors, which is the 100 TB memory bound the single-row
     form lacked (a hot bucket used to pack n_b/1 vectors into ONE row).
 
-    Cost: one small count aggregate (|buckets| rows, broadcast back) +
-    the same single pack exchange; cross-sub-block pairs add
+    Cost: ONE exchange on bucket total — n_bucket comes from a count
+    over a window PARTITIONED by bucket, and the following
+    groupBy(bucket, sub) reuses that hash partitioning (clustering by a
+    superset of the partition keys is satisfied without a new shuffle;
+    the window buffer spills via ExternalAppendOnlyUnsafeRowArray, so a
+    hot bucket costs disk, not heap). Cross-sub-block pairs add
     S_b(S_b+1)/2 block tasks per bucket where S_b = ceil(n_b/target) —
-    the same FLOPs as before, just partitioned into bounded tasks.
+    the same FLOPs as single-row packing, just bounded tasks.
 
     Correctness guard (Spark 4.1): the projection defining ``bucket``
     carries the constraint ``bucket <=> E(v)``; on ANY self-join keyed by
@@ -521,17 +525,19 @@ def _bounded_blocks(emb: DataFrame, bucket_expr: str, target: int) -> DataFrame:
     does not help because LogicalRDD preserves origin constraints). The
     ``+ 0 * rand`` term is value-identity but marks the projection
     nondeterministic, which legally suppresses ALL constraints on the
-    column. The eager localCheckpoint then materializes the bucketed
-    projection once for both plan branches — also the production shape
-    (compute each vector's bucket exactly once).
+    column — verified sufficient on a cold session, so no checkpoint is
+    needed (an eager localCheckpoint here cost ~0.5s of fixed bench
+    latency; recomputing the cheap bucket projection on the second plan
+    branch is the better trade at every scale, and the plan-sweep
+    invalid-node rule guards the crash mode mechanically).
     """
     bucketed = emb.withColumn(
         "bucket",
         F.expr(f"({bucket_expr}) + CAST(0 * rand(42) AS BIGINT)"),
-    ).localCheckpoint()
-    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_bucket"))
+    )
+    w = Window.partitionBy("bucket")
     packed = (
-        bucketed.join(F.broadcast(sizes), "bucket")
+        bucketed.withColumn("n_bucket", F.count(F.lit(1)).over(w))
         .withColumn(
             "sub",
             F.pmod(
