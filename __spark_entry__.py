@@ -30,13 +30,13 @@ from dend_covid19_spark import plans  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Note: the provided ``spark`` session may lack our nanosAsLong conf
-    (events.ts is parquet TIMESTAMP(NANOS)); set it defensively before
-    planning — it is read at schema-conversion time, so a runtime set
-    works for reads planned afterwards.
+    events.ts handling lives in catalog.load_table: the parquet footer is
+    sniffed per dataset, timestamp[us]/[ms] reads natively as
+    TimestampType, and only genuine TIMESTAMP(NANOS) files take the
+    nanosAsLong + integer-DIV path (the catalog sets that conf itself
+    when needed). Here we only pin UTC so results match the oracle.
     """
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
@@ -50,7 +50,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
             except Exception:
                 pass

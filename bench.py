@@ -5,16 +5,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
-Methodology: a tiny warm-up action first, then each query runs THREE
+Methodology: a tiny warm-up action first, then each query runs FOUR
 times with a noop sink (``df.write.format("noop")``) so every output
 column is fully computed and nothing funnels through the driver. The
 FIRST run pays Spark's one-time whole-stage-codegen + JIT compile for
 that plan (amortized to nothing over a real 100 TB job) and is kept in
 ``cold_first_run_total_sec`` for transparency; ``queries``/``value``
-report the MINIMUM of the two steady-state runs — the noise floor of a
-shared host sits on top of every sample, so the min is the best
-estimate of the plan's actual cost (observed run-to-run spread on this
-host is up to 2x on sub-second queries).
+report the MEDIAN of the three steady-state runs — robust to one noisy
+sample in either direction on a shared host (observed run-to-run spread
+is up to 2x on sub-second queries; round 3's recorded total was ~1.4x
+environment noise under a min-of-2 scheme). ``queries_min`` keeps the
+per-query minimum as the noise-floor view.
 """
 
 from __future__ import annotations
@@ -70,6 +71,7 @@ def main() -> None:
         load_table(spark, t, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     cold_total = 0.0
     for name in HEADLINE:
         fn = plans.all_queries()[name]
@@ -77,11 +79,12 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold_total += time.perf_counter() - t0
         steady = []
-        for _ in range(2):
+        for _ in range(3):
             t1 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             steady.append(time.perf_counter() - t1)
-        timings[name] = round(min(steady), 3)
+        timings[name] = round(sorted(steady)[1], 3)  # median of 3
+        timings_min[name] = round(min(steady), 3)
         # each query persists its own intermediates (e.g. the minhash
         # signature table); drop them so queries are isolated and the
         # executor heap doesn't accumulate dead cache across the run
@@ -99,8 +102,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "cold_first_run_total_sec": round(cold_total, 3),
                 "sf": sf,
+                # r4: events.ts ingestion fix landed — events-based rows
+                # (flagship/sessionize/session_window/scd2) now measure
+                # the TRUE workload (r1-r3 measured a collapsed one);
+                # their deltas vs earlier rounds are not regressions.
+                "post_ts_fix": True,
+                "methodology": "median_of_3_steady_state",
             }
         )
     )

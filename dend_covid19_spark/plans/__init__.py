@@ -152,18 +152,43 @@ PRIORITY = [
 
 # --- automatic rotation across rounds -------------------------------------
 # The driver records CORRECTNESS_r{N}.json into the repo each round. Once a
-# round >= 2 report exists, queries with a green row in ANY recorded round
+# round >= 2 report exists, queries whose LATEST recorded check is green
 # yield their checked-window slot to never-green ones, so hard verification
 # ACCUMULATES across rounds without hand-editing this list. The 10-query §2
-# parity bar stays pinned first every round. (A green query whose semantics
-# later change should be re-pinned by hand — rotation can't detect edits.)
+# parity bar stays pinned first every round.
+#
+# "Latest", not "any": round 3 proved that a query green in r1/r2 can go
+# red later (the driver regenerated testdata with a different timestamp
+# unit) — under any-round greening the regression rotates out of the
+# window and is never re-detected. A red row in the newest round that
+# checked a query therefore REVOKES its older green.
 
 _PARITY_BAR_N = 10
 
+# Hand re-pin: queries whose last driver row is a STALE green — green in
+# r1/r2, but wrong at r3 HEAD under the regenerated timestamp[us]
+# testdata (rotation can't see that: r3 never re-checked them). Pinned
+# directly behind the parity bar for round 4 so the driver records fresh
+# green rows post-fix; harmless to keep afterwards (once their latest
+# row is green again they cost nothing beyond window slots that would
+# otherwise re-check greens anyway).
+REPIN = [
+    "dedup_latest_per_key",
+    "events_tumbling_daily",
+    "events_sessionize",
+    "funnel_signup_view_purchase",
+    "cohort_retention",
+    "asof_join_latest_order",
+    "scd2_customer_value_history",
+    "user_event_gap_stats",
+    "rollup_daily_events",
+    "events_daily_unpivot",
+]
+
 
 def _green_names() -> tuple[set[str], bool]:
-    """Names with a green CORRECTNESS row in any recorded round, and
-    whether any round >= 2 report exists (rotation trigger).
+    """Names whose LATEST recorded CORRECTNESS row is green, and whether
+    any round >= 2 report exists (rotation trigger).
 
     A rows-only pass (``err == "no_oracle"`` with rows > 0) counts as
     green ONLY while the query still has no oracle twin: once an oracle
@@ -175,29 +200,41 @@ def _green_names() -> tuple[set[str], bool]:
     import re as _re
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    green: set[str] = set()
-    rows_only: set[str] = set()
+    # name -> (round, hard_green, rows_only_green); later rounds overwrite.
+    last: dict[str, tuple[int, bool, bool]] = {}
     beyond_r1 = False
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 data = _json.load(fh)
         except (OSError, ValueError):
             continue
-        if m and int(m.group(1)) >= 2:
+        if rnd >= 2:
             beyond_r1 = True
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") is True:
-                green.add(name)
-            elif rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0:
-                rows_only.add(name)
+            prev = last.get(name)
+            if prev is not None and prev[0] > rnd:
+                continue
+            hard = rec.get("hash_match") is True
+            rows_only = (
+                rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+            )
+            last[name] = (rnd, hard, rows_only)
     from .registry import oracle_names
 
-    green |= {n for n in rows_only if n not in oracle_names()}
-    return green, beyond_r1
+    has_oracle = oracle_names()
+    green = {
+        name
+        for name, (_, hard, rows_only) in last.items()
+        if hard or (rows_only and name not in has_oracle)
+    }
+    return green - set(REPIN), beyond_r1
 
 
 def _effective_priority(
@@ -207,7 +244,7 @@ def _effective_priority(
         green, rotate = _green_names()
     if not rotate:
         return PRIORITY
-    bar = PRIORITY[:_PARITY_BAR_N]
+    bar = PRIORITY[:_PARITY_BAR_N] + [n for n in REPIN if n in registered_names()]
     curated_rest = [n for n in PRIORITY[_PARITY_BAR_N:] if n not in green]
     others = [
         n for n in registered_names() if n not in green and n not in set(PRIORITY)

@@ -283,10 +283,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     oracle="""
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -317,7 +317,10 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders,
             (orders.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > F.date_add(orders.o_orderdate, 30)),
+            # Timestamp-interval add (not date_add, which truncates to
+            # DATE) so the lateness cutoff matches the oracle exactly
+            # even if order timestamps ever stop being midnight-aligned.
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAY")),
         )
         .groupBy("l_linestatus")
         .agg(

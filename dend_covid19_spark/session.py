@@ -52,10 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # The events table carries parquet TIMESTAMP(NANOS), which Spark
-        # rejects natively ([PARQUET_TYPE_ILLEGAL]); read as raw ns longs
-        # and convert to TimestampType in the catalog (integer DIV 1000 —
-        # ns-since-epoch overflows double's 2^53, so never float-divide).
+        # events.ts physical layout is footer-sniffed per dataset by the
+        # catalog (timestamp[us] reads natively as TimestampType; legacy
+        # TIMESTAMP(NANOS) reads as raw ns-longs + integer DIV). The conf
+        # below only affects genuine NANOS columns — harmless for us/ms
+        # data — and is pre-set here so the legacy path needs no runtime
+        # conf mutation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.pandas.udf.buffer.size", "1048576")
         # Keep broadcast threshold at default 10MB; dimension tables

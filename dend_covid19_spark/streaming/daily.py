@@ -16,18 +16,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS
+from ..catalog import EVENTS_SCHEMA_NS_LONG, SCHEMAS, events_ts_is_nanos
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream of the events table (ns timestamps handled the
-    same way as the batch catalog: nanosAsLong + integer DIV)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    )
+    """File-source stream of the events table. The ts physical layout is
+    footer-sniffed exactly like the batch catalog: timestamp[us] reads
+    natively as TimestampType; legacy TIMESTAMP(NANOS) part files read
+    as ns-longs (nanosAsLong) + integer DIV."""
+    if events_ts_is_nanos(src_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA_NS_LONG)
+            .parquet(src_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(src_dir)
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -40,7 +40,10 @@ def _make_session_fn(gap_us: int):
         (user_id,) = key
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
-        ts_us = rows["ts"].astype("int64") // 1000  # datetime64[ns] -> us
+        # Arrow may hand the ts column over as datetime64[ns] or [us]
+        # depending on pandas/pyarrow versions — normalize to epoch-us
+        # via an explicit unit cast, never a raw int64 reinterpret.
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
 
         if state.exists:
             last_us, seq, n, start_us = state.get

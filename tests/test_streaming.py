@@ -94,7 +94,6 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     simply keeps running); the sentinel user is excluded from compare."""
     import shutil
 
-    from dend_covid19_spark.catalog import SCHEMAS
     from dend_covid19_spark.plans.timeseries import events_session_window_native
     from dend_covid19_spark.streaming.daily import run_sessionize_available_now
 
@@ -102,18 +101,29 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     src.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    max_ns = (
-        spark.read.schema(SCHEMAS["events"]).parquet(str(src)).agg({"ts": "max"})
-    ).collect()[0][0]
+    # The sentinel part file must carry the SAME physical ts type as the
+    # copied source part (the file source merges schemas by position) —
+    # read the footer type and max value via pyarrow and reuse both.
+    from datetime import timedelta
+
+    ts_type = pq.read_schema(str(src / "part-0.parquet")).field("ts").type
+    max_ts = pc.max(
+        pq.read_table(str(src / "part-0.parquet"), columns=["ts"])["ts"]
+    ).as_py()
+    if ts_type == pa.int64():  # legacy ns-as-long layout
+        flush_arr = pa.array([max_ts + 3 * 86400 * 10**9], pa.int64())
+    else:
+        flush_arr = pa.array([max_ts + timedelta(days=3)], ts_type)
     # single FILE (not a Spark output directory — the file source does
     # not recurse into subdirectories)
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([max_ns + 3 * 86400 * 10**9], pa.int64()),
+                "ts": flush_arr,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["flush"]),
                 "value": pa.array([0.0], pa.float64()),
