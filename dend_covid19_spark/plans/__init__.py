@@ -148,6 +148,13 @@ PRIORITY = [
     "dedup_ngram_containment",
     "dedup_embedding_cosine",
     "embedding_quantize_int8",
+    # round-4 additions: new operator shapes (RANGE-interval frame, OHLC
+    # downsample, MERGE upsert, integer histogram, mixture reweighting)
+    "user_rolling_week_activity",
+    "events_ohlc_downsample",
+    "session_duration_histogram",
+    "cdc_merge_upsert",
+    "token_mixture_weights",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

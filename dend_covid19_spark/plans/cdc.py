@@ -145,3 +145,63 @@ def merge_upsert(
     )
     unchanged = current.join(latest, on=key, how="left_anti")
     return unchanged.unionByName(latest.select(*current.columns))
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+WITH base AS (
+    SELECT user_id, ts, event_id, round(value, 2) AS value FROM events
+), cur AS (
+    SELECT user_id, ts, event_id, value FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM base WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+    ) WHERE rn = 1
+), upd AS (
+    SELECT user_id, ts, event_id, value FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM base WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+    ) WHERE rn = 1
+), merged AS (
+    SELECT * FROM cur WHERE user_id NOT IN (SELECT user_id FROM upd)
+    UNION ALL SELECT * FROM upd
+)
+SELECT user_id, CAST(ts AS DATE) AS last_day, value FROM merged
+""",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics under driver verification: a snapshot (latest
+    state per user before 2024-01-21) absorbs a CDC update batch (all
+    later events, several versions per key) via ``merge_upsert`` — rows
+    with no update survive the anti join, updated keys take their
+    max-timestamp version. This registers the library primitive itself
+    as an oracle-checked query, so upsert semantics (not just its parts)
+    are hash-verified against SQL.
+
+    Scale: the update batch compacts to one row per key before the anti
+    join (one shuffle on user_id), and the snapshot side streams through
+    the anti join unchanged — at 100 TB with a small daily batch the
+    anti join broadcasts the compacted batch and the snapshot never
+    shuffles at all."""
+    cutoff = "2024-01-21 00:00:00"
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("value")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("value").desc()
+    )
+    current = (
+        ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    updates = ev.where(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    merged = merge_upsert(current, updates, key="user_id", ts_col="ts")
+    return merged.select(
+        "user_id", F.to_date("ts").alias("last_day"), "value"
+    )

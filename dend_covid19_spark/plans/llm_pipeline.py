@@ -507,3 +507,69 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@query(
+    "token_mixture_weights",
+    oracle="""
+WITH per_source AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+    FROM documents
+    GROUP BY source
+), totals AS (
+    SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+           count(*) AS n_sources
+    FROM per_source
+)
+SELECT p.source, p.src_tokens,
+       CAST(least(1000000,
+                  (t.total_tokens // t.n_sources) * 1000000 // p.src_tokens)
+            AS BIGINT) AS weight_ppm,
+       CAST(p.src_tokens
+            * least(1000000,
+                    (t.total_tokens // t.n_sources) * 1000000 // p.src_tokens)
+            // 1000000 AS BIGINT) AS sampled_tokens
+FROM per_source p CROSS JOIN totals t
+""",
+)
+def token_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: given per-source token mass, compute
+    the downsampling weight that flattens the corpus toward an equal
+    per-source token budget (weight capped at 1 — no upsampling), plus
+    the resulting sampled token count. This is the planning step behind
+    every 'X% web, Y% code' mixture spec: weights here feed the
+    hash-threshold samplers (training_mixture_sample) as their rates.
+
+    All arithmetic is integer (parts-per-million weights), so the result
+    is bit-exact on both engines with no float-rounding discipline.
+    Headroom: target_tokens x 1e6 must stay under 2^63 — fine through
+    ~9e12 tokens per source bucket, and the ppm scale can drop to ppb
+    at larger corpora.
+
+    Scale: one partial-aggregated groupBy over documents (token counting
+    is codegen split+size, no UDF); the totals side is ONE row,
+    broadcast into the crossJoin — the standard scalar-broadcast shape,
+    no data-side shuffle beyond the source rollup."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.expr("CAST(sum(size(split(text, ' '))) AS BIGINT)").alias("src_tokens")
+    )
+    totals = per_source.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    weight = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.expr("(total_tokens div n_sources) * 1000000 div src_tokens"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn("weight_ppm", weight)
+        .select(
+            "source",
+            "src_tokens",
+            "weight_ppm",
+            F.expr("src_tokens * weight_ppm div 1000000").alias("sampled_tokens"),
+        )
+    )

@@ -571,3 +571,192 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN zscore IS NULL THEN false ELSE abs(zscore) >= 2.0 END"
         ).alias("anomaly"),
     )
+
+
+@query(
+    "user_rolling_week_activity",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           count(*) AS cnt_day,
+           sum(CAST(value AS DECIMAL(18,2))) AS val_day
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT user_id, day,
+       CAST(sum(cnt_day) OVER w AS BIGINT) AS events_7d,
+       CAST(round(sum(val_day) OVER w, 2) AS DOUBLE) AS value_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def user_rolling_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day activity features per user (event count + value
+    sum) — the RANGE-interval window frame, which none of the other
+    window queries exercise: the frame is bounded by a TIME span, not a
+    row count, so gaps in a user's activity shrink the frame instead of
+    reaching further back in time.
+
+    Scale: events first collapse to one row per (user, day) —
+    key-cardinality, not event-cardinality — so the window input is
+    bounded by |users| x |days|; one shuffle on user_id serves both the
+    partial-aggregated group-by and the window. The frame sum stays in
+    DECIMAL (exact, order-insensitive) until the final cast. Day ordering
+    uses unix_date so the RANGE frame is exact integer day arithmetic on
+    both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt_day"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("val_day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("cnt_day").over(w).alias("events_7d"),
+        F.round(F.sum("val_day").over(w), 2).cast("double").alias("value_7d"),
+    )
+
+
+@query(
+    "events_ohlc_downsample",
+    oracle="""
+WITH bucketed AS (
+    SELECT CAST(epoch_us(ts) // 900000000 * 900 AS BIGINT) AS bucket_s,
+           event_type, value, ts, event_id
+    FROM events
+), ranked AS (
+    SELECT bucket_s, event_type, value,
+           row_number() OVER (PARTITION BY bucket_s, event_type
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY bucket_s, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM bucketed
+)
+SELECT bucket_s, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       max(value) AS high_value,
+       min(value) AS low_value,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       count(*) AS n_events
+FROM ranked
+GROUP BY bucket_s, event_type
+""",
+)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLC downsampling per event type — the classic
+    time-series compaction (open/high/low/close) that turns a raw tick
+    stream into a bounded rollup. Open/close are picked by deterministic
+    (ts, event_id) order; all four outputs are pass-through doubles (no
+    arithmetic), so the hash is bit-exact with no rounding discipline
+    needed.
+
+    Scale: the bucket key is integer epoch arithmetic (unix_micros DIV),
+    computed in codegen at scan time — no timezone logic, no UDF. Both
+    row_number windows and the final group-by share the
+    (bucket_s, event_type) clustering, so one exchange serves all three;
+    output cardinality is |buckets| x |types|, independent of event
+    volume."""
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        F.expr("unix_micros(ts) div 900000000 * 900").alias("bucket_s"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("bucket_s", "event_type").orderBy("ts", "event_id")
+    wd = Window.partitionBy("bucket_s", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "bucket_s",
+        "event_type",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("bucket_s", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "session_duration_histogram",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM ordered
+), durations AS (
+    SELECT user_id, session_seq,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+    FROM sessions
+    GROUP BY user_id, session_seq
+)
+SELECT CAST(least(23, dur_us // 300000000) AS BIGINT) AS bin,
+       count(*) AS n_sessions,
+       CAST(sum(dur_us) AS BIGINT) AS total_duration_us
+FROM durations
+GROUP BY 1
+""",
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length histogram: gap-sessionize (same 30-min semantics as
+    events_sessionize), then bucket each session's duration into 5-minute
+    bins capped at 2 hours (bin 23 = everything longer). Pure integer
+    microsecond arithmetic end to end — bin edges and totals are exact on
+    both engines, no float rounding discipline needed.
+
+    Scale: sessionization is one shuffle on user_id (window + rollup
+    share it); the histogram is a second aggregation over |sessions|
+    rows with at most 24 groups, partial-aggregated map-side to almost
+    nothing. The degenerate-key risk (24 groups) is irrelevant because
+    the combine happens before the exchange."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    durations = sessions.groupBy("user_id", "session_seq").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us")
+    )
+    return durations.groupBy(
+        F.least(F.lit(23), F.expr("dur_us div 300000000")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_us").alias("total_duration_us"),
+    )

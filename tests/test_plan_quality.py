@@ -256,6 +256,7 @@ _NESTED_LOOP_ALLOWED = {
     "bm25_doc_scores",           # one-row corpus-stats broadcast
     "collocation_pmi_bigrams",   # one-row unigram/bigram-total broadcasts
     "key_skew_profile",          # one-row traffic-total broadcast
+    "token_mixture_weights",     # one-row corpus-totals broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the

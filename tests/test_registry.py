@@ -41,11 +41,15 @@ def test_rotation_yields_slots_to_never_green_queries():
     the result is a permutation of the registry."""
     green = set(plans.PRIORITY[10:])  # everything beyond the bar went green
     eff = plans._effective_priority(green=green, rotate=True)
-    assert eff[:10] == plans.PRIORITY[:10]
-    never = {n for n in plans.registered_names() if n not in green} - set(
-        plans.PRIORITY[:10]
-    )
-    assert set(eff[10 : 10 + len(never)]) == never
+    # The pinned head is the parity bar plus the hand re-pinned
+    # regression set (REPIN holds its slots regardless of green status —
+    # that is its purpose: force a fresh driver row).
+    pinned = plans.PRIORITY[:10] + [
+        n for n in plans.REPIN if n in plans.registered_names()
+    ]
+    assert eff[: len(pinned)] == pinned
+    never = {n for n in plans.registered_names() if n not in green} - set(pinned)
+    assert set(eff[len(pinned) : len(pinned) + len(never)]) == never
     assert sorted(eff) == sorted(plans.all_queries())
 
 
