@@ -52,9 +52,13 @@ HEADLINE = [
     "text_fingerprint",
     "sentiment_pipeline_histogram",
     "multimodal_binary_meta",
-    # round 3 additions (methodology unchanged: min of 2 steady-state)
+    # round 3 additions
     "bm25_doc_scores",
     "embedding_pca_power",
+    # round 4 additions: time-series rollups on the (post-ts-fix) true
+    # events workload
+    "events_ohlc_downsample",
+    "user_rolling_week_activity",
 ]
 
 

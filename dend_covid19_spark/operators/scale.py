@@ -115,16 +115,25 @@ def write_bucketed(
     table: str,
     bucket_col: str,
     num_buckets: int = 8,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed+sorted managed table (the pay-the-shuffle-
-    once side of a co-located join)."""
-    (
+    """Persist as a bucketed+sorted table (the pay-the-shuffle-once side
+    of a co-located join). ``path`` makes it an EXTERNAL table at a
+    fixed location — required when the same table name is recreated
+    across sessions: a fresh in-memory catalog does not know the old
+    managed table, so its leftover warehouse dir would raise
+    LOCATION_ALREADY_EXISTS; an external overwrite is idempotent."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def bucketed_join(
@@ -176,4 +185,59 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(SKEW_TOP_N)
+    )
+
+
+@query(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-the-shuffle-once co-located join under driver
+    verification: both sides persist bucketed+sorted by their join key
+    (write_bucketed), then the fact-fact join plans SortMergeJoin with
+    ZERO exchanges below it — the merge hint keeps the demo honest by
+    blocking the small-side broadcast that local test scale would
+    otherwise pick (tests/test_scale_ops.py asserts the no-exchange
+    plan shape for these primitives).
+
+    Scale: this is THE pattern for a recurring 100 TB fact-fact join —
+    the bucket shuffle is paid once at ingest; every downstream join,
+    of any query, reads co-located sorted buckets and merges in place.
+    The only exchange left in this plan is the final tiny
+    per-mktsegment rollup."""
+    import os
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_ingest", "bucketed")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    write_bucketed(
+        orders, "bkt_orders_q", "o_custkey", num_buckets=8,
+        path=os.path.join(scratch, "orders"),
+    )
+    write_bucketed(
+        cust, "bkt_customer_q", "c_custkey", num_buckets=8,
+        path=os.path.join(scratch, "customer"),
+    )
+    joined = (
+        spark.table("bkt_orders_q")
+        .join(
+            spark.table("bkt_customer_q").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_revenue"),
     )

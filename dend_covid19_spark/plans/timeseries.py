@@ -599,12 +599,15 @@ def user_rolling_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaching further back in time.
 
     Scale: events first collapse to one row per (user, day) —
-    key-cardinality, not event-cardinality — so the window input is
-    bounded by |users| x |days|; one shuffle on user_id serves both the
-    partial-aggregated group-by and the window. The frame sum stays in
-    DECIMAL (exact, order-insensitive) until the final cast. Day ordering
-    uses unix_date so the RANGE frame is exact integer day arithmetic on
-    both engines."""
+    key-cardinality, not event-cardinality. That is deliberately TWO
+    exchanges: the group-by partial-aggregates map-side so the first
+    shuffle moves day-rollup rows, not raw events, and the second
+    shuffle re-keys the bounded |users| x |days| result for the window —
+    far cheaper at 100 TB than pre-partitioning raw events by user_id to
+    share one exchange. The frame sum stays in DECIMAL (exact,
+    order-insensitive) until the final cast. Day ordering uses unix_date
+    so the RANGE frame is exact integer day arithmetic on both
+    engines."""
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt_day"),

@@ -38,3 +38,46 @@ def test_stateful_sessions_match_batch_closed(spark, tmp_path):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_transform_with_state_sessions_match_batch_closed(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas sessionizer must produce
+    exactly the same closed sessions as the first-generation
+    applyInPandasWithState operator and the batch query.
+
+    Skips where the optional protobuf dependency (the transformWithState
+    state-server protocol) is absent — the v1 operator test above covers
+    the identical session semantics there."""
+    import pytest
+
+    from dend_covid19_spark.streaming.stateful_v2 import (
+        run_sessionize_available_now as run_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf not installed: transformWithState protocol unavailable")
+
+    src = tmp_path / "events_src_v2"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    run_tws(spark, str(src), str(tmp_path / "ckpt_v2"))
+
+    streamed = {
+        (r.user_id, r.session_seq): (r.n_events, str(r.session_date))
+        for r in spark.table("sessions_tws").collect()
+    }
+
+    batch = events_sessionize(spark, SF_DIR)
+    w = Window.partitionBy("user_id")
+    closed_batch = (
+        batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .where(F.col("session_seq") < F.col("max_seq"))
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, str(r.session_date))
+        for r in closed_batch
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
