@@ -13,25 +13,36 @@ lateness); swap the source for Kafka without touching the aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import EVENTS_SCHEMA_NS_LONG, SCHEMAS, events_ts_is_nanos
 
 
-def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream of the events table. The ts physical layout is
     footer-sniffed exactly like the batch catalog: timestamp[us] reads
     natively as TimestampType; legacy TIMESTAMP(NANOS) part files read
-    as ns-longs (nanosAsLong) + integer DIV."""
+    as ns-longs (nanosAsLong) + integer DIV.
+
+    ``max_files_per_trigger`` caps each micro-batch's file intake
+    (availableNow honors it, yielding several catch-up batches instead
+    of one — how a backfill bounds per-batch memory)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if events_ts_is_nanos(src_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
-            spark.readStream.schema(EVENTS_SCHEMA_NS_LONG)
+            reader.schema(EVENTS_SCHEMA_NS_LONG)
             .parquet(src_dir)
             .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         )
-    return spark.readStream.schema(SCHEMAS["events"]).parquet(src_dir)
+    return reader.schema(SCHEMAS["events"]).parquet(src_dir)
 
 
 def daily_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
@@ -256,3 +267,101 @@ def run_attribution_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_dedup_to_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming dedup into a day-partitioned PARQUET file sink — the
+    production shape of the pipeline (the memory sinks above exist for
+    tests): exactly-once via the sink's commit log (files written by a
+    failed batch are not listed, a restarted batch rewrites them), and
+    ``partitionBy(day)`` lays files out for downstream partition
+    pruning exactly like the batch writer.
+
+    Scale: the file sink appends per-partition files per micro-batch —
+    no global coordination beyond the driver's commit-log append; at
+    100 TB compaction of small files is the follow-up job
+    (operators/maintenance.py::compact_small_files)."""
+    events = read_events_stream(spark, src_dir)
+    deduped = dedup_events_stream(events).withColumn("day", F.to_date("ts"))
+    q = (
+        deduped.select("event_id", "user_id", "event_type", "value", "day")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .partitionBy("day")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_upsert_foreach_batch(
+    spark: SparkSession,
+    src_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> str:
+    """Streaming MERGE INTO without Delta: each micro-batch compacts to
+    latest-per-user and upserts into a parquet snapshot via
+    ``plans.cdc.merge_upsert`` (foreachBatch is the escape hatch Spark
+    provides for sinks with update semantics). Snapshots are VERSIONED
+    (``target_dir/v{batch_id}``) so each write is an atomic new
+    directory, never an in-place overwrite of the snapshot being read —
+    the no-Delta equivalent of transactional MERGE. Returns the final
+    snapshot path.
+
+    Restart semantics: foreachBatch batch_ids are stable under replay;
+    a production job persists the (batch_id -> version) pointer next to
+    the checkpoint and re-resolves it on start, making the upsert
+    idempotent. Here the pointer lives in a driver-side closure — the
+    availableNow test shape.
+
+    Scale: the update batch is tiny next to the snapshot, so
+    merge_upsert's anti join broadcasts the compacted batch and the
+    snapshot streams through map-side; the per-batch cost is one
+    snapshot rewrite (amortize with partition-scoped rewrites when keys
+    are date-clustered)."""
+    from ..plans.cdc import merge_upsert
+
+    state: dict[str, str | None] = {"path": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        compacted = (
+            batch_df.select("user_id", "ts", "event_id", "value")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["path"] is None:
+            merged = compacted
+        else:
+            current = s.read.parquet(state["path"])
+            merged = merge_upsert(current, compacted, key="user_id", ts_col="ts")
+        new_path = f"{target_dir}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    events = read_events_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    q = (
+        events.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None, "no micro-batch was processed"
+    return state["path"]

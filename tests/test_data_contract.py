@@ -54,3 +54,54 @@ def test_events_span_the_documented_month(spark):
         .d
     )
     assert n_days >= 25, f"events.ts spans {n_days} distinct days; expected ~30"
+
+
+def test_dual_ts_read_paths_agree(spark, tmp_path):
+    """The footer-sniffed dual read path must produce IDENTICAL
+    timestamps for the same logical data in both physical layouts the
+    driver has shipped: timestamp[us] (current) and TIMESTAMP(NANOS)
+    (rounds 1-2). The legacy layout no longer exists in the live
+    testdata, so this synthetic twin keeps that branch verified."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stamps = [
+        datetime.datetime(2024, 1, 5, 12, 34, 56, 789012),
+        datetime.datetime(2024, 1, 31, 23, 59, 59, 999999),
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 0),
+    ]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 11, 12], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+    for unit, sub in (("us", "us_dir"), ("ns", "ns_dir")):
+        d = tmp_path / sub
+        d.mkdir()
+        cols = dict(base)
+        cols["ts"] = pa.array(stamps, pa.timestamp(unit))
+        pq.write_table(pa.table(cols), str(d / "events.parquet"))
+
+    from dend_covid19_spark.catalog import events_ts_is_nanos, load_table
+
+    assert not events_ts_is_nanos(str(tmp_path / "us_dir" / "events.parquet"))
+    assert events_ts_is_nanos(str(tmp_path / "ns_dir" / "events.parquet"))
+    got_us = {
+        (r.event_id, r.ts)
+        for r in load_table(spark, "events", str(tmp_path / "us_dir")).select(
+            "event_id", "ts"
+        ).collect()
+    }
+    got_ns = {
+        (r.event_id, r.ts)
+        for r in load_table(spark, "events", str(tmp_path / "ns_dir")).select(
+            "event_id", "ts"
+        ).collect()
+    }
+    expected = set(zip([1, 2, 3], stamps))
+    assert got_us == expected
+    assert got_ns == expected

@@ -3,6 +3,9 @@ events table must produce exactly the batch tumbling-window result."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
 from dend_covid19_spark.plans.timeseries import events_tumbling_daily
 from dend_covid19_spark.streaming.daily import (
     run_available_now,
@@ -172,3 +175,67 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_parquet_file_sink_partitioned(spark, tmp_path):
+    """Streaming dedup -> day-partitioned parquet file sink: feeding the
+    events file twice (replay) must land each event exactly once, in
+    day= partition directories, equal to the batch distinct set."""
+    import shutil
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.streaming.daily import run_dedup_to_parquet
+
+    src = tmp_path / "file_sink_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-1.parquet")
+    out = tmp_path / "deduped_parquet"
+    run_dedup_to_parquet(spark, str(src), str(out), str(tmp_path / "ckpt_fs"))
+
+    ev = load_table(spark, "events", SF_DIR)
+    n_unique = ev.select("event_id").distinct().count()
+    written = spark.read.parquet(str(out))
+    assert written.count() == n_unique
+    assert written.select("event_id").distinct().count() == n_unique
+    # partition layout: day=YYYY-MM-DD directories, prunable downstream
+    day_dirs = [p.name for p in out.iterdir() if p.name.startswith("day=")]
+    n_days = ev.select(F.to_date("ts")).distinct().count()
+    assert len(day_dirs) == n_days
+
+
+def test_foreach_batch_upsert_matches_batch_latest(spark, tmp_path):
+    """foreachBatch MERGE over several micro-batches: the final snapshot
+    must equal latest-per-user computed in one batch pass over the same
+    data, regardless of how the stream was chopped into batches."""
+    import shutil
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.streaming.daily import run_upsert_foreach_batch
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    # two part files + maxFilesPerTrigger=1 => two micro-batches
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-1.parquet")
+    final_path = run_upsert_foreach_batch(
+        spark, str(src), str(tmp_path / "snapshots"), str(tmp_path / "ckpt_ub")
+    )
+
+    snapshot = {
+        (r.user_id, r.ts, r.event_id, round(r.value, 2))
+        for r in spark.read.parquet(final_path).collect()
+    }
+    ev = load_table(spark, "events", SF_DIR)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        (r.user_id, r.ts, r.event_id, round(r.value, 2))
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    }
+    assert snapshot == expected
+    assert len(snapshot) > 0
