@@ -155,6 +155,8 @@ PRIORITY = [
     "session_duration_histogram",
     "cdc_merge_upsert",
     "token_mixture_weights",
+    "bucketed_join_colocated",
+    "grouping_sets_order_stats",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -656,3 +656,43 @@ def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("o_orderdate")).alias("min_orderdate"),
         F.max(F.to_date("o_orderdate")).alias("max_orderdate"),
     )
+
+
+@query(
+    "grouping_sets_order_stats",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       {_sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-status totals, per-priority totals, and the grand total in ONE
+    aggregation pass, with grouping_id disambiguating which set a row
+    belongs to (NULL group values are ambiguous on their own).
+
+    Scale: Catalyst expands the sets with a single Expand node feeding
+    one partial+final hash aggregate — one shuffle total, vs three
+    separate group-bys + union (three scans, three shuffles). The
+    expansion factor equals the number of sets (3x map-side rows here),
+    which partial aggregation collapses before the exchange."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
