@@ -716,3 +716,52 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_jaccard") >= 0.25)
         .select("batch_doc", "corpus_doc", "est_jaccard")
     )
+
+
+@query(
+    "dedup_recrawl_window",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 604800000000
+                THEN 1 ELSE 0 END AS is_fresh
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type,
+       CAST(sum(is_fresh) AS BIGINT) AS n_fresh,
+       count(*) AS n_total
+FROM flagged
+GROUP BY user_id, event_type
+""",
+)
+def dedup_recrawl_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (recrawl) dedup policy: a record is FRESH only if more
+    than 7 days passed since the previous record of the same key —
+    re-observations inside a burst are duplicates, but the same key
+    reappearing months later counts as new content. This is the
+    crawl-dedup rule exact/MinHash dedup cannot express (they collapse
+    ALL repeats forever); per key, the fresh/total counts quantify how
+    much of the feed is burst re-crawling.
+
+    Scale: one shuffle on (user_id, event_type) serves the lag window
+    and the rollup; output is key-cardinality. Gap compare is exact
+    integer microseconds (same discipline as events_sessionize)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_fresh",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 7 * 86400 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id", "event_type").agg(
+        F.sum("is_fresh").alias("n_fresh"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

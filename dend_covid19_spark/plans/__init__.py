@@ -157,6 +157,8 @@ PRIORITY = [
     "token_mixture_weights",
     "bucketed_join_colocated",
     "grouping_sets_order_stats",
+    "dedup_recrawl_window",
+    "quality_percentile_gate",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

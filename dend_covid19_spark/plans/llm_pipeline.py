@@ -573,3 +573,50 @@ def token_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("src_tokens * weight_ppm div 1000000").alias("sampled_tokens"),
         )
     )
+
+
+@query(
+    "quality_percentile_gate",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+           ) AS pr
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, round(pr, 6) AS pr
+FROM scored
+WHERE pr >= 0.10
+""",
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gating: drop the bottom decile of documents PER
+    LANGUAGE rather than by an absolute threshold — the policy that
+    keeps a low-resource language from being wiped out by a cutoff
+    tuned on the dominant one (absolute gates are corpus_quality_filter;
+    this is the distribution-aware variant). n_chars stands in for the
+    quality score; swap any textops score in unchanged.
+
+    Scale: percent_rank needs only a per-partition sort after one
+    shuffle on lang — but lang is LOW-CARDINALITY (tens of values), so
+    at 100 TB this window is the skew risk: the fix is the two-pass
+    form (approx per-lang decile via percentile_approx, broadcast the
+    per-lang cutoffs, filter map-side) — same policy, no giant
+    partitions. Kept exact here for the oracle; the two-pass variant is
+    what window_ntile_customers demonstrates for distributed ranking.
+
+    Determinism: (n_chars, doc_id) ordering is unique, so percent_rank
+    is position-exact on both engines; 6 dp round of the same IEEE
+    division is bit-stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+        .where(F.col("pr") >= 0.10)
+    )
