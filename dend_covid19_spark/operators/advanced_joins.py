@@ -143,3 +143,47 @@ def range_join_generic(
     sets too irregular to bucket — only safe when ``intervals`` is small
     enough to broadcast."""
     return points.join(F.broadcast(intervals), (point >= lo) & (point < hi))
+
+
+@query(
+    "fuzzy_join_parts",
+    oracle="""
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.p_brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join — the entity-resolution shape:
+    candidate pairs come from an EQUI-join on a blocking key (brand), and
+    the expensive levenshtein predicate runs only inside blocks, exactly
+    the block-then-verify discipline the LSH dedup family uses for text.
+    An unblocked fuzzy join is a cartesian product; the block key is what
+    makes it a hash join Catalyst can shuffle on.
+
+    Scale: cost is sum over blocks of |block|^2 string compares — bound
+    the block size like _bounded_blocks does for embedding dedup (salt
+    oversized blocks, or add a second key such as name-length bucket to
+    the block) and the shape survives any corpus size. levenshtein is
+    JVM codegen (no UDF); the p_partkey ordering halves the pair count
+    and makes output deterministic."""
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_name", "p_brand")
+    a = part.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(b, (a.p_brand == b.brand_b) & (a.part_a < b.part_b))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 3)
+        .select("part_a", "part_b", "p_brand", "dist")
+    )

@@ -159,6 +159,7 @@ PRIORITY = [
     "grouping_sets_order_stats",
     "dedup_recrawl_window",
     "quality_percentile_gate",
+    "fuzzy_join_parts",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -75,3 +75,13 @@ def test_unknown_priority_name_fails_at_read():
     finally:
         set_priority(plans._effective_priority())
     assert "flagship_daily_join" in plans.all_queries()
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must reference real registry names — a
+    typo here would make the driver's bench crash at round time."""
+    import bench
+
+    registered = set(plans.registered_names())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"bench.HEADLINE names not in registry: {missing}"
