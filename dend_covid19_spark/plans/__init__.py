@@ -180,10 +180,12 @@ _PARITY_BAR_N = 10
 # Hand re-pin: queries whose last driver row is a STALE green — green in
 # r1/r2, but wrong at r3 HEAD under the regenerated timestamp[us]
 # testdata (rotation can't see that: r3 never re-checked them). Pinned
-# directly behind the parity bar for round 4 so the driver records fresh
-# green rows post-fix; harmless to keep afterwards (once their latest
-# row is green again they cost nothing beyond window slots that would
-# otherwise re-check greens anyway).
+# directly behind the parity bar so the driver records fresh green rows
+# post-fix. SELF-EXPIRING: a repin is active only while the name's
+# latest recorded row predates the newest CORRECTNESS round (i.e. it
+# has not been re-checked yet) or is red — once a fresh green row
+# lands, the name rotates out like any other green and stops costing a
+# window slot (active_repins below).
 REPIN = [
     "dedup_latest_per_key",
     "events_tumbling_daily",
@@ -211,9 +213,30 @@ def _green_names() -> tuple[set[str], bool]:
     import os as _os
     import re as _re
 
+    last, max_rnd, beyond_r1 = _latest_rows()
+    from .registry import oracle_names
+
+    has_oracle = oracle_names()
+    green = {
+        name
+        for name, (_, hard, rows_only) in last.items()
+        if hard or (rows_only and name not in has_oracle)
+    }
+    return green - set(active_repins()), beyond_r1
+
+
+def _latest_rows() -> tuple[dict[str, tuple[int, bool, bool]], int, bool]:
+    """Per-name latest CORRECTNESS row: name -> (round, hard_green,
+    rows_only_green), plus the newest round number and the rotation
+    trigger (any round >= 2 recorded)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-    # name -> (round, hard_green, rows_only_green); later rounds overwrite.
     last: dict[str, tuple[int, bool, bool]] = {}
+    max_rnd = 0
     beyond_r1 = False
     for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -225,6 +248,7 @@ def _green_names() -> tuple[set[str], bool]:
                 data = _json.load(fh)
         except (OSError, ValueError):
             continue
+        max_rnd = max(max_rnd, rnd)
         if rnd >= 2:
             beyond_r1 = True
         for name, rec in data.items():
@@ -238,15 +262,21 @@ def _green_names() -> tuple[set[str], bool]:
                 rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
             )
             last[name] = (rnd, hard, rows_only)
-    from .registry import oracle_names
+    return last, max_rnd, beyond_r1
 
-    has_oracle = oracle_names()
-    green = {
-        name
-        for name, (_, hard, rows_only) in last.items()
-        if hard or (rows_only and name not in has_oracle)
-    }
-    return green - set(REPIN), beyond_r1
+
+def active_repins() -> list[str]:
+    """REPIN names still awaiting a fresh driver row: latest recorded
+    round older than the newest report, or red there. Once the driver
+    re-records a name green in the newest round it expires from the pin
+    and rotates normally."""
+    last, max_rnd, _ = _latest_rows()
+    out = []
+    for n in REPIN:
+        rec = last.get(n)
+        if rec is None or rec[0] < max_rnd or not rec[1]:
+            out.append(n)
+    return out
 
 
 def _effective_priority(
@@ -256,7 +286,9 @@ def _effective_priority(
         green, rotate = _green_names()
     if not rotate:
         return PRIORITY
-    bar = PRIORITY[:_PARITY_BAR_N] + [n for n in REPIN if n in registered_names()]
+    bar = PRIORITY[:_PARITY_BAR_N] + [
+        n for n in active_repins() if n in registered_names()
+    ]
     curated_rest = [n for n in PRIORITY[_PARITY_BAR_N:] if n not in green]
     others = [
         n for n in registered_names() if n not in green and n not in set(PRIORITY)

@@ -41,11 +41,11 @@ def test_rotation_yields_slots_to_never_green_queries():
     the result is a permutation of the registry."""
     green = set(plans.PRIORITY[10:])  # everything beyond the bar went green
     eff = plans._effective_priority(green=green, rotate=True)
-    # The pinned head is the parity bar plus the hand re-pinned
-    # regression set (REPIN holds its slots regardless of green status —
-    # that is its purpose: force a fresh driver row).
+    # The pinned head is the parity bar plus the ACTIVE re-pinned
+    # regression set (repins hold their slots until the driver records a
+    # fresh green row in the newest round — then they self-expire).
     pinned = plans.PRIORITY[:10] + [
-        n for n in plans.REPIN if n in plans.registered_names()
+        n for n in plans.active_repins() if n in plans.registered_names()
     ]
     assert eff[: len(pinned)] == pinned
     never = {n for n in plans.registered_names() if n not in green} - set(pinned)
