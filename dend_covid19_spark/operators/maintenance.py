@@ -148,3 +148,38 @@ def cluster_by_zorder(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def vacuum_snapshot_versions(target_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention for the versioned MERGE snapshots that
+    streaming.daily.run_upsert_foreach_batch writes (``target_dir/v{n}``):
+    delete all but the newest ``keep_last`` versions, returning the
+    deleted paths. The no-Delta equivalent of VACUUM — old versions
+    exist only to let in-flight readers finish, so retention is a
+    count (or age) policy, never "delete immediately after commit".
+
+    Driver-side directory walk + delete: version counts are small by
+    construction (one per micro-batch, already compacted), so this
+    never touches executors. keep_last >= 1 is enforced — the newest
+    version is the live snapshot."""
+    import os
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the live snapshot)")
+    if not os.path.isdir(target_dir):
+        return []
+    versions = []
+    for name in os.listdir(target_dir):
+        m = re.fullmatch(r"v(\d+)", name)
+        if m and os.path.isdir(os.path.join(target_dir, name)):
+            versions.append((int(m.group(1)), name))
+    versions.sort()
+    doomed = versions[:-keep_last] if keep_last < len(versions) else []
+    deleted = []
+    for _, name in doomed:
+        path = os.path.join(target_dir, name)
+        shutil.rmtree(path)
+        deleted.append(path)
+    return deleted

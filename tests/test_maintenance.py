@@ -128,3 +128,26 @@ def test_clustered_scan_prunes(spark, tmp_path):
     got = spark.read.parquet(dst).where(f"o_custkey = {key}").count()
     want = orders.where(f"o_custkey = {key}").count()
     assert got == want > 0
+
+
+def test_vacuum_snapshot_versions(tmp_path):
+    from dend_covid19_spark.operators.maintenance import vacuum_snapshot_versions
+
+    target = tmp_path / "snaps"
+    for i in (0, 1, 2, 5):  # non-contiguous batch ids survive restarts
+        (target / f"v{i}").mkdir(parents=True)
+        (target / f"v{i}" / "part-0.parquet").write_bytes(b"x")
+    (target / "not_a_version").mkdir()
+
+    deleted = vacuum_snapshot_versions(str(target), keep_last=2)
+    assert [p.rsplit("/", 1)[1] for p in deleted] == ["v0", "v1"]
+    kept = sorted(p.name for p in target.iterdir())
+    assert kept == ["not_a_version", "v2", "v5"]
+
+    # keep_last larger than version count deletes nothing
+    assert vacuum_snapshot_versions(str(target), keep_last=10) == []
+    # the live snapshot can never be vacuumed
+    import pytest
+
+    with pytest.raises(ValueError):
+        vacuum_snapshot_versions(str(target), keep_last=0)
