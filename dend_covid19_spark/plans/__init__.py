@@ -160,6 +160,7 @@ PRIORITY = [
     "dedup_recrawl_window",
     "quality_percentile_gate",
     "fuzzy_join_parts",
+    "events_time_weighted_avg",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

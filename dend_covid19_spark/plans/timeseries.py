@@ -763,3 +763,75 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("dur_us").alias("total_duration_us"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+WITH obs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), seg AS (
+    SELECT user_id, day, cents,
+           lead(us) OVER (
+               PARTITION BY user_id, day ORDER BY us, event_id
+           ) - us AS dt_us
+    FROM obs
+)
+SELECT user_id, day,
+       count(*) AS n_obs,
+       CAST(sum(dt_us) AS BIGINT) AS span_us,
+       round(CAST(sum(cents * dt_us) AS DOUBLE)
+             / CAST(sum(dt_us) AS DOUBLE) / 100, 4) AS twa_value
+FROM seg
+GROUP BY user_id, day
+HAVING sum(dt_us) > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULAR samples (the hypertable
+    ``time_weight`` op, sibling of timeseries_interpolate_linear): each
+    observation holds until the next one (LOCF), so a value that stood
+    for 6 hours weighs 360x one that stood for a minute — the plain AVG
+    is wrong whenever sampling is bursty. Per (user, day); single-sample
+    days have no carry interval and drop via the HAVING.
+
+    Exactness: values quantize to integer cents and intervals are
+    integer microseconds, so the weighted sum is exact 64-bit integer
+    arithmetic on both engines (headroom: cents*dt < 2^63 up to ~1M
+    observation-seconds x max value per day — re-scale to ms at higher
+    densities); only the final division is floating point, identical
+    IEEE ops on identical longs.
+
+    Scale: one shuffle on (user_id, day)-clustered user_id serves the
+    lead window and the rollup; output is key-cardinality."""
+    ev = load_table(spark, "events", sf_dir)
+    obs = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("us", "event_id")
+    seg = obs.select(
+        "user_id",
+        "day",
+        "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dt_us"),
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("dt_us").alias("span_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dt_us")).cast("double")
+                / F.col("span_us").cast("double")
+                / 100,
+                4,
+            ).alias("twa_value"),
+        )
+        .where(F.col("span_us") > 0)
+    )

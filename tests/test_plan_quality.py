@@ -333,3 +333,16 @@ def test_no_query_plans_cartesian(spark):
             if isinstance(f.dataType, (ArrayType, MapType)):
                 flagged.append((name, f"array/map output column {f.name!r}"))
     assert not flagged, f"unbounded pair generation or unhashable outputs in: {flagged}"
+
+
+def test_bucketed_join_query_no_exchange_below_join(spark):
+    """The REGISTERED bucketed-join query (not just the primitives) must
+    keep its SortMergeJoin fed directly by the two bucketed scans: the
+    only exchange allowed in the whole plan is the final per-segment
+    rollup. A drifted bucket count / lost sort order / dropped merge
+    hint would silently re-insert a shuffle and defeat the
+    pay-the-shuffle-once contract."""
+    plan = formatted_plan(spark, "bucketed_join_colocated")
+    assert "SortMergeJoin" in plan, plan
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, f"expected only the rollup exchange, found {n_hash}\n{plan}"
