@@ -161,6 +161,7 @@ PRIORITY = [
     "quality_percentile_gate",
     "fuzzy_join_parts",
     "events_time_weighted_avg",
+    "incremental_agg_maintenance",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

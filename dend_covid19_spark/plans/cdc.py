@@ -205,3 +205,53 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id", F.to_date("ts").alias("last_day"), "value"
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance under driver
+    verification: the serving aggregate is built as merge(agg(days
+    before Jan 21), agg(delta days)) via pipeline.incremental_daily_counts
+    — and the oracle is the FULL recompute over all events, so the
+    algebraic-reaggregation identity merge(agg(a), agg(b)) == agg(a ∪ b)
+    is hash-checked, not assumed.
+
+    Scale: this is the O(|delta| + |aggregate|) daily fold that replaces
+    an O(|history|) recompute — the batch twin of streaming update mode.
+    Counts and decimal sums re-aggregate exactly; non-algebraic measures
+    (exact distinct) need the salted set-union decomposition
+    (agg_salted_event_stats) or a sketch."""
+    from ..pipeline import incremental_daily_counts
+
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    prior = (
+        ev.where(F.col("ts") < cutoff)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    merged = incremental_daily_counts(
+        spark, prior, ev.where(F.col("ts") >= cutoff)
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.round(F.col("total_value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
