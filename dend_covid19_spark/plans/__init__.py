@@ -162,6 +162,7 @@ PRIORITY = [
     "fuzzy_join_parts",
     "events_time_weighted_avg",
     "incremental_agg_maintenance",
+    "ingest_schema_evolution",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -201,3 +201,52 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_orc(docs, path)
     back = read_orc(spark, path, SCHEMAS["documents"])
     return _digest(back)
+
+
+@query(
+    "ingest_schema_evolution",
+    oracle="""
+SELECT
+    CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+    count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+    min(doc_id) AS min_doc_id,
+    max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files carry
+    (doc_id, text, n_chars), generation 2 adds the ``lang`` column —
+    the normal life of a long-lived dataset directory. A
+    ``mergeSchema`` scan reconciles the footers by NAME (never by
+    position) and fills the missing column with NULLs for gen-1 rows;
+    the oracle simulates the same null pattern from the original table,
+    so the hash match certifies exactly which rows lost which columns.
+
+    Scale: mergeSchema's footer reconciliation is a planning-time cost
+    over file metadata (distributed footer read), not a data pass —
+    but at millions of files pin the merged schema explicitly
+    (``.schema(...)``) and keep evolution additive-nullable-only, the
+    same contract Delta/Iceberg enforce. Gen-2 is written with
+    unionByName-compatible columns; position-based readers would
+    silently mis-bind, which is why every reader in this package binds
+    by name."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(_scratch("evolution"), "docs_gen")
+    gen1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "n_chars")
+    gen2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "n_chars", "lang"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
