@@ -105,3 +105,25 @@ def test_dual_ts_read_paths_agree(spark, tmp_path):
     expected = set(zip([1, 2, 3], stamps))
     assert got_us == expected
     assert got_ns == expected
+
+
+def test_ts_sniff_edge_cases(tmp_path):
+    """events_ts_is_nanos accepts a file OR a directory of parts, and
+    fails loudly (not silently-default) when no parquet exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dend_covid19_spark.catalog import events_ts_is_nanos
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        events_ts_is_nanos(str(d))
+
+    pq.write_table(
+        pa.table({"ts": pa.array([0], pa.timestamp("us"))}),
+        str(d / "part-0.parquet"),
+    )
+    assert events_ts_is_nanos(str(d)) is False          # directory form
+    assert events_ts_is_nanos(str(d / "part-0.parquet")) is False  # file form
