@@ -163,6 +163,7 @@ PRIORITY = [
     "events_time_weighted_avg",
     "incremental_agg_maintenance",
     "ingest_schema_evolution",
+    "user_missing_days",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -835,3 +835,55 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("span_us") > 0)
     )
+
+
+@query(
+    "user_missing_days",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+), spine AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+), users AS (
+    SELECT DISTINCT user_id FROM events
+), observed AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT u.user_id,
+       count(*) AS n_missing_days,
+       CAST(min(s.day) AS DATE) AS first_missing_day
+FROM users u
+CROSS JOIN spine s
+LEFT JOIN observed o ON o.user_id = u.user_id AND o.day = s.day
+WHERE o.user_id IS NULL
+GROUP BY u.user_id
+""",
+)
+def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity completeness check (the data-quality twin of the
+    global date spine): for every user, which calendar days inside the
+    corpus span have NO events — the gap report that decides backfills
+    and flags dead instrumentation. Only users with at least one gap
+    surface.
+
+    Scale: the spine is |days| rows (calendar-bounded) and BROADCASTS
+    into the users cross join, so the expanded frame is |users| x
+    |days| — key-cardinality, never event-cardinality; `observed`
+    pre-aggregates events to distinct (user, day) pairs map-side before
+    its anti-join-shaped left join. No global windows anywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    observed = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    frame = users.crossJoin(F.broadcast(spine))
+    missing = frame.join(observed, ["user_id", "day"], "left_anti")
+    return missing.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_missing_days"),
+        F.min("day").alias("first_missing_day"),
+    )

@@ -257,6 +257,7 @@ _NESTED_LOOP_ALLOWED = {
     "collocation_pmi_bigrams",   # one-row unigram/bigram-total broadcasts
     "key_skew_profile",          # one-row traffic-total broadcast
     "token_mixture_weights",     # one-row corpus-totals broadcast
+    "user_missing_days",         # bounded |days| calendar-spine broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
@@ -346,3 +347,22 @@ def test_bucketed_join_query_no_exchange_below_join(spark):
     assert "SortMergeJoin" in plan, plan
     n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
     assert n_hash == 1, f"expected only the rollup exchange, found {n_hash}\n{plan}"
+
+
+def test_ohlc_windows_share_one_exchange(spark):
+    """Both OHLC rank windows (asc/desc picks) and the final rollup are
+    keyed on (bucket_s, event_type) — one exchange must serve all
+    three; a second hashpartitioning means a window lost its clustered
+    distribution."""
+    plan = formatted_plan(spark, "events_ohlc_downsample")
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange, found {n_hash}\n{plan}"
+
+
+def test_missing_days_spine_broadcasts(spark):
+    """user_missing_days expands users x calendar days: the spine side
+    must arrive by broadcast (bounded |days| rows), never by shuffling
+    the users frame against a partitioned spine."""
+    plan = formatted_plan(spark, "user_missing_days")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
