@@ -101,3 +101,27 @@ def run_sessionize_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_sessionize_to_parquet(
+    spark, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """availableNow catch-up of the stateful sessionizer into a PARQUET
+    sink — restart-safe: re-running with the same checkpoint resumes
+    the per-user state store, processes only newly arrived files, and
+    appends only the sessions those arrivals closed (the memory sink
+    used by the test harness resets per run; the file sink is the shape
+    that survives restarts)."""
+    from .daily import read_events_stream
+
+    events = read_events_stream(spark, src_dir).select("user_id", "ts", "event_id")
+    q = (
+        sessionize_stateful(events)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -81,3 +81,48 @@ def test_transform_with_state_sessions_match_batch_closed(spark, tmp_path):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """State-store recovery for the custom stateful operator: feed the
+    first 20 days, restart with the remaining days, and the union of
+    emitted closed sessions must equal the batch closed sessions over
+    the FULL data — sessions spanning the restart must not fragment or
+    double-emit (per-user (last_us, seq, n, start) resumes from the
+    checkpoint)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dend_covid19_spark.streaming.stateful import run_sessionize_to_parquet
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    cutoff = pc.min(tbl["ts"]).as_py() + __import__("datetime").timedelta(days=20)
+    early = tbl.filter(pc.less(tbl["ts"], cutoff))
+    late = tbl.filter(pc.greater_equal(tbl["ts"], cutoff))
+    assert early.num_rows > 0 and late.num_rows > 0
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    out, ckpt = tmp_path / "sessions_out", tmp_path / "ckpt_restart"
+    pq.write_table(early, str(src / "part-a.parquet"))
+    run_sessionize_to_parquet(spark, str(src), str(out), str(ckpt))
+    pq.write_table(late, str(src / "part-b.parquet"))
+    run_sessionize_to_parquet(spark, str(src), str(out), str(ckpt))
+
+    streamed = {
+        (r.user_id, r.session_seq): (r.n_events, str(r.session_date))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = events_sessionize(spark, SF_DIR)
+    w = Window.partitionBy("user_id")
+    closed_batch = (
+        batch.withColumn("max_seq", F.max("session_seq").over(w))
+        .where(F.col("session_seq") < F.col("max_seq"))
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, str(r.session_date))
+        for r in closed_batch
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
