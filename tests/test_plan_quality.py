@@ -336,6 +336,47 @@ def test_no_query_plans_cartesian(spark):
     assert not flagged, f"unbounded pair generation or unhashable outputs in: {flagged}"
 
 
+def test_fuzzy_join_blocks_bounded(spark):
+    """fuzzy_join_parts was the one registered query with per-fixed-key
+    quadratic cost (brand-only blocks). Pins for the banded + grid-salted
+    rewrite: (1) candidate levenshtein compares stay <5% of n(n-1)/2;
+    (2) with a small salt target no (brand, band, i, j) cell exceeds
+    ~2x target rows per side (hash balance slack, the _bounded_blocks
+    allowance); (3) the salted result is exactly the unsalted result —
+    every qualifying pair still meets exactly once."""
+    import pyspark.sql.functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.advanced_joins import (
+        _fuzzy_blocked,
+        fuzzy_join_parts,
+    )
+
+    part = load_table(spark, "part", SF_DIR).select("p_partkey", "p_name", "p_brand")
+    n = part.count()
+    candidates = _fuzzy_blocked(part, 1 << 30).count()
+    ratio = candidates / (n * (n - 1) / 2)
+    assert ratio < 0.05, f"fuzzy blocking degenerated: candidate ratio {ratio:.4f}"
+
+    target = 16
+    cell_max = (
+        _fuzzy_blocked(part, target)
+        .groupBy("p_brand", "band", "salt_i", "salt_j")
+        .agg(
+            F.countDistinct("part_a").alias("na"),
+            F.countDistinct("part_b").alias("nb"),
+        )
+        .agg(F.max("na").alias("ma"), F.max("nb").alias("mb"))
+        .collect()[0]
+    )
+    assert max(cell_max["ma"], cell_max["mb"]) <= 2 * target, cell_max
+    salted = sorted(
+        map(tuple, fuzzy_join_parts(spark, SF_DIR, salt_target=target).collect())
+    )
+    full = sorted(map(tuple, fuzzy_join_parts(spark, SF_DIR).collect()))
+    assert salted == full and len(full) > 0
+
+
 def test_bucketed_join_query_no_exchange_below_join(spark):
     """The REGISTERED bucketed-join query (not just the primitives) must
     keep its SortMergeJoin fed directly by the two bucketed scans: the
