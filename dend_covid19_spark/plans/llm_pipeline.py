@@ -601,10 +601,10 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: percent_rank needs only a per-partition sort after one
     shuffle on lang — but lang is LOW-CARDINALITY (tens of values), so
     at 100 TB this window is the skew risk: the fix is the two-pass
-    form (approx per-lang decile via percentile_approx, broadcast the
-    per-lang cutoffs, filter map-side) — same policy, no giant
-    partitions. Kept exact here for the oracle; the two-pass variant is
-    what window_ntile_customers demonstrates for distributed ranking.
+    form — registered as quality_percentile_gate_2pass below (per-lang
+    decile cutoffs via a mergeable percentile sketch, broadcast, filter
+    map-side) — same policy, no giant partitions. This exact positional
+    variant stays as the oracle-precise twin.
 
     Determinism: (n_chars, doc_id) ordering is unique, so percent_rank
     is position-exact on both engines; 6 dp round of the same IEEE
@@ -619,4 +619,49 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("pr"),
         )
         .where(F.col("pr") >= 0.10)
+    )
+
+
+@query(
+    "quality_percentile_gate_2pass",
+    oracle="""
+WITH cut AS (
+    SELECT lang, quantile_disc(n_chars, 0.10) AS lang_cutoff
+    FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, CAST(c.lang_cutoff AS BIGINT) AS lang_cutoff
+FROM documents d JOIN cut c USING (lang)
+WHERE d.n_chars >= c.lang_cutoff
+""",
+)
+def quality_percentile_gate_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of quality_percentile_gate: drop below-decile
+    documents per language WITHOUT a percent_rank window over the
+    low-cardinality lang key (whose giant skewed partitions are the
+    scale-killer the exact variant documents).
+
+    Pass 1 computes each language's decile cutoff VALUE with the
+    mergeable Greenwald-Khanna percentile sketch (map-side partials,
+    tiny merge — the same accuracy-1e6 setting approx_quantiles
+    verified against DuckDB's quantile_disc discrete convention);
+    pass 2 broadcasts the |langs|-row cutoff table and filters
+    map-side. No partition ever holds more than a task's worth of rows,
+    and the filter runs before any shuffle.
+
+    Semantics note: the cutoff is value-based (keep n_chars >= the
+    decile element), so boundary TIES are kept — the deterministic
+    distributed form of "drop the bottom decile"; the positional exact
+    variant remains registered as its oracle-precise twin. Surface
+    lang_cutoff is cast BIGINT on both engines (lesson: DuckDB
+    aggregate integer surfaces)."""
+    docs = load_table(spark, "documents", sf_dir)
+    cuts = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", 0.10, 1000000)
+        .cast("long")
+        .alias("lang_cutoff")
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .where(F.col("n_chars") >= F.col("lang_cutoff"))
+        .select("doc_id", "lang", "n_chars", "lang_cutoff")
     )

@@ -58,9 +58,10 @@ GROUP BY 1
 )
 def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling window with a distinct-user count (the expensive
-    kind of streaming agg: exact distinct forces a per-window shuffle;
-    at 100 TB swap in approx_count_distinct — kept exact here for the
-    oracle)."""
+    kind of streaming agg: exact distinct forces a per-window shuffle).
+    The 100 TB swap-in is registered as events_hourly_activity_approx —
+    HLL sketch partials instead of exact id sets; this exact form stays
+    as its oracle-precise twin."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -70,6 +71,53 @@ def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
         .select(F.col("w.start").alias("hour_ts"), "cnt", "active_users", "total_value")
+    )
+
+
+@query(
+    "events_hourly_activity_approx",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_ts,
+       count(*) AS cnt,
+       count(DISTINCT user_id) AS exact_users,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+           <= 0.15 * count(DISTINCT user_id) AS estimate_ok
+FROM events
+GROUP BY 1
+""",
+)
+def events_hourly_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of events_hourly_activity: per-hour active users
+    via the mergeable HyperLogLog sketch instead of exact countDistinct.
+    Exact distinct expands every (window, user_id) pair through the
+    shuffle and holds the full id set per window; the sketch ships a
+    ~KB partial per task per window and merges associatively — the only
+    per-window state that survives 100x data.
+
+    Oracle pattern (proved by approx_distinct_users): each engine
+    surfaces its exact count (hash-compared) plus a boolean asserting
+    its OWN HLL estimate lands within 15% of exact — sketch
+    implementations differ across engines, so the estimate itself is
+    never hash-compared, but both engines must vouch for their sketch.
+    rsd is dialed to 0.01 for the check (default 5% rsd misses the 15%
+    bound on the tiniest ~10-user windows); at 100 TB relax rsd and the
+    bound together — the plan shape is what matters.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("exact_users"),
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.01)
+                    - F.countDistinct("user_id")
+                )
+                <= 0.15 * F.countDistinct("user_id")
+            ).alias("estimate_ok"),
+        )
+        .select(F.col("w.start").alias("hour_ts"), "cnt", "exact_users", "estimate_ok")
     )
 
 

@@ -377,6 +377,18 @@ def test_fuzzy_join_blocks_bounded(spark):
     assert salted == full and len(full) > 0
 
 
+def test_percentile_gate_2pass_no_window(spark):
+    """The scale path of the percentile gate must NOT rank documents in
+    per-lang window partitions (lang is low-cardinality — giant skewed
+    partitions at 100 TB). The plan must be: sketch aggregate (with a
+    map-side partial) -> broadcast the cutoff table -> map-side filter.
+    No Window node anywhere; the docs side joins by broadcast."""
+    plan = formatted_plan(spark, "quality_percentile_gate_2pass")
+    assert "Window" not in plan, f"2pass gate ranks in a window\n{plan}"
+    assert "BroadcastHashJoin" in plan, f"cutoffs not broadcast\n{plan}"
+    assert plan.count("HashAggregate") >= 2, f"no partial sketch agg\n{plan}"
+
+
 def test_bucketed_join_query_no_exchange_below_join(spark):
     """The REGISTERED bucketed-join query (not just the primitives) must
     keep its SortMergeJoin fed directly by the two bucketed scans: the
