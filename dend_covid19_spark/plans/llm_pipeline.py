@@ -369,6 +369,130 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-prefilter decontamination. Spark 4.1.2 does NOT expose
+# bloom_filter_agg / might_contain as public SQL (probed 2026-08-14:
+# UNRESOLVED_ROUTINE — they remain internal to runtime join filters),
+# so the filter is composed from public primitives instead: K hash
+# positions per n-gram, bit_or-packed into 64-bit words, broadcast as a
+# one-row map, membership tested with codegen bit arithmetic. No UDFs,
+# no driver-side data loop — the only collect is the bounded
+# BLOOM_BITS/64-word filter itself (control-plane, like the IVF
+# codebook).
+BLOOM_BITS = 1 << 20  # 1 Mi bits = 16 Ki longs (~128 KB broadcast)
+BLOOM_K = 3
+
+
+def _bloom_positions(gh, k: int = BLOOM_K):
+    return [F.pmod(F.xxhash64(gh, F.lit(i)), F.lit(BLOOM_BITS)) for i in range(k)]
+
+
+@query(
+    "decontaminate_bloom_gated",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
+sh AS (
+    SELECT doc_id, unnest({H.duck_shingle_hashes(H.duck_shingles("toks", DECON_NGRAM))}) AS gh
+    FROM tok
+),
+bench AS (SELECT doc_id AS bench_id, gh FROM sh WHERE doc_id % {DECON_MOD} = 0),
+train AS (SELECT doc_id, gh FROM sh WHERE doc_id % {DECON_MOD} <> 0)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gh) AS BIGINT) AS n_overlap_ngrams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM train t JOIN bench b ON t.gh = b.gh
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_bloom_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the SURVEY §8
+    queue item, unblocked by building the filter from public
+    primitives (see note above; the internal bloom_filter_agg /
+    might_contain SQL routines are not exposed in this Spark build).
+
+    Build: the eval side's n-gram hashes set K=3 bit positions each in
+    a 2^20-bit array — an aggregation to BLOOM_BITS/64 packed longs
+    (bit_or), folded into ONE row as a word->bits map and broadcast.
+    Probe: every training n-gram tests its K bits with pure codegen
+    (element_at + shiftleft + bitwise AND) before the exact equi-join;
+    only rows passing the bloom reach the shuffle-side join.
+
+    Correctness: a bloom filter has NO false negatives, so the exact
+    join after the gate produces byte-identical output to
+    decontaminate_ngram_overlap (shared oracle). False positives cost
+    only wasted probe rows — at 100 TB the gate drops the vast
+    majority of the corpus's n-grams map-side BEFORE the broadcast
+    join, which is the point: the expensive side never materializes
+    non-candidate rows into the join at all (same discipline as LSH
+    block-then-verify; tests pin the pruning actually bites).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                H.spark_shingle_hashes(
+                    H.spark_shingles(H.spark_tokens("text"), DECON_NGRAM)
+                )
+            )
+        ).alias("gh"),
+    )
+    bench = sh.where(F.col("doc_id") % DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = sh.where(F.col("doc_id") % DECON_MOD != 0)
+    gated = _bloom_gate(train, bench)
+    return (
+        gated.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_overlap_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def _bloom_gate(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """(doc_id, gh) rows of ``train`` whose n-gram hash passes a bloom
+    filter built from ``bench``'s hashes — the map-side candidate gate
+    (exposed separately so tests can pin the pruning rate)."""
+    pos = F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("pos")
+    words = (
+        bench.select(pos)
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("bits")
+        )
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+    )
+
+    def might_contain(gh):
+        checks = []
+        for p in _bloom_positions(gh):
+            word = F.coalesce(
+                F.element_at(F.col("bloom"), (p / 64).cast("long")), F.lit(0)
+            )
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+            )
+            checks.append(word.bitwiseAND(bit) != 0)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+    return (
+        train.crossJoin(F.broadcast(bloom))
+        .where(might_contain(F.col("gh")))
+        .select("doc_id", "gh")
+    )
+
+
 @query(
     "stratified_sample_events",
     oracle="""

@@ -258,6 +258,7 @@ _NESTED_LOOP_ALLOWED = {
     "key_skew_profile",          # one-row traffic-total broadcast
     "token_mixture_weights",     # one-row corpus-totals broadcast
     "user_missing_days",         # bounded |days| calendar-spine broadcast
+    "decontaminate_bloom_gated", # one-row packed-bloom-filter broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
@@ -377,7 +378,47 @@ def test_fuzzy_join_blocks_bounded(spark):
     assert salted == full and len(full) > 0
 
 
-def test_percentile_gate_2pass_no_window(spark):
+def test_bloom_gate_prunes_before_join(spark):
+    """decontaminate_bloom_gated's whole point is that the bloom gate
+    drops non-candidate training n-grams BEFORE the equi-join. With the
+    pseudo-eval slice at ~1/11 of docs the true-overlap fraction is
+    small; the gate must pass only a small fraction of the train-side
+    n-gram rows (false positives allowed, bounded), and its final
+    output must equal the ungated exact query row-for-row."""
+    import pyspark.sql.functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.functions import hashing as H
+    from dend_covid19_spark.plans.llm_pipeline import (
+        DECON_MOD,
+        DECON_NGRAM,
+        _bloom_gate,
+        decontaminate_bloom_gated,
+        decontaminate_ngram_overlap,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                H.spark_shingle_hashes(
+                    H.spark_shingles(H.spark_tokens("text"), DECON_NGRAM)
+                )
+            )
+        ).alias("gh"),
+    )
+    bench = sh.where(F.col("doc_id") % DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = sh.where(F.col("doc_id") % DECON_MOD != 0)
+    n_train = train.count()
+    n_gated = _bloom_gate(train, bench).count()
+    assert n_gated < 0.2 * n_train, f"bloom gate passed {n_gated}/{n_train} rows"
+
+    gated = sorted(map(tuple, decontaminate_bloom_gated(spark, SF_DIR).collect()))
+    exact = sorted(map(tuple, decontaminate_ngram_overlap(spark, SF_DIR).collect()))
+    assert gated == exact and len(exact) > 0
     """The scale path of the percentile gate must NOT rank documents in
     per-lang window partitions (lang is low-cardinality — giant skewed
     partitions at 100 TB). The plan must be: sketch aggregate (with a
