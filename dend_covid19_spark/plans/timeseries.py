@@ -935,3 +935,176 @@ def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_missing_days"),
         F.min("day").alias("first_missing_day"),
     )
+
+
+# --- EWMA (SURVEY §8 round-5 queue) -----------------------------------------
+# The deterministic-pow problem dissolves in exact rational arithmetic:
+# alpha = 1/5, so the adjusted (finite-horizon, normalized) EWMA weights
+# (1-alpha)^k = (4/5)^k share the common denominator 5^(K-1) and the
+# whole weighted sum becomes ONE integer dot-product
+#   numer_t = sum_k 4^k * 5^(K-1-k) * cents_{t-k}
+# over integer daily cents, divided by the constant integer
+#   EWMA_DENOM = sum_k 4^k * 5^(K-1-k) = 5^K - 4^K.
+# Both engines evaluate the same integer->double division and round once
+# (the kmeans unrolled-fold discipline; no pow(), no accumulation order).
+EWMA_K = 8
+EWMA_COEFS = [4**k * 5 ** (EWMA_K - 1 - k) for k in range(EWMA_K)]
+EWMA_DENOM = 5**EWMA_K - 4**EWMA_K
+
+_EWMA_NUMER = " + ".join(f"{c} * l{k}" for k, c in enumerate(EWMA_COEFS))
+_EWMA_EXPR = (
+    f"round(CAST({_EWMA_NUMER} AS DOUBLE) / {EWMA_DENOM}.0 / 100.0, 6)"
+)
+
+
+@query(
+    "events_ewma_daily",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), l AS (
+    SELECT day, event_type, cents,
+           {", ".join(f"lag(cents, {k}) OVER w AS l{k}" for k in range(EWMA_K))}
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT day, event_type,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS daily_value,
+       {_EWMA_EXPR} AS ewma_value
+FROM l
+WHERE l{EWMA_K - 1} IS NOT NULL
+""",
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per event
+    type — the classic trend smoother, expressed as a fixed-horizon
+    (K=8 observations, alpha=1/5) adjusted EWMA so it is exact and
+    engine-independent: integer daily cents dot an integer coefficient
+    vector, one shared final double division (see constants above).
+    Rows need full K-deep history (lag K-1 non-null) — per-observation
+    semantics on each type's day sequence.
+
+    Plan/scale: daily aggregate at (day, type) cardinality with map-side
+    partials, then K lags over ONE calendar-bounded partitioned window —
+    same shape as events_anomaly_zscore; nothing grows with raw event
+    count. Unrolled lags beat a pow()-per-row recursive form both for
+    determinism and because the optimizer folds the K coefficients into
+    codegen constants."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "day",
+        "event_type",
+        "cents",
+        *[F.lag("cents", k).over(w).alias(f"l{k}") for k in range(EWMA_K)],
+    )
+    return (
+        lagged.where(F.col(f"l{EWMA_K - 1}").isNotNull())
+        .select(
+            "day",
+            "event_type",
+            F.expr("round(CAST(cents AS DOUBLE) / 100.0, 2)").alias("daily_value"),
+            F.expr(_EWMA_EXPR).alias("ewma_value"),
+        )
+    )
+
+
+# --- Rolling correlation (SURVEY §8 round-5 queue) --------------------------
+# Pearson r over a trailing window from five exact integer window sums
+# (n, sx, sy, sxy, sxx, syy) — the two-series extension of the zscore
+# discipline: every sum is integer-exact in both engines, the final
+# expression is shared verbatim (identical IEEE op order), zero-variance
+# windows yield NULL instead of an engine-dependent inf/NaN. Long
+# arithmetic holds to ~sf10 (sx^2 < 2^63); beyond that swap the sums to
+# DECIMAL(38,0) on both sides unchanged.
+CORR_WINDOW_DAYS = 7
+_CORR_EXPR = (
+    "round((n_win * sxy - sx * sy)"
+    " / sqrt(CAST(n_win * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n_win * syy - sy * sy AS DOUBLE)), 6)"
+)
+_CORR_GUARD = (
+    "CASE WHEN n_win * sxx - sx * sx <= 0 OR n_win * syy - sy * sy <= 0"
+    f" THEN NULL ELSE {_CORR_EXPR} END"
+)
+
+
+@query(
+    "events_rolling_corr",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x,
+           count(*) AS y
+    FROM events GROUP BY 1, 2
+), w AS (
+    SELECT day, event_type, x, y,
+           count(*) OVER win AS n_win,
+           sum(x) OVER win AS sx,
+           sum(y) OVER win AS sy,
+           sum(x * y) OVER win AS sxy,
+           sum(x * x) OVER win AS sxx,
+           sum(y * y) OVER win AS syy
+    FROM d
+    WINDOW win AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN {CORR_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW
+    )
+)
+SELECT day, event_type,
+       CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       {_CORR_GUARD} AS corr_value_volume
+FROM w WHERE n_win = {CORR_WINDOW_DAYS}
+""",
+)
+def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between each event type's
+    daily revenue (integer cents) and its daily volume — "is revenue
+    tracking traffic, or decoupling?", the rolling two-series health
+    metric. Full windows only.
+
+    Plan/scale: daily aggregate with map-side partials, then ONE
+    partitioned window carries all five integer sums together (a single
+    WindowExec pass over calendar-bounded rows); the correlation is a
+    final map-side expression. Exactness + the shared-expression oracle
+    make the sketchy-looking op hash-checkable (see constants above)."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(CORR_WINDOW_DAYS - 1), 0)
+    )
+    w = d.select(
+        "day",
+        "event_type",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).alias("n_win"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.expr("x * y")).over(win).alias("sxy"),
+        F.sum(F.expr("x * x")).over(win).alias("sxx"),
+        F.sum(F.expr("y * y")).over(win).alias("syy"),
+    ).where(F.col("n_win") == CORR_WINDOW_DAYS)
+    return w.select(
+        "day",
+        "event_type",
+        "sx",
+        "sy",
+        F.expr(_CORR_GUARD).alias("corr_value_volume"),
+    )
