@@ -143,27 +143,41 @@ EVENTS_SCHEMA_NS_LONG = T.StructType(
 
 
 @functools.lru_cache(maxsize=None)
-def events_ts_is_nanos(path: str) -> bool:
+def _file_ts_is_nanos(part: str) -> bool:
+    """Footer-only pyarrow read (no data pages) of ONE part file; cached
+    per file for the process lifetime."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(part).field("ts").type) == "timestamp[ns]"
+
+
+def events_ts_is_nanos(path: str, default: bool | None = None) -> bool:
     """Sniff the parquet footer: is events.ts physically TIMESTAMP(NANOS)?
 
     The driver has regenerated the testdata with different timestamp
     units between rounds (timestamp[ns] in r1-r2, timestamp[us] at r3+),
     so the unit must come from the file footer, never from an assumption
-    — assuming ns on us data shrinks every timestamp 1000x. Footer-only
-    pyarrow read (no data pages); cached per path for the process
-    lifetime. Accepts a single file or a directory of part files.
-    """
-    import pyarrow.parquet as pq
+    — assuming ns on us data shrinks every timestamp 1000x. Accepts a
+    single file or a directory of part files.
 
+    CONTRACT: a directory holds ONE physical unit — the first part file
+    speaks for all (a dir accumulating mixed-unit files across driver
+    rounds is undefined; write such sources to fresh dirs). For an
+    empty directory, ``default`` is returned WITHOUT caching (a
+    legitimate state for a streaming source defined before its first
+    file lands — the current us layout is the right default there);
+    with no default it raises, the batch-read behavior."""
     target = path
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
         if not parts:
+            if default is not None:
+                return default
             raise FileNotFoundError(f"no parquet part files under {path!r}")
         target = parts[0]
-    return str(pq.read_schema(target).field("ts").type) == "timestamp[ns]"
+    return _file_ts_is_nanos(target)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

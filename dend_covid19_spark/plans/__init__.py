@@ -212,11 +212,6 @@ def _green_names() -> tuple[set[str], bool]:
     green ONLY while the query still has no oracle twin: once an oracle
     is added later, the weaker historical check expires and the query
     rotates back into the window for a hard value-hash row."""
-    import glob as _glob
-    import json as _json
-    import os as _os
-    import re as _re
-
     last, max_rnd, beyond_r1 = _latest_rows()
     from .registry import oracle_names
 

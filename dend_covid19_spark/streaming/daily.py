@@ -29,13 +29,21 @@ def read_events_stream(
     natively as TimestampType; legacy TIMESTAMP(NANOS) part files read
     as ns-longs (nanosAsLong) + integer DIV.
 
+    Source-dir contract: ONE physical ts unit per directory (the sniff
+    reads one footer and applies it to all files — don't accumulate
+    mixed-unit files from different driver rounds into one source). A
+    still-EMPTY source dir is legitimate for a stream defined before
+    its first file arrives: the sniff falls back to the current
+    timestamp[us] layout (uncached, so a later ns file in a fresh dir
+    still sniffs correctly).
+
     ``max_files_per_trigger`` caps each micro-batch's file intake
     (availableNow honors it, yielding several catch-up batches instead
     of one — how a backfill bounds per-batch memory)."""
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if events_ts_is_nanos(src_dir):
+    if events_ts_is_nanos(src_dir, default=False):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             reader.schema(EVENTS_SCHEMA_NS_LONG)
@@ -301,6 +309,26 @@ def run_dedup_to_parquet(
     q.awaitTermination()
 
 
+def _latest_snapshot(target_dir: str) -> str | None:
+    """Newest COMMITTED snapshot version under ``target_dir`` (highest
+    v{batch_id} carrying a _SUCCESS marker), or None before the first
+    micro-batch ever ran. This is the restart pointer for
+    run_upsert_foreach_batch — state must come from the filesystem, not
+    a closure, to survive a driver restart."""
+    import glob
+    import os
+    import re
+
+    best, best_id = None, -1
+    for p in glob.glob(os.path.join(target_dir, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(p))
+        if m and int(m.group(1)) > best_id and os.path.exists(
+            os.path.join(p, "_SUCCESS")
+        ):
+            best_id, best = int(m.group(1)), p
+    return best
+
+
 def run_upsert_foreach_batch(
     spark: SparkSession,
     src_dir: str,
@@ -317,11 +345,15 @@ def run_upsert_foreach_batch(
     the no-Delta equivalent of transactional MERGE. Returns the final
     snapshot path.
 
-    Restart semantics: foreachBatch batch_ids are stable under replay;
-    a production job persists the (batch_id -> version) pointer next to
-    the checkpoint and re-resolves it on start, making the upsert
-    idempotent. Here the pointer lives in a driver-side closure — the
-    availableNow test shape.
+    Restart semantics: foreachBatch batch_ids are stable under replay,
+    and the snapshot pointer is RE-RESOLVED from the newest committed
+    ``target_dir/v*`` on every start — a restart from an existing
+    checkpoint merges into the prior run's snapshot instead of silently
+    starting from scratch, and a restart with no new input returns that
+    snapshot unchanged (both restart shapes are pinned by
+    tests/test_streaming.py). Only directories with a ``_SUCCESS``
+    marker count: a version dir from a crashed mid-write overwrite is
+    never resumed into.
 
     Scale: the update batch is tiny next to the snapshot, so
     merge_upsert's anti join broadcasts the compacted batch and the
@@ -330,7 +362,7 @@ def run_upsert_foreach_batch(
     are date-clustered)."""
     from ..plans.cdc import merge_upsert
 
-    state: dict[str, str | None] = {"path": None}
+    state: dict[str, str | None] = {"path": _latest_snapshot(target_dir)}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -363,5 +395,7 @@ def run_upsert_foreach_batch(
         .start()
     )
     q.awaitTermination()
-    assert state["path"] is not None, "no micro-batch was processed"
+    assert state["path"] is not None, (
+        "no micro-batch was processed and no prior committed snapshot exists"
+    )
     return state["path"]

@@ -127,3 +127,22 @@ def test_ts_sniff_edge_cases(tmp_path):
     )
     assert events_ts_is_nanos(str(d)) is False          # directory form
     assert events_ts_is_nanos(str(d / "part-0.parquet")) is False  # file form
+
+
+def test_ts_sniff_empty_dir_default(tmp_path):
+    """A still-empty streaming source dir: with a default the sniff
+    falls back (uncached) instead of raising; files arriving later are
+    sniffed for real."""
+    import shutil
+
+    import pytest
+
+    from dend_covid19_spark.catalog import events_ts_is_nanos
+
+    d = tmp_path / "empty_stream_src"
+    d.mkdir()
+    assert events_ts_is_nanos(str(d), default=False) is False
+    with pytest.raises(FileNotFoundError):
+        events_ts_is_nanos(str(d))  # batch behavior unchanged
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    assert events_ts_is_nanos(str(d)) is False  # real sniff, not the cache

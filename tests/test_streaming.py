@@ -290,3 +290,57 @@ def test_file_sink_incremental_restart(spark, tmp_path):
     final = spark.read.parquet(str(out))
     assert final.count() == n_unique + 3
     assert final.select("event_id").distinct().count() == n_unique + 3
+
+
+def test_upsert_snapshot_restart(spark, tmp_path):
+    """Driver-restart recovery for the foreachBatch upsert: a second run
+    over the same checkpoint (fresh closure = restarted driver) must
+    resolve the prior run's committed snapshot from target_dir/v* and
+    merge the new batch INTO it — not silently restart from scratch.
+    A third run with no new input must return that snapshot unchanged
+    instead of tripping the no-batch assert."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dend_covid19_spark.streaming.daily import run_upsert_foreach_batch
+
+    src = tmp_path / "upsert_restart_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    snaps, ckpt = tmp_path / "snaps", tmp_path / "ckpt_ur"
+    p1 = run_upsert_foreach_batch(spark, str(src), str(snaps), str(ckpt))
+    s1 = spark.read.parquet(p1)
+    n1 = s1.count()
+    assert n1 > 0
+
+    # one UPDATE for an existing user (newer ts) + one brand-new user
+    tbl = pq.read_table(str(src / "part-0.parquet"))
+    ts_type = tbl.schema.field("ts").type
+    max_ts = pc.max(tbl["ts"]).as_py()
+    some_user = s1.select("user_id").orderBy("user_id").first().user_id
+    fresh = [max_ts + datetime.timedelta(seconds=s) for s in (1, 2)]
+    new = pa.table(
+        {
+            "event_id": pa.array([10**9 + 1, 10**9 + 2], pa.int64()),
+            "ts": pa.array(fresh, ts_type),
+            "user_id": pa.array([some_user, 10**9], pa.int64()),
+            "event_type": pa.array(["view", "view"]),
+            "value": pa.array([123.45, 67.89], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(new, str(src / "part-new.parquet"))
+
+    p2 = run_upsert_foreach_batch(spark, str(src), str(snaps), str(ckpt))
+    s2 = spark.read.parquet(p2)
+    assert s2.count() == n1 + 1  # prior users carried over, one new user
+    updated = s2.where(F.col("user_id") == some_user).collect()
+    assert len(updated) == 1 and updated[0].event_id == 10**9 + 1
+
+    # restart with nothing new: same snapshot back, no assert trip
+    p3 = run_upsert_foreach_batch(spark, str(src), str(snaps), str(ckpt))
+    assert p3 == p2
