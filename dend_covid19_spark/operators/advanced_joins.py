@@ -50,9 +50,7 @@ def asof_join(
     )
 
 
-@query(
-    "asof_join_latest_order",
-    oracle="""
+_ASOF_ORACLE = """
 WITH ranked AS (
     SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
            o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
@@ -66,12 +64,16 @@ WITH ranked AS (
 )
 SELECT event_id, user_id, event_date, o_orderkey, order_date
 FROM ranked WHERE rn = 1
-""",
-)
+"""
+
+
+@query("asof_join_latest_order", oracle=_ASOF_ORACLE)
 def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent order at
     event time (the classic trades⋈quotes shape). Single shuffle on the
-    entity key; per-event candidates collapse via row_number."""
+    entity key; per-event candidates collapse via row_number — cost is
+    bounded by per-user order fan-out; asof_join_union_merge is the
+    fan-out-free twin for unbounded right sides."""
     ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
     orders = load_table(spark, "orders", sf_dir).select(
         "o_custkey", "o_orderkey", "o_orderdate"
@@ -92,6 +94,65 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.to_date("o_orderdate").alias("order_date"),
         )
+    )
+
+
+@query("asof_join_union_merge", oracle=_ASOF_ORACLE)
+def asof_join_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's UNBOUNDED-FAN-OUT form (the scale path the
+    filtered-equi-join docstring names): tag both sides, union them,
+    and carry the latest order forward with last(ignorenulls) over one
+    (user, time) sort — per-event candidate rows are never
+    materialized, so a user with millions of orders costs one sorted
+    pass instead of a millions-wide join fan-out per event.
+
+    Ordering encodes the semantics: at equal timestamps order rows sort
+    BEFORE event rows (is_event 0 < 1) so an order placed exactly at
+    event time is visible to it (right_time <= left_time), and equal
+    order dates sort ascending by o_orderkey so the LAST row carried
+    forward is the max-key tie-winner — exactly the oracle's
+    (date DESC, key DESC) row_number pick. last(x, ignorenulls) takes
+    o_orderkey and o_orderdate from the same carried row because both
+    are non-null on exactly the order rows under the same frame.
+
+    One shuffle on user_id + one sort; same oracle as
+    asof_join_latest_order (the two plans must hash-match each other).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(orders).select(
+        "user_id",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate"),
+    )
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        "user_id",
+        F.to_date("t").alias("event_date"),
+        F.col("last_orderkey").alias("o_orderkey"),
+        F.to_date("last_orderdate").alias("order_date"),
     )
 
 

@@ -203,6 +203,30 @@ REPIN = [
     "events_daily_unpivot",
 ]
 
+# Green names whose NEXT driver row should be fresh anyway — lower
+# urgency than REPIN (these are believed-correct), so they queue AFTER
+# never-green queries but ahead of the ordinary green rotation. Two
+# admission reasons: (a) the implementation materially changed since the
+# last green row (round 5: fuzzy_join_parts re-blocked + salted;
+# bucketed_join_colocated ingest hoisted), (b) the round-4 verdict asks
+# that the r3-regression families keep collecting fresh rows under
+# latest-row-wins. Same self-expiry as REPIN: once the newest report
+# records the name green it stops costing a window slot.
+RECHECK = [
+    "fuzzy_join_parts",
+    "bucketed_join_colocated",
+    "scd2_customer_value_history",
+    "events_sessionize",
+    "events_tumbling_daily",
+    "dedup_latest_per_key",
+    "funnel_signup_view_purchase",
+    "cohort_retention",
+    "asof_join_latest_order",
+    "user_event_gap_stats",
+    "rollup_daily_events",
+    "events_daily_unpivot",
+]
+
 
 def _green_names() -> tuple[set[str], bool]:
     """Names whose LATEST recorded CORRECTNESS row is green, and whether
@@ -278,6 +302,28 @@ def active_repins() -> list[str]:
     return out
 
 
+# The newest CORRECTNESS round on disk when RECHECK was declared: a
+# recheck stays active until a STRICTLY NEWER report records the name
+# green (unlike repins, these names are green in the current newest
+# report — that's exactly the row being invalidated by the re-request).
+RECHECK_DECLARED_ROUND = 4
+
+
+def active_rechecks() -> list[str]:
+    """RECHECK names still awaiting a green row in a report newer than
+    RECHECK_DECLARED_ROUND — then they expire and rotate normally, same
+    self-maintenance as repins (the two lists differ in where they
+    queue: repins outrank never-green queries, rechecks queue behind
+    them)."""
+    last, _, _ = _latest_rows()
+    out = []
+    for n in RECHECK:
+        rec = last.get(n)
+        if rec is None or rec[0] <= RECHECK_DECLARED_ROUND or not rec[1]:
+            out.append(n)
+    return out
+
+
 def _effective_priority(
     green: set[str] | None = None, rotate: bool | None = None
 ) -> list[str]:
@@ -292,12 +338,13 @@ def _effective_priority(
     others = [
         n for n in registered_names() if n not in green and n not in set(PRIORITY)
     ]
+    rechecks = [n for n in active_rechecks() if n in registered_names()]
     done = [n for n in PRIORITY[_PARITY_BAR_N:] if n in green] + [
         n for n in registered_names() if n in green and n not in set(PRIORITY)
     ]
     seen: set[str] = set()
     out: list[str] = []
-    for n in [*bar, *curated_rest, *others, *done]:
+    for n in [*bar, *curated_rest, *others, *rechecks, *done]:
         if n not in seen:
             seen.add(n)
             out.append(n)

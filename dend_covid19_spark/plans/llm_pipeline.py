@@ -515,11 +515,13 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     output depends on partitioning. This is how a training pipeline
     draws stable eval slices per source/domain.
 
-    Scale: one shuffle on the stratum key, then a per-partition top-k
-    (rank + filter). For heavy strata, swap row_number for a two-phase
-    per-partition heap (take k per partition, then k of k·P) — same
-    semantics, bounded memory; at |stratum| ≪ partition size the
-    window form is already the cheap plan.
+    Scale: one shuffle on the stratum key — and the rank<=k filter is
+    already the two-phase per-partition heap: Catalyst's
+    InferWindowGroupLimit plans a PARTIAL WindowGroupLimit below the
+    exchange (map-side top-k per input partition, <=k rows per stratum
+    shuffled per task) and the final pass above it — bounded memory on
+    heavy strata with no hand-rolled mapPartitions
+    (tests/test_plan_quality.py pins the partial-below-exchange shape).
     """
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("event_type").orderBy(

@@ -378,6 +378,31 @@ def test_fuzzy_join_blocks_bounded(spark):
     assert salted == full and len(full) > 0
 
 
+@pytest.mark.parametrize("name", ["stratified_sample_events", "knn_graph_blocked"])
+def test_topk_two_phase_window_group_limit(spark, name):
+    """rank<=k filters must plan the two-phase heap: a PARTIAL
+    WindowGroupLimit below the stratum exchange (map-side top-k, so a
+    heavy stratum ships <=k rows per input partition) and the final
+    limit above it. A refactor that separates the filter from the
+    window (or adds columns between them) silently loses the rewrite
+    and re-ships whole strata."""
+    plan = formatted_plan(spark, name)
+    m = re.search(
+        r"WindowGroupLimit.*?Exchange.*?WindowGroupLimit", plan, flags=re.S
+    )
+    assert m, f"{name}: no partial WindowGroupLimit below the exchange\n{plan}"
+
+
+def test_asof_union_merge_single_sort_no_fanout(spark):
+    """The union-merge as-of join must be join-free: one exchange on the
+    entity key, one sort, no join node at all (the filtered-equi-join
+    twin materializes per-event candidate fan-out; this one must not)."""
+    plan = formatted_plan(spark, "asof_join_union_merge")
+    assert "Join" not in plan, f"union-merge as-of planned a join\n{plan}"
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange, found {n_hash}\n{plan}"
+
+
 def test_bloom_gate_prunes_before_join(spark):
     """decontaminate_bloom_gated's whole point is that the bloom gate
     drops non-candidate training n-grams BEFORE the equi-join. With the

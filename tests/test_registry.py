@@ -85,3 +85,29 @@ def test_bench_headline_names_are_registered():
     registered = set(plans.registered_names())
     missing = [n for n in bench.HEADLINE if n not in registered]
     assert not missing, f"bench.HEADLINE names not in registry: {missing}"
+
+
+def test_recheck_names_queue_behind_never_green(monkeypatch):
+    """Active RECHECK names (green in the round they were declared, but
+    re-requested — changed implementations / regression families) must
+    sit AFTER every never-green query and before the ordinary green
+    rotation, and must self-expire once a newer report records them."""
+    green = set(plans.PRIORITY[10:]) | set(plans.RECHECK)
+    eff = plans._effective_priority(green=green, rotate=True)
+    pinned = plans.PRIORITY[:10] + [
+        n for n in plans.active_repins() if n in plans.registered_names()
+    ]
+    never = {n for n in plans.registered_names() if n not in green} - set(pinned)
+    rechecks = [n for n in plans.active_rechecks() if n in plans.registered_names()]
+    start = len(pinned) + len(never)
+    assert eff[start : start + len(rechecks)] == rechecks
+
+    # simulated next round: every recheck name green in a report NEWER
+    # than the declaration round -> the whole list expires
+    fresh = {
+        n: (plans.RECHECK_DECLARED_ROUND + 1, True, False) for n in plans.RECHECK
+    }
+    monkeypatch.setattr(
+        plans, "_latest_rows", lambda: (fresh, plans.RECHECK_DECLARED_ROUND + 1, True)
+    )
+    assert plans.active_rechecks() == []
