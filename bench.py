@@ -59,6 +59,12 @@ HEADLINE = [
     # events workload
     "events_ohlc_downsample",
     "user_rolling_week_activity",
+    # round 5 additions: iterative graph (PageRank), span-level dedup,
+    # sliding distinct, z-order layout
+    "pagerank_copurchase",
+    "dedup_ngram_spans",
+    "rolling_distinct_users_7d",
+    "zorder_layout_orders",
 ]
 
 

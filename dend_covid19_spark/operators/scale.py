@@ -290,3 +290,120 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue"),
     )
+
+
+# --- Z-order (Morton) multi-dimensional layout ------------------------------
+# The data-layout primitive behind Delta/Iceberg OPTIMIZE ZORDER: map
+# each row's (customer, order-day) pair onto one interleaved-bit curve
+# value, so that range-partitioning by the curve puts rows that are
+# close in BOTH dimensions into the same file — then min/max file
+# statistics prune scans filtered on EITHER column. Everything is
+# integer bit arithmetic shared verbatim-by-construction with the
+# oracle (Spark spells shifts shiftleft(); DuckDB spells them <<).
+
+ZORDER_EPOCH = "1992-01-01"
+ZORDER_BUCKET_SHIFT = 22  # 32-bit curve -> 1024 buckets (files)
+
+
+def _spread16(x: str, shl) -> str:
+    """Interleave-ready bit spread of a 16-bit value into 32 bits
+    (classic Morton magic masks); ``shl(expr, n)`` renders a left shift
+    in the target dialect."""
+    s = f"({x} & 65535)"
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        s = f"(({s} | {shl(s, shift)}) & {mask})"
+    return s
+
+
+def _morton2(cx: str, cy: str, shl) -> str:
+    return f"({_spread16(cx, shl)} | {shl(_spread16(cy, shl), 1)})"
+
+
+def _spark_shl(e: str, n: int) -> str:
+    return f"shiftleft({e}, {n})"
+
+
+def _duck_shl(e: str, n: int) -> str:
+    return f"({e} << {n})"
+
+
+_Z_NORM = "CAST(({v} - {lo}) * 65535 DIV greatest({hi} - {lo}, 1) AS BIGINT)"
+
+
+def _zorder_exprs(shl) -> str:
+    nx = _Z_NORM.format(v="ck", lo="ck_lo", hi="ck_hi")
+    ny = _Z_NORM.format(v="dy", lo="dy_lo", hi="dy_hi")
+    return _morton2(f"({nx})", f"({ny})", shl)
+
+
+@query(
+    "zorder_layout_orders",
+    oracle=f"""
+WITH d AS (
+    SELECT o_custkey AS ck,
+           CAST(date_diff('day', DATE '{ZORDER_EPOCH}', o_orderdate) AS BIGINT) AS dy
+    FROM orders
+),
+b AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+             min(dy) AS dy_lo, max(dy) AS dy_hi FROM d),
+z AS (
+    SELECT d.ck, d.dy,
+           CAST({_zorder_exprs(_duck_shl).replace('DIV', '//')} AS BIGINT) AS zval
+    FROM d CROSS JOIN b
+)
+SELECT CAST(zval // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+       count(*) AS n_rows,
+       CAST(min(ck) AS BIGINT) AS min_cust, CAST(max(ck) AS BIGINT) AS max_cust,
+       CAST(min(dy) AS BIGINT) AS min_day, CAST(max(dy) AS BIGINT) AS max_day
+FROM z
+GROUP BY 1
+""",
+)
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment for ``orders`` on the
+    two hot filter dimensions (customer key, order day) — the compute
+    step of OPTIMIZE ZORDER: normalize each dimension to 16 bits against
+    its global bounds, interleave the bits into one 32-bit curve value,
+    and bucket the curve into 1024 ranges (= target files). The output
+    surfaces each bucket's row count and min/max envelope on BOTH
+    dimensions — exactly the file-statistics a scan planner would prune
+    with; tight envelopes on both axes are the whole point of the curve
+    (a single-column sort gives tight min/max on one axis and useless
+    ones on the other — test_zorder_envelopes_tight pins the
+    difference).
+
+    Scale: pass 1 is a tiny global-bounds aggregate (broadcast one-row,
+    allowlisted); pass 2 is pure map-side codegen bit arithmetic + a
+    partial agg into 1024 groups. At 100 TB the production write is
+    ``df.repartitionByRange(n_files, F.col('zval')).write...`` — same
+    curve value, the range exchange replaces the group-by."""
+    o = load_table(spark, "orders", sf_dir)
+    d = o.select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.expr(f"CAST(datediff(o_orderdate, DATE '{ZORDER_EPOCH}') AS BIGINT)").alias(
+            "dy"
+        ),
+    )
+    b = d.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    z = d.crossJoin(F.broadcast(b)).select(
+        "ck", "dy", F.expr(f"CAST({_zorder_exprs(_spark_shl)} AS BIGINT)").alias("zval")
+    )
+    return (
+        z.groupBy(
+            F.expr(f"CAST(zval DIV {1 << ZORDER_BUCKET_SHIFT} AS BIGINT)").alias(
+                "zbucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_cust"),
+            F.max("ck").alias("max_cust"),
+            F.min("dy").alias("min_day"),
+            F.max("dy").alias("max_day"),
+        )
+    )

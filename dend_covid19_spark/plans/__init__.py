@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     aggregates,
     annotate,
     cdc,
+    graph,
     ingest,
     llm_pipeline,
     multimodal_plans,
@@ -164,6 +165,19 @@ PRIORITY = [
     "incremental_agg_maintenance",
     "ingest_schema_evolution",
     "user_missing_days",
+    # round-5 additions: graph analytics (basket affinity, integer
+    # fixed-point PageRank, degree-ordered triangles)
+    "basket_brand_pairs",
+    "pagerank_copurchase",
+    "graph_triangle_count",
+    "orders_price_histogram",
+    "rolling_distinct_users_7d",
+    "vocab_coverage_classes",
+    "dedup_ngram_spans",
+    "zorder_layout_orders",
+    "event_transition_matrix",
+    "daily_new_vs_returning",
+    "hll_union_daily_to_type",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -696,3 +696,75 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
         )
     )
+
+
+# --- equi-width histogram ---------------------------------------------------
+
+HIST_BUCKETS = 20
+
+
+@query(
+    "orders_price_histogram",
+    oracle=f"""
+WITH c AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+w AS (SELECT lo, hi, (hi - lo) // {HIST_BUCKETS} + 1 AS width FROM b)
+SELECT CAST((c.cents - w.lo) // w.width AS BIGINT) AS bucket,
+       CAST(w.lo + ((c.cents - w.lo) // w.width) * w.width AS BIGINT) AS lo_cents,
+       CAST(w.lo + ((c.cents - w.lo) // w.width + 1) * w.width - 1 AS BIGINT)
+           AS hi_cents,
+       count(*) AS n_orders,
+       CAST(sum(c.cents) AS BIGINT) AS sum_cents
+FROM c CROSS JOIN w
+GROUP BY 1, 2, 3
+""",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals in HIST_BUCKETS buckets —
+    the profiling / data-skew-discovery primitive every warehouse ships
+    (DuckDB: histogram(); Spark: approx summaries). Expressed as the
+    exact two-pass form: pass 1 computes global [min, max] (one tiny
+    aggregate, broadcast), pass 2 assigns buckets map-side with pure
+    integer arithmetic and partial-aggregates into <= HIST_BUCKETS
+    groups.
+
+    Exactness: prices live as integer cents; the bucket width is
+    (range // nb) + 1, which (a) is exact integer math shared by both
+    engines, and (b) guarantees floor((range)/width) <= nb - 1, so the
+    bucket id never exceeds nb - 1 without any least() clamp.
+
+    Scale: the only data-volume-sized stage is one scan + map-side
+    partial agg into a constant number of groups; the bounds row rides a
+    broadcast nested-loop join (one-row side, allowlisted). At 100 TB
+    the same plan holds — histogram cost is one pass, dominated by the
+    scan."""
+    o = load_table(spark, "orders", sf_dir)
+    c = o.select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    w = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi")).select(
+        "lo", "hi", F.expr(f"(hi - lo) DIV {HIST_BUCKETS} + 1").alias("width")
+    )
+    return (
+        c.crossJoin(F.broadcast(w))
+        .select(
+            F.expr("CAST((cents - lo) DIV width AS BIGINT)").alias("bucket"),
+            F.expr(
+                "CAST(lo + ((cents - lo) DIV width) * width AS BIGINT)"
+            ).alias("lo_cents"),
+            F.expr(
+                "CAST(lo + ((cents - lo) DIV width + 1) * width - 1 AS BIGINT)"
+            ).alias("hi_cents"),
+            "cents",
+        )
+        .groupBy("bucket", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -1,0 +1,338 @@
+"""Graph / co-occurrence analytics over the order-basket graph.
+
+The reference's analytic surface stops at flat joins + group-bys
+(SURVEY.md §2); these operators cover the graph-shaped workloads a
+100 TB pipeline hits next: market-basket affinity (the candidate-pair
+step of frequent-itemset mining), PageRank-style influence scoring, and
+triangle counting (the local-clustering / community-detection
+primitive). All three are expressed Spark-first — self-joins with
+bounded fan-out, broadcast dimension tables, and integer fixed-point
+arithmetic so every result is bit-identical in the DuckDB oracle
+(no float accumulation order anywhere).
+
+Scale notes common to the family: the co-purchase edge list is built
+from distinct (order, item) pairs, so per-order fan-out is bounded by
+basket size (TPC-H: <= 7 lineitems/order -> <= 42 directed pairs); the
+graph build is one shuffle on the order key, and everything downstream
+shuffles on node keys only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# --- market-basket brand affinity ------------------------------------------
+
+MIN_PAIR_SUPPORT = 10  # apriori-style pruning threshold (absolute baskets)
+
+
+@query(
+    "basket_brand_pairs",
+    oracle=f"""
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM ob),
+bc AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY 1),
+pr AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+)
+SELECT pr.brand_a, pr.brand_b, CAST(pr.n_ab AS BIGINT) AS n_ab,
+       CAST(pr.n_ab * 1000000 // tot.n_baskets AS BIGINT) AS support_ppm,
+       CAST((pr.n_ab * tot.n_baskets * 1000000) // (ca.n_b * cb.n_b) AS BIGINT)
+           AS lift_ppm
+FROM pr
+JOIN bc ca ON ca.p_brand = pr.brand_a
+JOIN bc cb ON cb.p_brand = pr.brand_b
+CROSS JOIN tot
+WHERE pr.n_ab >= {MIN_PAIR_SUPPORT}
+""",
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for every pair of brands co-purchased in
+    the same order, the basket count, support, and lift — the
+    candidate-pair generation + scoring step of frequent-itemset mining
+    (the reference has nothing graph-shaped; this is the first workload
+    a recommender team runs on the same star schema).
+
+    Exactness: support and lift surface as integer ppm
+    (n * 1_000_000 // denom), so both engines do the same integer
+    multiply-then-floor-divide — no float ratios to drift. The triple
+    product n_ab * n_baskets * 1e6 stays under 2^63 through ~sf10;
+    beyond that cast the multiplies to DECIMAL(38,0) on both sides.
+
+    Plan/scale: the (order, brand) set is one broadcast dim join +
+    map-side distinct; the pair self-join shuffles on the order key with
+    per-basket fan-out bounded by basket size (<= C(25,2) pairs even in
+    the worst basket, since brands cap at 25); pair counts partial-agg
+    map-side into <= 300 groups; the per-brand counts (25 rows) and the
+    basket total (1 row) broadcast back onto the result. Nothing
+    anywhere is quadratic in data volume."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= MIN_PAIR_SUPPORT)
+    )
+    ca = F.broadcast(bc.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na")))
+    cb = F.broadcast(bc.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb")))
+    return (
+        pr.join(ca, "brand_a")
+        .join(cb, "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.expr("CAST(n_ab * 1000000 DIV n_baskets AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr(
+                "CAST((n_ab * n_baskets * 1000000) DIV (na * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# --- PageRank over the co-purchase graph -----------------------------------
+# Fixed-point INTEGER PageRank: ranks live at scale 1e9, the damping
+# step is r' = 0.15e9 + sum over in-edges of (85 * r) // (100 * deg).
+# Integer floor-division per edge makes every iteration exact and
+# order-independent, so 5 iterations are reproducible bit-for-bit in
+# both engines (the same dissolve-the-floats move as EWMA / kmeans).
+# Headroom: single-node rank is bounded by total mass N * 1e9, so the
+# 85 * r multiply stays under 2^63 up to ~10^8 nodes.
+
+PR_SCALE = 1_000_000_000
+PR_BASE = 150_000_000  # 0.15 * PR_SCALE
+PR_ITERS = 5
+
+
+def _duck_pr_iter(prev: str, nxt: str) -> str:
+    return f"""
+{nxt} AS (
+    SELECT ed.d AS node,
+           CAST({PR_BASE} + sum((85 * {prev}.r) // (100 * ed.dout)) AS BIGINT) AS r
+    FROM ed JOIN {prev} ON ed.s = {prev}.node
+    GROUP BY ed.d
+)"""
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT s, count(*) AS dout FROM e GROUP BY s),
+ed AS (SELECT e.s, e.d, deg.dout FROM e JOIN deg ON e.s = deg.s),
+r0 AS (SELECT s AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg),
+{",".join(_duck_pr_iter(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))}
+SELECT node AS part_key, r AS rank_e9 FROM r{PR_ITERS}
+""",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (edge: two parts bought
+    in the same order), 5 synchronous iterations at damping 0.85 — the
+    canonical iterative-graph workload (influence / centrality scoring)
+    on the same star schema. Exact integer fixed-point arithmetic (see
+    constants above) keeps each iteration engine-identical: the only
+    operation whose order varies across partitionings is an integer
+    sum, which is associative-exact.
+
+    Plan/scale: the edge list is one shuffle on the order key with
+    basket-bounded fan-out, then cached with per-edge out-degree
+    attached (built once, reused by all iterations). Each iteration is
+    one shuffle-hash join (edges x ranks on the node key) + one
+    partial-agg sum — O(|E|) per iteration, the exact shape GraphX /
+    Pregel message passing lowers to. localCheckpoint() truncates the
+    growing lineage each round (the kmeans discipline) so the 5-deep
+    loop doesn't replan or re-execute prior iterations; dangling nodes
+    don't exist here (the co-purchase graph is symmetric, every node
+    has in- and out-edges)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout"))
+    ed = e.join(deg, "s").localCheckpoint()  # built once; loop input
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        msgs = ed.join(ranks, ed.s == ranks.node).select(
+            "d", F.expr("(85 * r) DIV (100 * dout)").alias("c")
+        )
+        ranks = (
+            msgs.groupBy(F.col("d").alias("node"))
+            .agg((F.lit(PR_BASE) + F.sum("c")).cast("bigint").alias("r"))
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("part_key"), F.col("r").alias("rank_e9"))
+
+
+# --- triangle counting (degree-ordered node-iterator) -----------------------
+
+TRI_MAX_SIZE = 5  # subgraph: parts with p_size <= 5 (bounds |E| for the demo)
+_ORD_BIG = 1 << 32
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= {TRI_MAX_SIZE}),
+op AS (
+    SELECT DISTINCT l.l_orderkey, l.l_partkey
+    FROM lineitem l JOIN sp ON l.l_partkey = sp.p_partkey
+),
+e AS (
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM op x JOIN op y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+deg AS (
+    SELECT n, count(*) AS degree FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+    ) GROUP BY n
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+    SELECT x AS n FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+),
+pc AS (SELECT n, count(*) AS n_triangles FROM corners GROUP BY n)
+SELECT pc.n AS part_key, deg.degree, CAST(pc.n_triangles AS BIGINT) AS n_triangles
+FROM pc JOIN deg ON deg.n = pc.n
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a co-purchase subgraph — the local
+    clustering-coefficient numerator, the standard community/cohesion
+    primitive. Restricted to parts with p_size <= TRI_MAX_SIZE so the
+    demo subgraph stays a few thousand edges; the algorithm itself is
+    the at-scale one.
+
+    Spark side runs the DEGREE-ORDERED node-iterator (the MapReduce
+    triangle algorithm of Suri & Vassilvitskii): orient every edge from
+    its lower-(degree, id) endpoint to the higher one, generate wedges
+    only from each node's oriented out-neighborhood, and close them
+    against oriented edges. Orientation caps per-node out-degree at
+    O(sqrt(|E|)), so wedge generation is O(|E|^1.5) worst-case instead
+    of sum(deg^2) — the difference between feasible and not on a skewed
+    100 TB graph (a celebrity node with 10^6 neighbors would otherwise
+    emit 10^12 wedges). The oracle counts the same triangles via the
+    simpler a < b < c three-way join — same multiset, different
+    physical strategy, which is exactly what the hash check should pin.
+
+    Every triangle is counted once (each has exactly one node ordered
+    below both others), then credited to all three corners."""
+    sp = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_size") <= TRI_MAX_SIZE)
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = (
+        li.join(F.broadcast(sp), li.l_partkey == sp.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # total order key: (degree, id) packed into one bigint
+    okt = deg.select("n", (F.col("degree") * _ORD_BIG + F.col("n")).alias("ok"))
+    oa = okt.select(F.col("n").alias("a"), F.col("ok").alias("ok_a"))
+    ob = okt.select(F.col("n").alias("b"), F.col("ok").alias("ok_b"))
+    oriented = (
+        e.join(oa, "a")
+        .join(ob, "b")
+        .select(
+            F.when(F.col("ok_a") < F.col("ok_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src"),
+            F.when(F.col("ok_a") < F.col("ok_b"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("dst"),
+            F.greatest("ok_a", "ok_b").alias("ok_dst"),
+        )
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.ok_dst") < F.col("w2.ok_dst")),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    close = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(close, ["y", "z"])
+    corners = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+    )
+    pc = corners.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return pc.join(deg, "n").select(
+        F.col("n").alias("part_key"), "degree", "n_triangles"
+    )

@@ -7,7 +7,7 @@ functions/annotator.py as the U2 surface demo).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -644,4 +644,187 @@ def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_a", "tok_b", "c_ab", F.expr(_PMI_EXPR).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
         .limit(PMI_TOP_N)
+    )
+
+
+# --- frequency-class vocabulary truncation ----------------------------------
+
+VOCAB_COVERAGE_PCT = 90
+
+
+@query(
+    "vocab_coverage_classes",
+    oracle=f"""
+WITH wc AS (
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wc),
+cc AS (SELECT cnt, count(*) AS n_words, CAST(cnt * count(*) AS BIGINT) AS class_tokens
+       FROM wc GROUP BY cnt),
+pre AS (
+    SELECT cnt, class_tokens,
+           CAST(sum(class_tokens) OVER (ORDER BY cnt DESC) AS BIGINT) AS cum_tokens
+    FROM cc
+)
+SELECT wc.word, CAST(wc.cnt AS BIGINT) AS cnt,
+       CAST(pre.cum_tokens * 1000000 // tot.total AS BIGINT) AS class_cum_ppm
+FROM wc
+JOIN pre ON pre.cnt = wc.cnt
+CROSS JOIN tot
+WHERE (pre.cum_tokens - pre.class_tokens) * 10 < tot.total * {VOCAB_COVERAGE_PCT // 10}
+""",
+)
+def vocab_coverage_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-truncated vocabulary: the smallest set of WHOLE
+    frequency classes whose words cover >= 90% of all token
+    occurrences — the tokenizer-vocab / embedding-table sizing pass
+    (words below the cut become <unk>). Class-granular on purpose: the
+    cut depends only on a word's corpus count, never on a global
+    per-word rank, which is what makes it scale.
+
+    Plan/scale: word counts partial-agg map-side; the count-of-counts
+    table cc has one row per DISTINCT frequency value, which is
+    O(sqrt(total_tokens)) rows (k distinct counts need >= k(k+1)/2
+    tokens) — bounded by corpus mass, not vocabulary size, so its
+    cumulative window is a provably tiny single partition (allowlisted);
+    the class prefix sums then hash-join (broadcast-sized) back onto
+    the word counts for a map-side membership filter. No global per-word
+    window anywhere — compare window_ntile_customers for the
+    distributed-rank alternative when per-word ranks are the ask.
+
+    Exactness: the 90% cut compares integer token masses
+    ((cum_before) * 10 < total * 9); coverage surfaces as integer ppm
+    of the class boundary."""
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = wc.agg(F.sum("cnt").cast("bigint").alias("total"))
+    cc = wc.groupBy("cnt").agg(
+        (F.col("cnt") * F.count(F.lit(1))).cast("bigint").alias("class_tokens")
+    )
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = cc.select(
+        "cnt",
+        "class_tokens",
+        F.sum("class_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return (
+        wc.join(F.broadcast(pre), "cnt")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("cum_tokens") - F.col("class_tokens")) * 10
+            < F.col("total") * (VOCAB_COVERAGE_PCT // 10)
+        )
+        .select(
+            "word",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("CAST(cum_tokens * 1000000 DIV total AS BIGINT)").alias(
+                "class_cum_ppm"
+            ),
+        )
+    )
+
+
+# --- cross-document duplicated n-gram spans ---------------------------------
+# ExactSubstr-lite (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better"): find the token positions covered by n-grams
+# that also occur in OTHER documents. The full suffix-array span merge
+# is replaced by per-position n-gram membership — no false negatives at
+# the n-gram granularity, and every stage is a hash shuffle.
+
+SPAN_NGRAM = 4
+
+
+@query(
+    "dedup_ngram_spans",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= {SPAN_NGRAM}),
+g AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(array_to_string(toks[i:i+{SPAN_NGRAM - 1}], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM t2, unnest(range(1, len(toks) - {SPAN_NGRAM - 2})) t(i)
+),
+f AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+j AS (SELECT g.doc_id, g.gh FROM g JOIN f USING (gh)),
+n AS (SELECT doc_id, CAST(len(toks) - {SPAN_NGRAM - 1} AS BIGINT) AS n_positions FROM t2)
+SELECT j.doc_id, n.n_positions,
+       count(*) AS dup_positions,
+       count(DISTINCT j.gh) AS dup_distinct_grams,
+       CAST(count(*) * 1000000 // n.n_positions AS BIGINT) AS dup_ppm
+FROM j JOIN n ON n.doc_id = j.doc_id
+GROUP BY j.doc_id, n.n_positions
+""",
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection, the ExactSubstr-lite
+    form of Lee et al.'s training-data dedup: for every document, how
+    many of its 4-gram positions are covered by a 4-gram that also
+    appears in at least one OTHER document — the signal for boilerplate
+    / templated spans that document-level near-dup (MinHash) cannot see
+    because the documents differ globally.
+
+    Pipeline: per-position 4-gram hashes (codegen transform+explode, no
+    distinct — positions matter), a corpus-wide document-frequency
+    aggregate keeps only grams spanning >= 2 docs, and a hash join on
+    the gram key credits each duplicated position back to its document.
+
+    Scale: both join sides hash-partition on the 32-bit gram hash —
+    uniform by construction, no skew; the doc-frequency table
+    partial-aggregates map-side (count distinct over doc_id rides the
+    standard two-level expand). This is the published shape: suffix
+    arrays find longer-than-n spans, but at 100 TB everyone ships the
+    n-gram approximation first because it is one shuffle + one join.
+    Output is docs with >= 1 duplicated position, with ppm coverage in
+    exact integer arithmetic."""
+    from ..functions import hashing as H
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.expr(f"size(toks) >= {SPAN_NGRAM}")
+    )
+    gram_hash = H.spark_hash32(f"concat_ws(' ', slice(toks, i, {SPAN_NGRAM}))")
+    g = tok.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(1, size(toks) - {SPAN_NGRAM - 1}), "
+            f"i -> {gram_hash}))"
+        ).alias("gh"),
+    )
+    f = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    j = g.join(f, "gh")
+    n = tok.select(
+        "doc_id",
+        (F.size("toks") - (SPAN_NGRAM - 1)).cast("bigint").alias("n_positions"),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_positions"),
+            F.countDistinct("gh").alias("dup_distinct_grams"),
+        )
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_positions",
+            "dup_positions",
+            "dup_distinct_grams",
+            F.expr("CAST(dup_positions * 1000000 DIV n_positions AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
     )

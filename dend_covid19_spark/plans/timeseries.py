@@ -1108,3 +1108,233 @@ def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         F.expr(_CORR_GUARD).alias("corr_value_volume"),
     )
+
+
+# --- sliding-window distinct (trailing 7-day active users) ------------------
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle=f"""
+WITH pairs AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+),
+b AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
+exp AS (
+    SELECT p.user_id, p.day + CAST(k AS INTEGER) AS day
+    FROM pairs p, unnest(generate_series(0, {ROLLING_DISTINCT_DAYS - 1})) t(k)
+)
+SELECT e.day, count(DISTINCT e.user_id) AS users_7d, count(*) AS n_user_days
+FROM exp e CROSS JOIN b
+WHERE e.day <= b.max_day
+GROUP BY e.day
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (7-day rolling
+    reach / WAU-by-day) — the sliding-window COUNT DISTINCT that window
+    functions cannot express (no DISTINCT inside a frame) and that
+    re-scanning 7 days per day would compute 7x over.
+
+    The scalable rewrite: reduce events to distinct (day, user) pairs
+    map-side, then each pair CONTRIBUTES itself to the 7 window-end days
+    it falls inside (a 7x bounded fan-out of the key-cardinality pair
+    set, not of raw events), and one distinct-aggregate per target day
+    finishes it. The same contribute-to-windows trick is how streaming
+    engines implement sliding distinct; for 90-day windows at 100 TB
+    swap the exact distinct for the mergeable HLL sketch
+    (events_hourly_activity_approx shows that path).
+
+    Partial windows at the corpus start are included (trailing
+    semantics); fan-out rows past the last observed day are cut by the
+    broadcast one-row max-day bound (allowlisted nested-loop)."""
+    ev = load_table(spark, "events", sf_dir)
+    pairs = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    b = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    exp = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add("day", ROLLING_DISTINCT_DAYS - 1)
+            )
+        ).alias("day"),
+    )
+    return (
+        exp.crossJoin(F.broadcast(b))
+        .where(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("users_7d"),
+            F.count(F.lit(1)).alias("n_user_days"),
+        )
+    )
+
+
+# --- event-type transition matrix (first-order Markov) ----------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH s AS (
+    SELECT user_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type,
+           event_type AS next_type
+    FROM events
+),
+t AS (
+    SELECT prev_type, next_type, count(*) AS n_trans
+    FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+r AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from FROM t GROUP BY 1)
+SELECT t.prev_type, t.next_type, CAST(t.n_trans AS BIGINT) AS n_trans,
+       CAST(t.n_trans * 1000000 // r.n_from AS BIGINT) AS p_ppm
+FROM t JOIN r ON r.prev_type = t.prev_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (previous event type -> next event type) pair,
+    the transition count and probability — the path-analysis /
+    next-action-model input that funnels specialize. Probabilities are
+    integer ppm of the source row total, so both engines share one
+    integer floor division.
+
+    Plan/scale: ONE partitioned window (per-user, ordered by ts with
+    event_id as the deterministic tie-break — same discipline as
+    user_event_gap_stats) produces the lagged pairs; the pair counts
+    partial-aggregate map-side into |types|^2 <= tiny groups, and the
+    row totals (|types| rows) broadcast back. Nothing scales past the
+    per-user shuffle every sessionization query already pays."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    r = t.groupBy("prev_type").agg(F.sum("n_trans").cast("bigint").alias("n_from"))
+    return (
+        t.join(F.broadcast(r), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.expr("CAST(n_trans * 1000000 DIV n_from AS BIGINT)").alias("p_ppm"),
+        )
+    )
+
+
+# --- daily new vs returning users -------------------------------------------
+
+
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+),
+f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+SELECT d.day,
+       CASE WHEN d.day = f.first_day THEN 'new' ELSE 'returning' END AS status,
+       count(*) AS n_users
+FROM d JOIN f ON f.user_id = d.user_id
+GROUP BY 1, 2
+""",
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-ever-seen vs returning — the
+    growth-accounting metric every product dashboard leads with.
+
+    Plan/scale: events reduce to distinct (user, day) pairs map-side;
+    first-seen day is one aggregate on the user key; the classify join
+    re-uses the SAME user-key partitioning (Catalyst plans the min-agg
+    and the join in one exchange family), then the day-level rollup is
+    key-cardinality. At 100 TB the first-seen table is the thing to
+    persist incrementally (it only ever gains rows) — the
+    incremental_agg_maintenance pattern applies verbatim."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(f, "user_id")
+        .select(
+            "day",
+            F.when(F.col("day") == F.col("first_day"), F.lit("new"))
+            .otherwise(F.lit("returning"))
+            .alias("status"),
+        )
+        .groupBy("day", "status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- mergeable-sketch rollup (HLL union across pre-aggregates) --------------
+
+
+@query(
+    "hll_union_daily_to_type",
+    oracle="""
+WITH ex AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY 1
+),
+est AS (
+    SELECT event_type, approx_count_distinct(user_id) AS est
+    FROM events GROUP BY 1
+)
+SELECT ex.event_type, CAST(ex.exact_users AS BIGINT) AS exact_users,
+       abs(est.est - ex.exact_users) <= 0.15 * ex.exact_users AS estimate_ok
+FROM ex JOIN est ON est.event_type = ex.event_type
+""",
+)
+def hll_union_daily_to_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-sketch rollup: build one HLL sketch per
+    (event_type, day) cell, then UNION the daily sketches into per-type
+    totals with ``hll_union_agg`` — distinct users per type computed
+    WITHOUT ever re-touching raw events past the first pass. This is the
+    pre-aggregation pattern that makes 100 TB distinct-count dashboards
+    viable: persist the daily cell sketches (~KB each), and any rollup
+    (weekly, monthly, per-type, global) is a sketch merge over
+    key-cardinality rows, not a rescan. Spark 3.5+ exposes the Apache
+    DataSketches HLL family (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) as public SQL — this query is the registry's
+    carrier for them.
+
+    Oracle convention follows approx_distinct_users: raw sketch
+    estimates differ across engines by construction, so the hashed
+    surface is the EXACT count plus each engine asserting its own
+    estimate within 15% — bit-stable, yet failing loudly if either
+    sketch path degrades. The exact column here costs a second shuffle
+    (documented crutch: at 100 TB you ship only the sketch)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("estimate_ok"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Graph-operator invariants: fixed-point PageRank mass bounds, the
+degree-ordered orientation's out-degree cap, z-order envelope quality.
+(Value correctness is oracle-checked in test_oracle_parity /
+driver_sim; these pin the algorithmic properties the oracles can't
+express.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dend_covid19_spark.operators.scale import zorder_layout_orders
+from dend_covid19_spark.plans.graph import (
+    PR_BASE,
+    PR_SCALE,
+    graph_triangle_count,
+    pagerank_copurchase,
+)
+from tests.conftest import SF_DIR
+
+
+def test_pagerank_mass_and_floor(spark):
+    """Integer fixed-point PageRank: every node keeps at least the
+    teleport base; total mass never exceeds the initial N * SCALE (the
+    per-edge floor division only ever loses mass) and never drops below
+    the damping floor sum N * BASE."""
+    rows = pagerank_copurchase(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.rank_e9 for r in rows)
+    assert all(r.rank_e9 >= PR_BASE for r in rows)
+    assert n * PR_BASE <= total <= n * PR_SCALE
+
+
+def test_pagerank_rewards_high_degree(spark):
+    """Sanity on semantics: rank should correlate with co-purchase
+    degree — the top-decile-rank parts must have a higher mean degree
+    than the bottom decile."""
+    r = pagerank_copurchase(spark, SF_DIR)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    deg = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("part_key"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    joined = r.join(deg, "part_key").orderBy(F.col("rank_e9").desc()).collect()
+    k = max(len(joined) // 10, 1)
+    top = sum(x.deg for x in joined[:k]) / k
+    bot = sum(x.deg for x in joined[-k:]) / k
+    assert top > bot
+
+
+def test_triangle_orientation_out_degree_bounded(spark):
+    """The point of degree-ordering: after orienting each edge toward
+    its higher-(degree, id) endpoint, no node's out-degree exceeds the
+    O(sqrt(|E|)) cap — the property that bounds wedge generation at
+    |E|^1.5 instead of sum(deg^2) on skewed graphs."""
+    from dend_covid19_spark.plans.graph import TRI_MAX_SIZE, _ORD_BIG
+
+    sp = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .where(F.col("p_size") <= TRI_MAX_SIZE)
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    op = (
+        li.join(F.broadcast(sp), li.l_partkey == sp.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    m = e.count()
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    okt = deg.select("n", (F.col("degree") * _ORD_BIG + F.col("n")).alias("ok"))
+    oa = okt.select(F.col("n").alias("a"), F.col("ok").alias("ok_a"))
+    ob = okt.select(F.col("n").alias("b"), F.col("ok").alias("ok_b"))
+    oriented = (
+        e.join(oa, "a")
+        .join(ob, "b")
+        .select(
+            F.when(F.col("ok_a") < F.col("ok_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("src")
+        )
+    )
+    max_out = (
+        oriented.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out"))
+        .agg(F.max("out"))
+        .collect()[0][0]
+    )
+    assert max_out <= 2 * math.sqrt(m) + 1, (max_out, m)
+
+
+def test_triangle_counts_consistent(spark):
+    """Corner-credit identity: the per-node triangle counts must sum to
+    exactly 3x the number of distinct triangles (each triangle credits
+    its three corners once)."""
+    rows = graph_triangle_count(spark, SF_DIR).collect()
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+    assert total > 0
+
+
+def test_zorder_envelopes_tight(spark):
+    """The reason to z-order instead of single-column sort: buckets must
+    be selective on BOTH dimensions at once (a single-column sort gives
+    tight min/max on one axis and full-range envelopes on the other; a
+    hash layout gives full-range on both). Pin that the row-weighted
+    mean envelope width, normalized by each dimension's global range, is
+    small on BOTH axes simultaneously."""
+    z = zorder_layout_orders(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    b = o.agg(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min("o_orderdate"),
+        F.max("o_orderdate"),
+    ).collect()[0]
+    cust_range = b[1] - b[0] or 1
+    day_range = (b[3] - b[2]).days or 1
+    n = sum(r.n_rows for r in z)
+    mean_cust = sum((r.max_cust - r.min_cust) / cust_range * r.n_rows for r in z) / n
+    mean_day = sum((r.max_day - r.min_day) / day_range * r.n_rows for r in z) / n
+    assert mean_cust < 0.2 and mean_day < 0.2, (mean_cust, mean_day)

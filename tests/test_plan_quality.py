@@ -259,6 +259,11 @@ _NESTED_LOOP_ALLOWED = {
     "token_mixture_weights",     # one-row corpus-totals broadcast
     "user_missing_days",         # bounded |days| calendar-spine broadcast
     "decontaminate_bloom_gated", # one-row packed-bloom-filter broadcast
+    "basket_brand_pairs",        # one-row basket-total broadcast
+    "orders_price_histogram",    # one-row min/max-bounds broadcast
+    "rolling_distinct_users_7d", # one-row max-day-bound broadcast
+    "vocab_coverage_classes",    # one-row token-total broadcast
+    "zorder_layout_orders",      # one-row dimension-bounds broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
@@ -269,6 +274,7 @@ _NESTED_LOOP_ALLOWED = {
 _GLOBAL_WINDOW_ALLOWED = {
     "timeseries_interpolate_linear",  # ~|days| rows, post-aggregate spine
     "date_spine_daily_purchases",     # ~|days| rows, generated spine
+    "vocab_coverage_classes",         # count-of-counts rows: O(sqrt(tokens))
 }
 
 _WINDOW_ARGS = re.compile(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)")
