@@ -108,3 +108,48 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+_CLUSTER_HIST_ORACLE = f"""
+WITH RECURSIVE {duck_components_ctes()},
+labels AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*) AS cluster_size FROM labels GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+"""
+
+
+@query("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_ORACLE)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: for each near-dup group size,
+    how many groups exist, how many documents they hold, and how many a
+    keep-one-per-group policy would delete — the dedup IMPACT report a
+    corpus owner reads before committing the purge (is duplication a few
+    giant boilerplate clusters or a long tail of pairs?).
+
+    Plan/scale: two key-cardinality aggregates stacked on the
+    dedup_components output (labels -> per-component size -> per-size
+    count); both partial-agg map-side and the second one's input is
+    already component-cardinality. The histogram itself is at most
+    |distinct sizes| rows. Cost is dominated by the shared upstream
+    LSH + verify + label-propagation stages, unchanged."""
+    labels = dedup_components(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )

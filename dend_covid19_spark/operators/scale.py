@@ -374,9 +374,11 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pass 1 is a tiny global-bounds aggregate (broadcast one-row,
     allowlisted); pass 2 is pure map-side codegen bit arithmetic + a
-    partial agg into 1024 groups. At 100 TB the production write is
-    ``df.repartitionByRange(n_files, F.col('zval')).write...`` — same
-    curve value, the range exchange replaces the group-by."""
+    partial agg into 1024 groups. The production WRITE path is
+    ``operators/maintenance.py::cluster_by_zorder`` (repartitionByRange
+    + sortWithinPartitions on the curve key); this query is its
+    oracle-checkable read-side twin — the envelope report that proves
+    the layout is worth writing."""
     o = load_table(spark, "orders", sf_dir)
     d = o.select(
         F.col("o_custkey").cast("bigint").alias("ck"),

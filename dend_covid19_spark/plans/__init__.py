@@ -178,6 +178,10 @@ PRIORITY = [
     "event_transition_matrix",
     "daily_new_vs_returning",
     "hll_union_daily_to_type",
+    "dedup_cluster_size_histogram",
+    "chisq_brand_region",
+    "events_value_winsorized",
+    "feature_hash_tf64",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

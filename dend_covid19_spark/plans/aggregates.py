@@ -768,3 +768,154 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# --- chi-square contingency (brand x supplier-region) -----------------------
+# Pearson chi-square per cell in the shared-expression discipline: the
+# observed count o, row total rb, column total cr, and grand total N are
+# all exact integers in both engines, so the only floating-point is the
+# FINAL shared expression (cast-exact ints -> identical IEEE op order ->
+# one round), the _CORR_EXPR move.
+
+_CHI2_CELL = (
+    "round(CAST(o * N - rb * cr AS DOUBLE) * CAST(o * N - rb * cr AS DOUBLE)"
+    " / (CAST(N AS DOUBLE) * CAST(rb AS DOUBLE) * CAST(cr AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "chisq_brand_region",
+    oracle=f"""
+WITH obs AS (
+    SELECT p.p_brand AS brand, r.r_name AS region, count(*) AS o
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+),
+rb AS (SELECT brand, CAST(sum(o) AS BIGINT) AS rb FROM obs GROUP BY 1),
+cr AS (SELECT region, CAST(sum(o) AS BIGINT) AS cr FROM obs GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS N FROM obs)
+SELECT obs.brand, obs.region, CAST(obs.o AS BIGINT) AS o,
+       {_CHI2_CELL} AS chi2_cell
+FROM obs
+JOIN rb ON rb.brand = obs.brand
+JOIN cr ON cr.region = obs.region
+CROSS JOIN tot
+""",
+)
+def chisq_brand_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contingency cells for brand x supplier-region:
+    is part-brand demand independent of where the supplier sits? — the
+    categorical-association test analysts run right after the pivot.
+    Surfaces each cell's observed count and chi-square contribution
+    (sum them for the statistic; the per-cell view shows WHICH
+    associations drive it).
+
+    Exactness: o, row/column margins, and N are exact integer counts;
+    the single final expression (cast -> multiply -> divide -> round)
+    is shared verbatim with the oracle, so IEEE op order is identical —
+    no float accumulates across rows anywhere (the per-cell form exists
+    precisely because a global double sum would be order-dependent).
+
+    Plan/scale: one fact scan through three broadcast dimension hops,
+    one partial-agg shuffle into |brands| x |regions| cells (125), then
+    margins re-aggregate the checkpointed cell table (not the fact) and
+    broadcast back. Fact-volume work is one scan + one shuffle."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    r = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    obs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()  # 125 cells; margins reuse it, not the fact scan
+    )
+    rb = obs.groupBy("brand").agg(F.sum("o").cast("bigint").alias("rb"))
+    cr = obs.groupBy("region").agg(F.sum("o").cast("bigint").alias("cr"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("N"))
+    return (
+        obs.join(F.broadcast(rb), "brand")
+        .join(F.broadcast(cr), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "region",
+            F.col("o").cast("bigint").alias("o"),
+            F.expr(_CHI2_CELL).alias("chi2_cell"),
+        )
+    )
+
+
+# --- winsorized robust mean -------------------------------------------------
+
+
+@query(
+    "events_value_winsorized",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           quantile_disc(value, 0.05) AS p05,
+           quantile_disc(value, 0.95) AS p95
+    FROM events GROUP BY 1
+)
+SELECT e.event_type, q.p05, q.p95,
+       count(*) AS n,
+       round(sum(CAST(least(greatest(e.value, q.p05), q.p95) AS DECIMAL(18,2))), 2)::DOUBLE
+           AS winsorized_total,
+       round(CAST(round(sum(CAST(least(greatest(e.value, q.p05), q.p95) AS DECIMAL(18,2))), 2) AS DOUBLE) / count(*), 4)
+           AS winsorized_avg
+FROM events e JOIN q ON q.event_type = e.event_type
+GROUP BY e.event_type, q.p05, q.p95
+""",
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type: clamp to the [p05, p95]
+    per-type band, then average — the robust-statistics answer to
+    outlier-driven KPI swings (a single fat-finger purchase stops moving
+    the daily average).
+
+    The percentiles come from the mergeable KLL sketch at accuracy 1e6
+    (percentile_approx), which at driver scales returns the exact
+    discrete quantile element — the proved approx_quantiles_totalprice
+    convention, hash-identical to DuckDB's quantile_disc. The clamped
+    sum goes through the DECIMAL cast (dsum discipline) so accumulation
+    order can't flip the hash; the avg divides AFTER the deterministic
+    rounded total.
+
+    Plan/scale: sketch partials merge map-side (per-type KLL, no value
+    shuffle); the per-type cutoffs (|types| rows) broadcast back onto
+    the fact scan for a codegen clamp + one partial-agg shuffle. Two
+    fact passes total — the exact-percentile sort-based form would pay
+    a full per-type sort instead."""
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.05, 1000000).alias("p05"),
+        F.percentile_approx("value", 0.95, 1000000).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            "p05",
+            "p95",
+            F.expr(
+                "CAST(least(greatest(value, p05), p95) AS DECIMAL(18,2))"
+            ).alias("wv"),
+        )
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("wv"), 2).cast("double").alias("winsorized_total"),
+            F.expr(
+                "round(CAST(round(sum(wv), 2) AS DOUBLE) / count(1), 4)"
+            ).alias("winsorized_avg"),
+        )
+    )

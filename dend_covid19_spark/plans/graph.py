@@ -78,10 +78,14 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere is quadratic in data volume."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    # materialize the (order, brand) set once: five consumers (both pair
+    # sides, two per-brand count joins, the basket total) would otherwise
+    # each rescan the fact table and re-pay the distinct shuffle
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint()
     )
     tot = ob.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
@@ -289,6 +293,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
+        .localCheckpoint()  # consumed by degree + orientation: build once
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -312,6 +317,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dst"),
             F.greatest("ok_a", "ok_b").alias("ok_dst"),
         )
+        .localCheckpoint()  # wedge sides + closing edges: 3 consumers
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(

@@ -828,3 +828,50 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- hashing-trick featurization --------------------------------------------
+
+FEATURE_HASH_DIMS = 64
+
+
+@query(
+    "feature_hash_tf64",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % {FEATURE_HASH_DIMS} AS dim
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim, count(*) AS tf
+FROM g GROUP BY 1, 2
+""",
+)
+def feature_hash_tf64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency features (Weinberger et al.): each
+    token hashes into one of 64 fixed dimensions, per-doc counts become
+    the feature vector — the vocabulary-free featurization that scales
+    to any corpus because there's no dictionary to build, broadcast, or
+    keep consistent across 1000 executors (the classic failure of
+    CountVectorizer-style pipelines at 100 TB).
+
+    Exploded (doc_id, dim, tf) rows rather than an array column — the
+    registry's no-array-output rule; downstream consumers pivot or
+    collect as needed. The md5-derived 32-bit hash is the engine-shared
+    one from functions/hashing.py (non-negative, so % 64 agrees across
+    engines without pmod care).
+
+    Plan/scale: explode + two-level hash aggregate, all codegen; output
+    is bounded by |docs| x 64. One shuffle on (doc_id, dim)."""
+    from ..functions import hashing as H
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(split(text, ' '), w -> {H.spark_hash32('w')} % {FEATURE_HASH_DIMS}))"
+        ).alias("dim"),
+    )
+    return g.groupBy("doc_id", F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )

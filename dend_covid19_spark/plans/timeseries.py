@@ -1219,8 +1219,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.col("event_type").alias("next_type"),
     ).where(F.col("prev_type").isNotNull())
-    t = s.groupBy("prev_type", "next_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    t = (
+        s.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+        .localCheckpoint()  # |types|^2 rows; row totals reuse it instead
+        # of re-running the per-user window a second time
     )
     r = t.groupBy("prev_type").agg(F.sum("n_trans").cast("bigint").alias("n_from"))
     return (
@@ -1264,7 +1267,9 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist incrementally (it only ever gains rows) — the
     incremental_agg_maintenance pattern applies verbatim."""
     ev = load_table(spark, "events", sf_dir)
-    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # key-cardinality pair set, two consumers (first-seen agg + classify
+    # join): materialize once instead of re-scanning events
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().localCheckpoint()
     f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
     return (
         d.join(f, "user_id")

@@ -170,6 +170,45 @@ def sessionize_shape(spark, k: int):
     )
 
 
+def pagerank_shape(spark, k: int):
+    """pagerank_copurchase's plan over k x lineitem (both keys offset, so
+    replicas form disjoint graph components): edge build + 3 integer
+    fixed-point iterations. Linear if the per-iteration edges-x-ranks
+    hash join and partial-agg sum stay O(|E|) — the iterative-graph
+    bound that decides whether Pregel-style workloads survive 100x."""
+    from dend_covid19_spark.plans.graph import PR_BASE, PR_SCALE
+
+    li = replicate(
+        load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_partkey"),
+        k,
+        ("l_orderkey", "l_partkey"),
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout"))
+    ed = e.join(deg, "s").localCheckpoint()
+    ranks = deg.select(F.col("s").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(3):
+        msgs = ed.join(ranks, ed.s == ranks.node).select(
+            "d", F.expr("(85 * r) DIV (100 * dout)").alias("c")
+        )
+        ranks = (
+            msgs.groupBy(F.col("d").alias("node"))
+            .agg((F.lit(PR_BASE) + F.sum("c")).cast("bigint").alias("r"))
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +220,7 @@ def main() -> None:
         ("q3_shape", q3_shape),
         ("ivf_shape", ivf_shape),
         ("sessionize_shape", sessionize_shape),
+        ("pagerank_shape", pagerank_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}

@@ -264,6 +264,7 @@ _NESTED_LOOP_ALLOWED = {
     "rolling_distinct_users_7d", # one-row max-day-bound broadcast
     "vocab_coverage_classes",    # one-row token-total broadcast
     "zorder_layout_orders",      # one-row dimension-bounds broadcast
+    "chisq_brand_region",        # one-row grand-total broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
@@ -491,3 +492,31 @@ def test_missing_days_spine_broadcasts(spark):
     plan = formatted_plan(spark, "user_missing_days")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partition-pruning at runtime: joining a lang-partitioned fact
+    against a filtered dimension must inject a dynamicpruning partition
+    filter into the fact scan (Spark's DPP), so only the dimension's
+    surviving partitions are read — the mechanism that makes
+    star-schema joins over date/lang-partitioned 100 TB tables read GBs
+    instead. Static pruning can't do this: the qualifying keys are only
+    known after the dim filter runs."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fact_path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(fact_path)
+    dim_path = str(tmp_path / "lang_dim")
+    spark.createDataFrame(
+        [("en", "english"), ("de", "german"), ("es", "spanish")],
+        "lang string, label string",
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("label") == "english")
+    j = fact.join(dim, "lang").groupBy("lang").count()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = j._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan
