@@ -69,3 +69,60 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_aqe_skew_join_splits(spark):
+    """AQE's runtime skew-join handling — the complement of
+    salted_aggregate (which covers skewed GROUP-BY keys; AQE only fixes
+    joins): with a 90%-of-rows hot key on the fact side of a sort-merge
+    join, the adaptive executed plan must mark the join skew=true and
+    split the oversized partition into multiple tasks. Thresholds are
+    dialed down so the sf0.001 fixture trips the same code path a hot
+    100 TB partition would; confs are restored afterwards."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # Synthetic 1M-row fact with 90% of rows on key 0 — sized so the
+        # hot partition's COMPRESSED shuffle bytes clear the threshold
+        # (the sf0.001 fixture compresses below any sane threshold).
+        # Three gates this test documents, each found the hard way:
+        # (a) both join sides must be DISTINCT exchanges — a ReusedExchange
+        #     pair is never split; (b) splits are expressed as MAPPER
+        #     ranges, so the skewed side needs a multi-task upstream
+        #     stage (8 range slices here); (c) no same-key aggregate
+        #     downstream — the rule won't split when that would break a
+        #     required child distribution.
+        fact = spark.range(0, 1_000_000, 1, 8).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(42).alias("v"),
+        )
+        dim = spark.range(0, 1_000_000, 100).select(
+            F.col("id").alias("k"), F.lit("x").alias("lab")
+        )
+        j = fact.join(dim, "k").select("v")
+        j.collect()  # AQE decides at runtime; materialize THIS plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
