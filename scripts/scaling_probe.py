@@ -185,20 +185,22 @@ def pagerank_shape(spark, k: int):
     )
     op = li.distinct()
     a, b = op.alias("a"), op.alias("b")
-    e = (
+    canon = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
         .distinct()
+        .localCheckpoint()
     )
+    e = canon.unionAll(canon.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout"))
-    ed = e.join(deg, "s").localCheckpoint()
+    ed = e.join(F.broadcast(deg), "s").localCheckpoint()
     ranks = deg.select(F.col("s").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r"))
     for _ in range(3):
-        msgs = ed.join(ranks, ed.s == ranks.node).select(
+        msgs = ed.join(F.broadcast(ranks), ed.s == ranks.node).select(
             "d", F.expr("(85 * r) DIV (100 * dout)").alias("c")
         )
         ranks = (

@@ -120,7 +120,17 @@ def test_tpch_full_pushdown(spark, name, expected_pushed):
     assert expected_pushed in pushed, f"{name}: filter not pushed down\n{pushed}"
 
 
-@pytest.mark.parametrize("name", ["q1_pricing_summary", "dedup_exact_keyed"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "dedup_exact_keyed",
+        "rolling_distinct_users_7d",
+        "orders_price_histogram",
+        "dedup_ngram_spans",
+        "feature_hash_tf64",
+    ],
+)
 def test_partial_aggregation(spark, name):
     """groupBy must plan map-side partial + reduce-side final HashAggregate
     (2 nodes), not a single post-shuffle aggregate over raw rows."""
