@@ -765,3 +765,113 @@ def dedup_recrawl_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_fresh").alias("n_fresh"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+# --- exact set-similarity join via prefix filtering (PPJoin-lite) -----------
+# The recall-GUARANTEED twin of MinHash LSH: for Jaccard >= TAU, any
+# qualifying pair must share at least one shingle inside each side's
+# length-(n - ceil(TAU*n) + 1) prefix under a global shingle order
+# (Chaudhuri/Ganti/Kaushik prefix filter; PPJoin's base step). LSH can
+# miss a true pair (probabilistic bands); the prefix filter cannot —
+# test_prefix_filter_superset_of_lsh pins that relationship.
+
+PREFIX_TAU_NUM, PREFIX_TAU_DEN = 1, 2  # tau = 0.5, matching the LSH verify
+
+
+def _prefix_len_expr(n: str) -> str:
+    """n - ceil(tau*n) + 1 in exact integer arithmetic for tau=1/2."""
+    return f"{n} - ({n} + 1) DIV 2 + 1"
+
+
+_PREFIX_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {{duck_tokens}} AS toks FROM documents),
+sh AS (SELECT doc_id, {{duck_shingles}} AS shingles FROM tok),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+ranked AS (
+    SELECT ex.doc_id, ex.s, ex.n,
+           row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.df, ex.s) AS rn
+    FROM ex JOIN dfreq USING (s)
+),
+pre AS (SELECT doc_id, s FROM ranked WHERE rn <= n - (n + 1) // 2 + 1),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=_PREFIX_ORACLE.format(
+        duck_tokens=H.duck_tokens("text"),
+        duck_shingles=H.duck_shingles("toks"),
+    ),
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard >= 0.5 via PREFIX
+    FILTERING — the deterministic-recall alternative to MinHash LSH:
+    shingles get a global rarity order (ascending document frequency,
+    shingle text as tie-break), each document exposes only its
+    n - ceil(tau*n) + 1 rarest shingles as join keys, and the prefix
+    theorem guarantees every qualifying pair collides on at least one
+    of them. Candidates then verify with the same exact int/int Jaccard
+    as dedup_ngram_jaccard. Output = ALL pairs with J >= 0.5, no
+    probabilistic misses (LSH's banded (1/8)^(1/4) curve both misses
+    borderline true pairs and admits false candidates; this admits
+    only).
+
+    Plan/scale: the document-frequency table partial-aggregates
+    map-side and hash-joins back on the shingle key; the per-doc rank
+    is a partitioned window (doc_id partitions — bounded by document
+    length); candidate generation joins on RARE shingles only, so
+    block sizes are small by construction (a shingle appearing in half
+    the corpus is, by the rarity order, almost never inside anyone's
+    prefix). The three-stage shape (df -> prefix -> verify) is the
+    published PPJoin decomposition; its length and position filters
+    bolt on here as extra codegen predicates when corpus skew demands
+    them."""
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "shingles")
+    ex = sigs.select(
+        "doc_id",
+        F.explode("shingles").alias("s"),
+        F.size("shingles").alias("n"),
+    )
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = ex.join(dfreq, "s").select(
+        "doc_id", "s", "n", F.row_number().over(w).alias("rn")
+    )
+    prefix = ranked.where(F.expr(f"rn <= {_prefix_len_expr('n')}")).select(
+        "doc_id", "s"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )

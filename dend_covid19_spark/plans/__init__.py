@@ -182,6 +182,8 @@ PRIORITY = [
     "chisq_brand_region",
     "events_value_winsorized",
     "feature_hash_tf64",
+    "bitmap_distinct_users_daily",
+    "dedup_prefix_filter_join",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -1343,3 +1343,59 @@ def hll_union_daily_to_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate_ok"),
         )
     )
+
+
+# --- exact distinct via bitmap words (roaring pattern) ----------------------
+
+
+@query(
+    "bitmap_distinct_users_daily",
+    oracle="""
+WITH b AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           user_id // 63 AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT day,
+       CAST(sum(bit_count(bits)) AS BIGINT) AS n_users_exact,
+       count(*) AS n_bitmap_words
+FROM b GROUP BY day
+""",
+)
+def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users via packed bitmap words — the
+    roaring-bitmap pattern for dense integer keys: each (day, word)
+    cell OR-folds a 64-bit mask, and popcounting the words gives the
+    exact distinct count. The third point on the distinct-count
+    spectrum the registry now covers end-to-end: exact countDistinct
+    (expand shuffle, smallest scales), HLL sketch (approximate,
+    mergeable, any key type), bitmap words (EXACT *and* mergeable —
+    8 bytes per 63 users of state, but only for bounded integer keys).
+
+    Mergeability is the scale win: per-day bitmaps OR together into
+    weekly/monthly/all-time EXACT distinct counts without rescanning —
+    what approx sketches do, without the error bar. State is
+    |keyspace|/8 bytes per group; at 10^9 users that is 125 MB per day
+    cell, so shard the word axis (already the grouping key here).
+
+    Plan/scale: one partial-agg shuffle at (day, word) cardinality
+    (bit_or partials fold map-side), then a day-cardinality popcount
+    rollup. The oracle runs the SAME bitmap algorithm in DuckDB —
+    engine-shared two's-complement shifts — and the identity against
+    plain countDistinct is pinned separately in
+    test_bitmap_equals_count_distinct."""
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.expr("user_id DIV 63").alias("w"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("bits")
+    )
+    return b.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_bitmap_words"),
+    )

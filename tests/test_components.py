@@ -42,3 +42,25 @@ def test_components_match_union_find(spark):
         r.doc_id for r in dedup_components(spark, SF_DIR).collect() if r.is_canonical
     }
     assert canon == set(want.values())
+
+
+def test_prefix_filter_superset_of_lsh(spark):
+    """Recall relationship the two candidate generators promise: prefix
+    filtering is exhaustive for J >= tau (theorem), LSH banding is
+    probabilistic — so every LSH-found verified pair must also be in the
+    prefix-filter result, never the reverse."""
+    from dend_covid19_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_prefix_filter_join,
+    )
+    from tests.conftest import SF_DIR
+
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_prefix_filter_join(spark, SF_DIR).collect()
+    }
+    assert lsh <= pf, f"LSH found pairs the exact join missed: {lsh - pf}"
+    assert pf, "prefix filter returned no pairs"

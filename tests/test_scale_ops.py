@@ -126,3 +126,26 @@ def test_aqe_skew_join_splits(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_equals_count_distinct(spark):
+    """The bitmap identity: popcount-of-OR-folded words must equal plain
+    COUNT(DISTINCT) for every day — the exactness claim that separates
+    this from the HLL sketch path."""
+    import pyspark.sql.functions as F
+
+    from dend_covid19_spark.plans.timeseries import bitmap_distinct_users_daily
+
+    got = {
+        r.day: r.n_users_exact
+        for r in bitmap_distinct_users_daily(spark, SF_DIR).collect()
+    }
+    # load_table, not a raw read: events.ts unit is footer-sniffed there
+    want = {
+        r.day: r.exact
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert got == want
