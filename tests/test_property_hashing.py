@@ -60,3 +60,49 @@ def test_hashing_layer_matches_duckdb(spark, texts):
     s = {r.text: (r.h32, tuple(r.shingles), tuple(r.sig), r.simhash) for r in _spark_exprs(spark, texts)}
     d = {t: (h, tuple(sh), tuple(sig), sim) for t, h, sh, sig, sim in _duck_exprs(texts)}
     assert s == d
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_interleave_matches_reference(spark, pairs):
+    """The z-order magic-mask spread must equal the bit-by-bit Morton
+    reference for arbitrary 16-bit pairs, in BOTH dialects (Spark
+    shiftleft() and DuckDB <<) — the expression zorder_layout_orders
+    builds its curve from."""
+    from dend_covid19_spark.operators.scale import _duck_shl, _morton2, _spark_shl
+
+    def reference(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [reference(x, y) for x, y in pairs]
+
+    expr = _morton2("x", "y", _spark_shl)
+    df = spark.createDataFrame(pairs, "x long, y long").selectExpr(f"{expr} AS z")
+    got_spark = [r.z for r in df.collect()]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    dexpr = _morton2("x", "y", _duck_shl)
+    # VALUES literals type as INTEGER; shift in BIGINT like the real op
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {dexpr} FROM (SELECT CAST(xi AS BIGINT) AS x, "
+            f"CAST(yi AS BIGINT) AS y FROM (VALUES {vals}) t(xi, yi)) s"
+        ).fetchall()
+    ]
+    assert got_duck == want
