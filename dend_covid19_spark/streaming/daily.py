@@ -329,6 +329,32 @@ def _latest_snapshot(target_dir: str) -> str | None:
     return best
 
 
+def read_snapshot(
+    spark: SparkSession, target_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read over the versioned snapshots
+    run_upsert_foreach_batch maintains: ``version=None`` returns the
+    newest committed snapshot, ``version=n`` returns ``v{n}`` as of that
+    micro-batch — the AS OF VERSION read the table-format engines
+    (Delta/Iceberg) expose, over plain parquet + _SUCCESS markers.
+    Uncommitted (crashed mid-write) version dirs are never served.
+
+    Raises FileNotFoundError when no committed snapshot (or the named
+    one) exists, rather than returning an empty frame that would read as
+    an empty table."""
+    import os
+
+    if version is None:
+        path = _latest_snapshot(target_dir)
+        if path is None:
+            raise FileNotFoundError(f"no committed snapshot under {target_dir}")
+    else:
+        path = os.path.join(target_dir, f"v{version}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise FileNotFoundError(f"snapshot v{version} not committed in {target_dir}")
+    return spark.read.parquet(path)
+
+
 def run_upsert_foreach_batch(
     spark: SparkSession,
     src_dir: str,

@@ -344,3 +344,58 @@ def test_upsert_snapshot_restart(spark, tmp_path):
     # restart with nothing new: same snapshot back, no assert trip
     p3 = run_upsert_foreach_batch(spark, str(src), str(snaps), str(ckpt))
     assert p3 == p2
+
+
+def test_read_snapshot_time_travel(spark, tmp_path):
+    """AS OF VERSION reads over the upsert sink's snapshots: latest and
+    by-version must serve exactly the committed states (the old version
+    stays readable after a newer one lands), and asking for a version
+    that never committed raises instead of returning an empty frame."""
+    import datetime
+    import os
+    import re
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dend_covid19_spark.streaming.daily import (
+        read_snapshot,
+        run_upsert_foreach_batch,
+    )
+
+    src = tmp_path / "tt_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    snaps, ckpt = tmp_path / "tt_snaps", tmp_path / "tt_ckpt"
+    p1 = run_upsert_foreach_batch(spark, str(src), str(snaps), str(ckpt))
+    v1 = int(re.fullmatch(r"v(\d+)", os.path.basename(p1)).group(1))
+    n1 = read_snapshot(spark, str(snaps)).count()
+
+    tbl = pq.read_table(str(src / "part-0.parquet"))
+    max_ts = pc.max(tbl["ts"]).as_py()
+    new = pa.table(
+        {
+            "event_id": pa.array([10**9 + 7], pa.int64()),
+            "ts": pa.array(
+                [max_ts + datetime.timedelta(seconds=5)], tbl.schema.field("ts").type
+            ),
+            "user_id": pa.array([10**9 + 7], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(new, str(src / "part-new.parquet"))
+    p2 = run_upsert_foreach_batch(spark, str(src), str(snaps), str(ckpt))
+    v2 = int(re.fullmatch(r"v(\d+)", os.path.basename(p2)).group(1))
+
+    assert read_snapshot(spark, str(snaps)).count() == n1 + 1  # latest
+    assert read_snapshot(spark, str(snaps), v1).count() == n1  # as-of old
+    assert read_snapshot(spark, str(snaps), v2).count() == n1 + 1
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(snaps), v2 + 999)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nowhere"))
