@@ -184,6 +184,7 @@ PRIORITY = [
     "feature_hash_tf64",
     "bitmap_distinct_users_daily",
     "dedup_prefix_filter_join",
+    "referential_integrity_check",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

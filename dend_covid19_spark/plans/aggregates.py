@@ -919,3 +919,82 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_avg"),
         )
     )
+
+
+# --- referential integrity sweep --------------------------------------------
+
+
+@query(
+    "referential_integrity_check",
+    oracle="""
+SELECT 'orders->customer' AS relationship,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS n_orphans,
+       (SELECT count(*) FROM orders) AS n_rows
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+       (SELECT count(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+       (SELECT count(*) FROM lineitem)
+""",
+)
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative referential-integrity sweep over the star schema's
+    four foreign keys: orphan count and row total per relationship —
+    the dbt-test / data-quality-framework check a warehouse runs after
+    every load (an orphan count that moves off zero is the first sign
+    of a broken upstream extract). Composes with operators/quality.py's
+    gates: assert n_orphans == 0 before publishing.
+
+    Plan/scale: each relationship is one LEFT ANTI join + count; the
+    three dimension-keyed checks broadcast their key sets (customer /
+    part / supplier key columns are dimension-sized), so three of the
+    four checks are map-side scans. The lineitem->orders check is
+    fact-fact and shuffles on the order key — at 100 TB that one rides
+    the same bucketed layout the co-located join uses. One scan per
+    relationship by construction; the counts union into a 4-row
+    report."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+
+    def check(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str,
+              broadcast_dim: bool) -> DataFrame:
+        keys = dim.select(F.col(pk).alias(fk)).distinct()
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        orphans = fact.select(fk).join(keys, fk, "left_anti")
+        return (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+            .crossJoin(F.broadcast(fact.agg(F.count(F.lit(1)).alias("n_rows"))))
+        )
+
+    cust = load_table(spark, "customer", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        check("orders->customer", orders, "o_custkey", cust, "c_custkey", True)
+        .unionByName(
+            check("lineitem->orders", li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                  "o_orderkey", orders, "o_orderkey", False)
+        )
+        .unionByName(
+            check("lineitem->part", li.withColumnRenamed("l_partkey", "p_partkey"),
+                  "p_partkey", part, "p_partkey", True)
+        )
+        .unionByName(
+            check("lineitem->supplier", li.withColumnRenamed("l_suppkey", "s_suppkey"),
+                  "s_suppkey", supp, "s_suppkey", True)
+        )
+    )

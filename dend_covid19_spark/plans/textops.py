@@ -698,10 +698,13 @@ def vocab_coverage_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((cum_before) * 10 < total * 9); coverage surfaces as integer ppm
     of the class boundary."""
     docs = load_table(spark, "documents", sf_dir)
+    # |V|-sized word counts feed three consumers (total, count-of-counts,
+    # membership join) — materialize once instead of three corpus scans
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     tot = wc.agg(F.sum("cnt").cast("bigint").alias("total"))
     cc = wc.groupBy("cnt").agg(

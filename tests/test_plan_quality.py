@@ -275,6 +275,7 @@ _NESTED_LOOP_ALLOWED = {
     "vocab_coverage_classes",    # one-row token-total broadcast
     "zorder_layout_orders",      # one-row dimension-bounds broadcast
     "chisq_brand_region",        # one-row grand-total broadcast
+    "referential_integrity_check",  # one-row per-table row-count broadcasts
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
