@@ -185,6 +185,8 @@ PRIORITY = [
     "bitmap_distinct_users_daily",
     "dedup_prefix_filter_join",
     "referential_integrity_check",
+    "events_cumulative_users",
+    "langid_confusion_matrix",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

@@ -878,3 +878,50 @@ def feature_hash_tf64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("doc_id", F.col("dim").cast("bigint").alias("dim")).agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+# --- language-ID confusion matrix -------------------------------------------
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+sc AS (
+    SELECT doc_id, lang,
+           {_duck_hits("en")} AS s_en,
+           {_duck_hits("es")} AS s_es,
+           {_duck_hits("de")} AS s_de
+    FROM tok
+)
+SELECT lang AS declared_lang,
+       {_LANGID_CASE} AS predicted_lang,
+       count(*) AS n_docs
+FROM sc
+GROUP BY 1, 2
+""",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the heuristic language identifier: declared
+    label x predicted label with document counts — the classifier-eval
+    rollup run over every model-scored column before trusting it as a
+    filter (exactly how a langid gate gets audited before it drops a
+    language from the corpus). Composes text_langid's codegen scoring
+    with one tiny aggregate; |langs|^2 output rows, partial-agg'd
+    map-side. One scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    sc = docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.expr("split(text, ' ')").alias("toks"),
+    ).select(
+        "declared_lang",
+        F.expr(_spark_hits("en")).alias("s_en"),
+        F.expr(_spark_hits("es")).alias("s_es"),
+        F.expr(_spark_hits("de")).alias("s_de"),
+    )
+    return (
+        sc.select("declared_lang", F.expr(_LANGID_CASE).alias("predicted_lang"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

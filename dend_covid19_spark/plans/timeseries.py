@@ -1399,3 +1399,42 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_bitmap_words"),
     )
+
+
+# --- cumulative distinct users (growth curve) -------------------------------
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+WITH f AS (
+    SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+    FROM events GROUP BY 1
+),
+d AS (SELECT first_day AS day, count(*) AS new_users FROM f GROUP BY 1)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+FROM d
+""",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the all-time growth curve.
+    The naive form (distinct over an ever-growing prefix per day) is
+    O(days x events); the scalable identity: a user enters the
+    cumulative count exactly once, on their FIRST day, so first-seen
+    per user -> new users per day -> running sum over the
+    calendar-bounded day series (a |days|-row single-reducer window,
+    allowlisted like the other bounded spines).
+
+    One shuffle on user_id, one day-cardinality rollup. The first-seen
+    table is the same incremental asset daily_new_vs_returning
+    maintains."""
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    d = f.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

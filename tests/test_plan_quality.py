@@ -287,6 +287,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "timeseries_interpolate_linear",  # ~|days| rows, post-aggregate spine
     "date_spine_daily_purchases",     # ~|days| rows, generated spine
     "vocab_coverage_classes",         # count-of-counts rows: O(sqrt(tokens))
+    "events_cumulative_users",        # ~|days| rows, post-aggregate spine
 }
 
 _WINDOW_ARGS = re.compile(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)")
