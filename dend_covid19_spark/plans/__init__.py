@@ -187,6 +187,8 @@ PRIORITY = [
     "referential_integrity_check",
     "events_cumulative_users",
     "langid_confusion_matrix",
+    "events_dow_hour_profile",
+    "orders_pareto_share",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

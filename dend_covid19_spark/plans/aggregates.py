@@ -998,3 +998,76 @@ def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "s_suppkey", supp, "s_suppkey", True)
         )
     )
+
+
+# --- revenue concentration (Pareto report) ----------------------------------
+
+
+@query(
+    "orders_pareto_share",
+    oracle="""
+WITH c AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+cut AS (SELECT quantile_disc(cents, 0.90) AS p90 FROM c),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+             count(*) AS n_customers FROM c)
+SELECT count(*) AS n_top_customers,
+       t.n_customers,
+       CAST(sum(c.cents) AS BIGINT) AS top_cents,
+       t.total_cents,
+       CAST(sum(c.cents) * 1000000 // t.total_cents AS BIGINT) AS top_share_ppm
+FROM c CROSS JOIN cut CROSS JOIN t
+WHERE c.cents >= cut.p90
+GROUP BY t.n_customers, t.total_cents
+""",
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): what share of total
+    order value comes from customers at or above the p90 per-customer
+    revenue cutoff — the whale-dependence metric every revenue review
+    opens with.
+
+    Exactness: per-customer revenue folds to integer cents (dsum
+    discipline); the p90 cutoff is the KLL sketch's discrete quantile
+    (an actual data element, hash-stable — the
+    approx_quantiles_totalprice convention); the share is one integer
+    floor division.
+
+    Plan/scale: customer-revenue aggregate with map-side partials, a
+    one-row sketch cutoff + one-row totals broadcast back (allowlisted),
+    then a map-side filter + final aggregate. No global sort, no
+    per-customer ranking — the quantile cutoff replaces the top-N-%
+    sort entirely."""
+    o = load_table(spark, "orders", sf_dir)
+    c = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    ).localCheckpoint()  # three consumers: cutoff, totals, filter
+    cut = c.agg(F.percentile_approx("cents", 0.90, 1000000).alias("p90"))
+    t = c.agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return (
+        c.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(t))
+        .where(F.col("cents") >= F.col("p90"))
+        .groupBy("n_customers", "total_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_customers"),
+            F.sum("cents").cast("bigint").alias("top_cents"),
+        )
+        .select(
+            "n_top_customers",
+            "n_customers",
+            "top_cents",
+            "total_cents",
+            F.expr("CAST(top_cents * 1000000 DIV total_cents AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+        )
+    )

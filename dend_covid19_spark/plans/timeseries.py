@@ -1438,3 +1438,45 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# --- weekly seasonality profile ---------------------------------------------
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle="""
+WITH c AS (
+    SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT CAST(CASE WHEN c.dow = 0 THEN 1 ELSE c.dow + 1 END AS BIGINT) AS dow,
+       c.hod,
+       CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+""",
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap: event volume per (day-of-week, hour)
+    cell with integer-ppm share of total — the traffic-shape profile
+    behind capacity planning and anomaly baselines (events_anomaly_zscore
+    flags deviations; this is the baseline it deviates from).
+
+    Engine note: Spark's dayofweek() is 1=Sunday..7=Saturday while
+    DuckDB's dayofweek() is 0=Sunday..6=Saturday — the oracle remaps
+    rather than hiding the trap. One partial-agg shuffle into <= 168
+    cells; the grand total broadcasts back (allowlisted one-row)."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hod",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr("CAST(cnt * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
+    )

@@ -276,6 +276,8 @@ _NESTED_LOOP_ALLOWED = {
     "zorder_layout_orders",      # one-row dimension-bounds broadcast
     "chisq_brand_region",        # one-row grand-total broadcast
     "referential_integrity_check",  # one-row per-table row-count broadcasts
+    "events_dow_hour_profile",   # one-row traffic-total broadcast
+    "orders_pareto_share",       # one-row cutoff + totals broadcasts
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
