@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from ..functions.dedup_sql import duck_components_ctes
 from ..plans.registry import query
 
@@ -152,4 +153,61 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "n_docs",
         "n_removable",
+    )
+
+
+_DUP_RATE_ORACLE = f"""
+WITH RECURSIVE {duck_components_ctes()},
+labels AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+dup AS (SELECT node AS doc_id FROM labels WHERE node <> component),
+per_src AS (
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(dup.doc_id) AS n_redundant
+    FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+    GROUP BY d.source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_redundant AS BIGINT) AS n_redundant,
+       CAST(n_redundant * 1000000 // n_docs AS BIGINT) AS dup_ppm
+FROM per_src
+"""
+
+
+@query("dedup_rate_by_source", oracle=_DUP_RATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate per ingestion source: of each source's
+    documents, how many would a keep-the-canonical policy drop (they
+    belong to a dup group but are not its canonical member) — the
+    per-feed scorecard that tells a corpus owner WHICH crawler or
+    vendor ships redundant data, which is the actionable form of the
+    global dedup numbers (cluster histogram says how much; this says
+    where from).
+
+    Plan/scale: reuses the dedup_components labels (LSH -> verify ->
+    label propagation, all blocked); the redundant set is
+    dup-group-membership minus canonicals, joined back to the documents
+    dimension row (broadcast-sized key list at driver scales; at 100 TB
+    both sides hash-partition on doc_id) and rolled up to |sources|
+    rows with ppm rates in integer arithmetic."""
+    labels = dedup_components(spark, sf_dir)
+    dup = labels.where(~F.col("is_canonical")).select("doc_id")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    flagged = docs.join(
+        dup.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_redundant"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_redundant").cast("bigint").alias("n_redundant"),
+            F.expr("CAST(n_redundant * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
     )

@@ -189,6 +189,10 @@ PRIORITY = [
     "langid_confusion_matrix",
     "events_dow_hour_profile",
     "orders_pareto_share",
+    # queued for the round-6 window (rotation admits them as never-green
+    # once the r5 report lands and its greens rotate out)
+    "orders_interarrival_stats",
+    "dedup_rate_by_source",
 ]
 
 # --- automatic rotation across rounds -------------------------------------

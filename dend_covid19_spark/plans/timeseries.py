@@ -1480,3 +1480,56 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.expr("CAST(cnt * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
     )
+
+
+# --- order inter-arrival gaps -----------------------------------------------
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day', lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), o_orderdate) AS gap_days
+    FROM orders
+)
+SELECT o_custkey,
+       count(gap_days) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(sum(gap_days) * 1000 // count(gap_days) AS BIGINT) AS mean_gap_millidays
+FROM g
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival gaps (days between consecutive
+    orders): count, min/max, and mean in exact milli-days — the
+    purchase-cadence metric behind churn prediction and reorder
+    reminders (a customer whose current silence exceeds their own
+    historical max gap is the churn-risk signal). The events twin is
+    user_event_gap_stats; this is the same discipline on the orders
+    fact with date-granularity arithmetic.
+
+    Exactness: gaps are integer day differences; the mean surfaces as
+    sum*1000 // count (integer floor), so no float accumulates.
+    Plan/scale: ONE customer-key window (orderdate + orderkey
+    tie-break, deterministic) feeding a partial-agg rollup on the same
+    key — single exchange total."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.expr(
+            "CAST(sum(gap_days) * 1000 DIV count(gap_days) AS BIGINT)"
+        ).alias("mean_gap_millidays"),
+    )
