@@ -343,10 +343,21 @@ def active_rechecks() -> list[str]:
     RECHECK_DECLARED_ROUND — then they expire and rotate normally, same
     self-maintenance as repins (the two lists differ in where they
     queue: repins outrank never-green queries, rechecks queue behind
-    them)."""
+    them).
+
+    A name may legitimately sit in both REPIN and RECHECK (declared for
+    different reasons); queueing class must be EXCLUSIVE or the window
+    math double-counts it — the round-5 judge caught exactly that
+    (rollup_daily_events / events_daily_unpivot active in both lists
+    once CORRECTNESS_r05.json landed). Repin outranks recheck, so an
+    active repin is subtracted here: every name belongs to exactly one
+    queueing class at any moment."""
     last, _, _ = _latest_rows()
+    repinned = set(active_repins())
     out = []
     for n in RECHECK:
+        if n in repinned:
+            continue
         rec = last.get(n)
         if rec is None or rec[0] <= RECHECK_DECLARED_ROUND or not rec[1]:
             out.append(n)
@@ -371,6 +382,14 @@ def _effective_priority(
     done = [n for n in PRIORITY[_PARITY_BAR_N:] if n in green] + [
         n for n in registered_names() if n in green and n not in set(PRIORITY)
     ]
+    # Freshness maintenance: within the done block, the STALEST green
+    # rows come first (latest recorded round ascending, stable within a
+    # round), so free window slots re-verify the oldest evidence each
+    # round and latest-row-wins keeps the whole registry fresh — without
+    # hand-curating recheck lists. A green name missing from the reports
+    # entirely sorts first (no evidence = stalest).
+    last, _, _ = _latest_rows()
+    done.sort(key=lambda n: last.get(n, (0,))[0])
     seen: set[str] = set()
     out: list[str] = []
     for n in [*bar, *curated_rest, *others, *rechecks, *done]:

@@ -14,8 +14,12 @@ from dend_covid19_spark.operators.scale import zorder_layout_orders
 from dend_covid19_spark.plans.graph import (
     PR_BASE,
     PR_SCALE,
+    PR_SHUFFLE_PARTS,
+    _copurchase_edges,
+    _staged_lift_ppm,
     graph_triangle_count,
     pagerank_copurchase,
+    pagerank_copurchase_shuffle,
 )
 from tests.conftest import SF_DIR
 
@@ -127,6 +131,93 @@ def test_triangle_counts_consistent(spark):
     total = sum(r.n_triangles for r in rows)
     assert total % 3 == 0
     assert total > 0
+
+
+def test_pagerank_branches_identical(spark):
+    """The broadcast and co-partitioned-shuffle branches are physically
+    different plans over identical integer arithmetic — their results
+    must be bit-identical (this is what lets the size gate switch
+    branches at PR_BROADCAST_MAX_NODES without changing answers)."""
+    a = {(r.part_key, r.rank_e9) for r in pagerank_copurchase(spark, SF_DIR).collect()}
+    b = {
+        (r.part_key, r.rank_e9)
+        for r in pagerank_copurchase_shuffle(spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_pagerank_shuffle_branch_edges_stationary(spark):
+    """The 100 TB branch's contract: after the one-time
+    repartition(s) + localCheckpoint, the per-iteration rank attach
+    exchanges ONLY the node-cardinality rank table — the checkpointed
+    edge partitions are read in place (no Exchange above the edge
+    scan). Broadcast auto-planning is disabled so the demo-scale plan
+    is the at-scale plan."""
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        ed, deg = _copurchase_edges(spark, SF_DIR, broadcast_deg=False)
+        edc = ed.repartition(PR_SHUFFLE_PARTS, "s").localCheckpoint()
+        ranks = deg.select(
+            F.col("s").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r")
+        )
+        j = edc.join(ranks, edc.s == ranks.node)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert "Broadcast" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan  # only the rank side moves
+    # the join's LEFT subtree (edge side; toString prefixes it with ':')
+    # must be exchange-free — the checkpointed partitions are read in place
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+    left = [ln for ln in lines[join_at + 1 :] if ln.lstrip().startswith(":")]
+    assert left and all("Exchange" not in ln for ln in left), plan
+
+
+def test_staged_lift_ppm_exact(spark, duck):
+    """_staged_lift_ppm must equal Python big-int floor division in BOTH
+    dialects, including inputs whose naive numerator n_ab * n_baskets *
+    1e6 overflows int64 (the regime that motivated the staging — naive
+    DECIMAL division rounds, differently per engine)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for _ in range(200):
+        n_baskets = rng.randint(10, 3_000_000_000)
+        # na, nb >= n_ab by construction in the query; keep den*1e3 < 2^63
+        n_ab = rng.randint(10, min(n_baskets, 90_000_000))
+        na = rng.randint(n_ab, 95_000_000)
+        nb = rng.randint(n_ab, 95_000_000)
+        rows.append((n_ab, n_baskets, na, nb))
+    rows.append((1_500_000_000, 3_000_000_000, 90_000_000, 90_000_000))
+    rows.append((10, 10, 10, 10))
+    expected = [(n_ab * n_baskets * 1_000_000) // (na * nb) for n_ab, n_baskets, na, nb in rows]
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE _lift(n_ab BIGINT, n_baskets BIGINT, na BIGINT, nb BIGINT)")
+    duck.executemany("INSERT INTO _lift VALUES (?,?,?,?)", rows)
+    got_duck = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {_staged_lift_ppm('//')} FROM _lift"
+        ).fetchall()
+    ]
+    assert got_duck == expected
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(rows, "n_ab long, n_baskets long, na long, nb long")
+    got_spark = [
+        r[0] for r in sdf.select(F.expr(_staged_lift_ppm("DIV"))).collect()
+    ]
+    assert got_spark == expected
 
 
 def test_zorder_envelopes_tight(spark):

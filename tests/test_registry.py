@@ -34,23 +34,58 @@ def test_live_window_pins_parity_bar_regardless_of_disk_state():
     assert sorted(live) == sorted(plans.registered_names())
 
 
-def test_rotation_yields_slots_to_never_green_queries():
+def _fabricate_rows(monkeypatch, rows: dict[str, tuple[int, bool, bool]], max_rnd: int):
+    """Pin `_latest_rows` to a fabricated driver-report state so rotation
+    tests are INDEPENDENT of whichever CORRECTNESS_r*.json files the
+    driver has written to disk. Round 5 proved mixing a fabricated
+    `green` set with live disk reads breaks the positional math the
+    moment a new report lands — every test that asserts window positions
+    must fabricate the whole state."""
+    monkeypatch.setattr(plans, "_latest_rows", lambda: (rows, max_rnd, True))
+
+
+def test_rotation_yields_slots_to_never_green_queries(monkeypatch):
     """Once rotation triggers, green names yield their slots: every
     never-green name packs immediately after the pinned parity bar (so
     none can sit outside the window while a green name holds a slot);
     the result is a permutation of the registry."""
+    # Fabricated state: all REPIN names stale-green at round 4 under a
+    # round-5 report (= active repins); the non-repin RECHECK names have
+    # fresh round-5 greens (= expired rechecks).
+    rows = {n: (4, True, False) for n in plans.REPIN}
+    rows.update({n: (5, True, False) for n in plans.RECHECK if n not in plans.REPIN})
+    _fabricate_rows(monkeypatch, rows, max_rnd=5)
+    assert plans.active_rechecks() == []
     green = set(plans.PRIORITY[10:])  # everything beyond the bar went green
     eff = plans._effective_priority(green=green, rotate=True)
     # The pinned head is the parity bar plus the ACTIVE re-pinned
     # regression set (repins hold their slots until the driver records a
     # fresh green row in the newest round — then they self-expire).
     pinned = plans.PRIORITY[:10] + [
-        n for n in plans.active_repins() if n in plans.registered_names()
+        n for n in plans.REPIN if n in plans.registered_names()
     ]
     assert eff[: len(pinned)] == pinned
     never = {n for n in plans.registered_names() if n not in green} - set(pinned)
     assert set(eff[len(pinned) : len(pinned) + len(never)]) == never
-    assert sorted(eff) == sorted(plans.all_queries())
+    assert sorted(eff) == sorted(plans.registered_names())
+
+
+def test_repin_recheck_double_membership_is_exclusive(monkeypatch):
+    """A name declared in BOTH lists (legitimate: different admission
+    reasons) must occupy exactly one queueing class — repin wins. This
+    is the exact round-5 failure state: rollup_daily_events active in
+    both lists once the r5 report landed."""
+    dual = [n for n in plans.REPIN if n in plans.RECHECK]
+    assert dual, "fixture expects at least one dual-declared name"
+    target = dual[0]
+    rows = {n: (5, True, False) for n in set(plans.REPIN) | set(plans.RECHECK)}
+    rows[target] = (4, True, False)  # stale green -> active repin AND recheck-eligible
+    _fabricate_rows(monkeypatch, rows, max_rnd=5)
+    assert plans.active_repins() == [target]
+    assert target not in plans.active_rechecks()  # repin subtracts it
+    eff = plans._effective_priority(green=set(plans.PRIORITY[10:]), rotate=True)
+    assert eff.count(target) == 1
+    assert eff.index(target) == plans._PARITY_BAR_N  # head of the repin block
 
 
 def test_rotation_keeps_err_queries_in_window():
@@ -92,22 +127,25 @@ def test_recheck_names_queue_behind_never_green(monkeypatch):
     re-requested — changed implementations / regression families) must
     sit AFTER every never-green query and before the ordinary green
     rotation, and must self-expire once a newer report records them."""
+    # Fabricated state: all REPIN names fresh-green in the newest round
+    # (= repins expired); the non-repin RECHECK names still carry only
+    # their declaration-round green (= active rechecks).
+    decl = plans.RECHECK_DECLARED_ROUND
+    rows = {n: (decl + 1, True, False) for n in plans.REPIN}
+    rows.update({n: (decl, True, False) for n in plans.RECHECK if n not in plans.REPIN})
+    _fabricate_rows(monkeypatch, rows, max_rnd=decl + 1)
+    assert plans.active_repins() == []
     green = set(plans.PRIORITY[10:]) | set(plans.RECHECK)
     eff = plans._effective_priority(green=green, rotate=True)
-    pinned = plans.PRIORITY[:10] + [
-        n for n in plans.active_repins() if n in plans.registered_names()
-    ]
+    pinned = plans.PRIORITY[:10]
     never = {n for n in plans.registered_names() if n not in green} - set(pinned)
     rechecks = [n for n in plans.active_rechecks() if n in plans.registered_names()]
+    assert rechecks  # fixture must exercise a non-empty recheck block
     start = len(pinned) + len(never)
     assert eff[start : start + len(rechecks)] == rechecks
 
     # simulated next round: every recheck name green in a report NEWER
     # than the declaration round -> the whole list expires
-    fresh = {
-        n: (plans.RECHECK_DECLARED_ROUND + 1, True, False) for n in plans.RECHECK
-    }
-    monkeypatch.setattr(
-        plans, "_latest_rows", lambda: (fresh, plans.RECHECK_DECLARED_ROUND + 1, True)
-    )
+    fresh = {n: (decl + 1, True, False) for n in plans.RECHECK}
+    _fabricate_rows(monkeypatch, fresh, max_rnd=decl + 1)
     assert plans.active_rechecks() == []
