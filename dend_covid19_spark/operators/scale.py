@@ -327,12 +327,15 @@ def _duck_shl(e: str, n: int) -> str:
     return f"({e} << {n})"
 
 
-_Z_NORM = "CAST(({v} - {lo}) * 65535 DIV greatest({hi} - {lo}, 1) AS BIGINT)"
+# Integer-division spelling is a per-dialect parameter like `shl` —
+# never post-hoc string surgery over a rendered expression (a constant,
+# alias, or mask containing the substring would silently corrupt it).
+_Z_NORM = "CAST(({v} - {lo}) * 65535 {idiv} greatest({hi} - {lo}, 1) AS BIGINT)"
 
 
-def _zorder_exprs(shl) -> str:
-    nx = _Z_NORM.format(v="ck", lo="ck_lo", hi="ck_hi")
-    ny = _Z_NORM.format(v="dy", lo="dy_lo", hi="dy_hi")
+def _zorder_exprs(shl, idiv: str) -> str:
+    nx = _Z_NORM.format(v="ck", lo="ck_lo", hi="ck_hi", idiv=idiv)
+    ny = _Z_NORM.format(v="dy", lo="dy_lo", hi="dy_hi", idiv=idiv)
     return _morton2(f"({nx})", f"({ny})", shl)
 
 
@@ -348,7 +351,7 @@ b AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
              min(dy) AS dy_lo, max(dy) AS dy_hi FROM d),
 z AS (
     SELECT d.ck, d.dy,
-           CAST({_zorder_exprs(_duck_shl).replace('DIV', '//')} AS BIGINT) AS zval
+           CAST({_zorder_exprs(_duck_shl, "//")} AS BIGINT) AS zval
     FROM d CROSS JOIN b
 )
 SELECT CAST(zval // {1 << ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
@@ -393,7 +396,7 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dy").alias("dy_hi"),
     )
     z = d.crossJoin(F.broadcast(b)).select(
-        "ck", "dy", F.expr(f"CAST({_zorder_exprs(_spark_shl)} AS BIGINT)").alias("zval")
+        "ck", "dy", F.expr(f"CAST({_zorder_exprs(_spark_shl, 'DIV')} AS BIGINT)").alias("zval")
     )
     return (
         z.groupBy(

@@ -16,6 +16,16 @@ from ..catalog import load_table, register_views
 from .parity import _sql_dsum, dsum
 from .registry import query
 
+# Shared accuracy for every percentile_approx in this module. The
+# sketch's rank error is ~n/accuracy, so the "returns the exact
+# discrete quantile element, hash-identical to DuckDB quantile_disc"
+# convention holds ONLY while per-group cardinality n stays under
+# ~PCTL_ACCURACY. tests/test_aggregates_props.py pins that headroom at
+# test scale; past the bound, scale this constant with sf (O(accuracy)
+# sketch memory per group) or use the two-pass exact-cutoff pattern
+# (plans/llm_pipeline.py quality_percentile_gate_2pass).
+PCTL_ACCURACY = 1_000_000
+
 
 @query(
     "q6_forecast_revenue",
@@ -371,10 +381,10 @@ def approx_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, "orders", sf_dir)
     return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.25, 1000000).alias("p25"),
-        F.percentile_approx("o_totalprice", 0.50, 1000000).alias("p50"),
-        F.percentile_approx("o_totalprice", 0.75, 1000000).alias("p75"),
-        F.percentile_approx("o_totalprice", 0.90, 1000000).alias("p90"),
+        F.percentile_approx("o_totalprice", 0.25, PCTL_ACCURACY).alias("p25"),
+        F.percentile_approx("o_totalprice", 0.50, PCTL_ACCURACY).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.75, PCTL_ACCURACY).alias("p75"),
+        F.percentile_approx("o_totalprice", 0.90, PCTL_ACCURACY).alias("p90"),
     )
 
 
@@ -882,10 +892,17 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlier-driven KPI swings (a single fat-finger purchase stops moving
     the daily average).
 
-    The percentiles come from the mergeable KLL sketch at accuracy 1e6
-    (percentile_approx), which at driver scales returns the exact
-    discrete quantile element — the proved approx_quantiles_totalprice
-    convention, hash-identical to DuckDB's quantile_disc. The clamped
+    The percentiles come from the mergeable sketch at PCTL_ACCURACY
+    (percentile_approx), which returns the exact discrete quantile
+    element — hash-identical to DuckDB's quantile_disc — ONLY while the
+    per-group cardinality stays under ~PCTL_ACCURACY (the sketch's rank
+    error is ~n/accuracy; past ~1e6 rows per event_type the picked
+    element can differ by a rank and flip the hash). That validity
+    precondition is pinned at test scale by
+    tests/test_aggregates_props.py::test_percentile_accuracy_headroom;
+    past it, raise PCTL_ACCURACY with sf (cost is O(accuracy) sketch
+    memory per group) or switch to the two-pass exact form
+    (quality_percentile_gate_2pass's pattern). The clamped
     sum goes through the DECIMAL cast (dsum discipline) so accumulation
     order can't flip the hash; the avg divides AFTER the deterministic
     rounded total.
@@ -897,8 +914,8 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full per-type sort instead."""
     ev = load_table(spark, "events", sf_dir)
     q = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.05, 1000000).alias("p05"),
-        F.percentile_approx("value", 0.95, 1000000).alias("p95"),
+        F.percentile_approx("value", 0.05, PCTL_ACCURACY).alias("p05"),
+        F.percentile_approx("value", 0.95, PCTL_ACCURACY).alias("p95"),
     )
     return (
         ev.join(F.broadcast(q), "event_type")
@@ -957,27 +974,37 @@ def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a broken upstream extract). Composes with operators/quality.py's
     gates: assert n_orphans == 0 before publishing.
 
-    Plan/scale: each relationship is one LEFT ANTI join + count; the
+    Plan/scale: each relationship is ONE scan of its fact table — a
+    LEFT OUTER join against the (distinct, marker-tagged) key set, then
+    a single aggregate deriving both the orphan count (null marker) and
+    the row total from the same pass (the r5 ADVICE fix: the previous
+    anti-join + separate full count paid the fact scan twice). The
     three dimension-keyed checks broadcast their key sets (customer /
-    part / supplier key columns are dimension-sized), so three of the
-    four checks are map-side scans. The lineitem->orders check is
-    fact-fact and shuffles on the order key — at 100 TB that one rides
-    the same bucketed layout the co-located join uses. One scan per
-    relationship by construction; the counts union into a 4-row
+    part / supplier key columns are dimension-sized), so those joins
+    are map-side. The lineitem->orders check is fact-fact and shuffles
+    on the order key — at 100 TB that one rides the same bucketed
+    layout the co-located join uses. The counts union into a 4-row
     report."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
 
     def check(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str,
               broadcast_dim: bool) -> DataFrame:
-        keys = dim.select(F.col(pk).alias(fk)).distinct()
+        keys = dim.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "_hit", F.lit(1)
+        )
         if broadcast_dim:
             keys = F.broadcast(keys)
-        orphans = fact.select(fk).join(keys, fk, "left_anti")
         return (
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-            .select(F.lit(name).alias("relationship"), "n_orphans")
-            .crossJoin(F.broadcast(fact.agg(F.count(F.lit(1)).alias("n_rows"))))
+            fact.select(fk)
+            .join(keys, fk, "left")
+            .agg(
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .select(F.lit(name).alias("relationship"), "n_orphans", "n_rows")
         )
 
     cust = load_table(spark, "customer", sf_dir)
@@ -1047,7 +1074,7 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
         ).alias("cents")
     ).localCheckpoint()  # three consumers: cutoff, totals, filter
-    cut = c.agg(F.percentile_approx("cents", 0.90, 1000000).alias("p90"))
+    cut = c.agg(F.percentile_approx("cents", 0.90, PCTL_ACCURACY).alias("p90"))
     t = c.agg(
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.count(F.lit(1)).alias("n_customers"),

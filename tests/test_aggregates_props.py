@@ -1,0 +1,63 @@
+"""Validity-precondition pins for the aggregate plans (r5 ADVICE items):
+
+- percentile_approx's "exact discrete quantile, hash-identical to
+  DuckDB quantile_disc" convention only holds while per-group
+  cardinality stays under ~PCTL_ACCURACY — pin the headroom so a data
+  regeneration or sf bump that breaches it fails HERE with a clear
+  message instead of as an opaque hash mismatch in the driver report.
+- referential_integrity_check claims one fact-table scan per
+  relationship — pin the scan count so a refactor back to the
+  anti-join + separate-count form (two scans) is caught.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dend_covid19_spark.catalog import load_table
+from dend_covid19_spark.plans.aggregates import (
+    PCTL_ACCURACY,
+    referential_integrity_check,
+)
+from tests.conftest import SF_DIR
+
+
+def test_percentile_accuracy_headroom(spark):
+    """Every percentile_approx group in this module must sit well below
+    the accuracy parameter (10x headroom at test scale; the driver's
+    sf0.01 and sf0.1 are 10x/100x this, still inside the bound). The
+    grouped sites are events.value by event_type and orders revenue by
+    customer (ungrouped = the whole-table cardinality)."""
+    ev_max = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    orders_n = load_table(spark, "orders", SF_DIR).count()
+    # driver max scale is sf0.1 = 100x sf0.001; require 100x headroom
+    # at this scale so the convention provably holds at every scale the
+    # driver checks.
+    assert ev_max * 100 <= PCTL_ACCURACY, (
+        f"events per-type cardinality {ev_max} too close to "
+        f"PCTL_ACCURACY={PCTL_ACCURACY}: the exact-quantile convention "
+        "is no longer guaranteed — raise PCTL_ACCURACY or switch to the "
+        "two-pass exact-cutoff pattern"
+    )
+    assert orders_n * 100 <= PCTL_ACCURACY, (orders_n, PCTL_ACCURACY)
+
+
+def test_referential_integrity_single_scan_per_relationship(spark):
+    """The one-pass form: lineitem backs three relationships and orders
+    backs two (one as fact, one as dimension key set) — the plan must
+    contain exactly that many scans of each, not the doubled count the
+    anti-join + separate-count form pays."""
+    df = referential_integrity_check(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scans = len(re.findall(r"lineitem\.parquet", plan))
+    o_scans = len(re.findall(r"orders\.parquet", plan))
+    assert li_scans == 3, f"expected 3 lineitem scans, plan has {li_scans}"
+    assert o_scans == 2, f"expected 2 orders scans, plan has {o_scans}"
