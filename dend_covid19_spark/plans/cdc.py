@@ -255,3 +255,141 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --- snapshot time travel (AS OF VERSION) -----------------------------------
+# Scratch store the time-travel query materializes once per (source
+# data version, pid) — same write-once scoping discipline as
+# operators/scale._bucket_scratch (concurrent sessions / scale
+# switches never race a shared path).
+_SNAPSHOT_BOUND: dict[str, str] = {}
+
+
+def _snapshot_scratch(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_ingest", f"snap_{token}_{os.getpid()}"
+    )
+
+
+def _ensure_snapshot_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-version snapshot store from ``events``:
+    v0 = latest state per user as of 2024-01-15, v1 = v0 merged with
+    the post-cutoff CDC batch (== latest state over all events, the
+    algebraic identity the oracle leans on), plus an UNCOMMITTED v2
+    directory (files, no _SUCCESS) simulating a crashed mid-write —
+    which the version resolver must never serve."""
+    import os
+
+    scratch = _snapshot_scratch(sf_dir)
+    if _SNAPSHOT_BOUND.get("dir") == scratch and os.path.exists(
+        os.path.join(scratch, "v1", "_SUCCESS")
+    ):
+        return scratch
+    from ..streaming.daily import read_snapshot
+
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("value")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("value").desc()
+    )
+    v0 = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    v0.write.mode("overwrite").parquet(os.path.join(scratch, "v0"))
+    # v1 merges the update batch into the COMMITTED v0 read back through
+    # the version reader itself, so the store's read path is on the
+    # verified path end-to-end
+    current = read_snapshot(spark, scratch, version=0)
+    v1 = merge_upsert(
+        current, ev.where(F.col("ts") >= cutoff), key="user_id", ts_col="ts"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(scratch, "v1"))
+    # crashed mid-write: data files present, no _SUCCESS marker
+    v2 = os.path.join(scratch, "v2")
+    os.makedirs(v2, exist_ok=True)
+    with open(os.path.join(v2, "part-00000-crashed.parquet"), "wb") as fh:
+        fh.write(b"not a committed snapshot")
+    success = os.path.join(v2, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    _SNAPSHOT_BOUND["dir"] = scratch
+    return scratch
+
+
+@query(
+    "snapshot_time_travel_read",
+    oracle="""
+WITH base AS (
+    SELECT user_id, ts, event_id, round(value, 2) AS value FROM events
+), as_of AS (
+    SELECT user_id, ts, value FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM base WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ) WHERE rn = 1
+), latest AS (
+    SELECT user_id, ts, value FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM base
+    ) WHERE rn = 1
+)
+SELECT 'as_of_v0' AS snapshot, count(*) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       CAST(max(ts) AS DATE) AS last_day
+FROM as_of
+UNION ALL
+SELECT 'latest', count(*),
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE),
+       CAST(max(ts) AS DATE)
+FROM latest
+""",
+)
+def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF VERSION time travel under driver verification (the r5
+    verdict's optional item 8): a versioned parquet+_SUCCESS snapshot
+    store (streaming/daily.py:read_snapshot / run_upsert_foreach_batch's
+    layout, ref-free Delta-style time travel) is materialized from
+    ``events`` — v0 as of 2024-01-15, v1 after a CDC merge, and a fake
+    crashed v2 with data files but NO commit marker. The query reads
+    ``version=0`` (pinned history) and ``version=None`` (latest
+    committed — which must resolve v1, SKIPPING the uncommitted v2) and
+    reports per-snapshot aggregates the oracle recomputes straight from
+    events: as-of = latest-per-user below the cutoff; latest = latest-
+    per-user overall (v0 ⊕ updates ≡ full recompute — the merge
+    identity). A resolver bug (serving v2, or v0 as latest) changes
+    n_users/total_value and fails the hash.
+
+    Scale: snapshot build is one latest-per-key shuffle + one merge;
+    the versioned-directory pattern itself is O(1) metadata per commit
+    — the production concern (snapshot rewrite amortization) is
+    documented on run_upsert_foreach_batch."""
+    from ..streaming.daily import read_snapshot
+
+    scratch = _ensure_snapshot_store(spark, sf_dir)
+
+    def report(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.to_date(F.max("ts")).alias("last_day"),
+        ).select(F.lit(label).alias("snapshot"), "n_users", "total_value", "last_day")
+
+    return report("as_of_v0", read_snapshot(spark, scratch, version=0)).unionByName(
+        report("latest", read_snapshot(spark, scratch, version=None))
+    )
