@@ -875,3 +875,119 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernandez & Stolfo SNM)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 5  # pair each doc with its next W-1 neighbors in sort order
+SNM_PARTS = 32  # range partitions for the distributed global rank
+
+_SNM_JACCARD_DUCK = (
+    "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    " / len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+)
+
+_SNM_ORACLE = f"""
+WITH {duck_minhash_cte()},
+r AS (
+    SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rnk
+    FROM documents
+),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rnk - a.rnk AS rank_dist
+    FROM r a JOIN r b
+      ON b.rnk > a.rnk AND b.rnk - a.rnk <= {SNM_WINDOW - 1}
+)
+SELECT p.doc_a, p.doc_b, CAST(p.rank_dist AS BIGINT) AS rank_dist,
+       {_SNM_JACCARD_DUCK} AS jaccard
+FROM p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+"""
+
+
+@query("dedup_sorted_neighborhood", oracle=_SNM_ORACLE)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo's SNM): sort the
+    corpus by a similarity-correlated key (lang, n_chars, doc_id),
+    slide a W=5 window down the GLOBAL sort order, and verify every
+    in-window pair with exact shingle Jaccard — the third pair-blocking
+    paradigm next to hash blocking (LSH/SimHash bands) and value-band
+    blocking (the fuzzy join): O(n*W) candidates by construction, and
+    it catches near-dups whose hashes land in different buckets but
+    whose sort keys collide.
+
+    The scale problem SNM poses on Spark is the GLOBAL rank: a naive
+    row_number() over an unpartitioned window serializes the corpus
+    through one task. This runs the distributed two-phase rank instead:
+    repartitionByRange on the sort key + sortWithinPartitions (the
+    parallel ORDER BY), localCheckpoint to freeze the sampled range
+    boundaries, then per-partition counts (a bounded control-plane
+    collect of SNM_PARTS integers) turned into prefix offsets that are
+    broadcast-joined back so global_rank = partition_offset + local
+    row_number — every phase is parallel, nothing single-partition.
+    Ranks are deterministic regardless of where the sampled range
+    boundaries fall (the total order has the doc_id tiebreak).
+
+    Pairing is a BANDED self-join on the rank (bucket = rank DIV
+    (W-1); the right side joins its own and the preceding bucket), so
+    the join is equi-key and each bucket holds W-1 rows — no range
+    predicate ever degrades it to a broadcast nested loop. Rank-window
+    pairs then verify with the same exact-Jaccard expression the LSH
+    verify stage uses (no threshold: the report carries every window
+    pair with its score; the dedup decision is a downstream WHERE)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    keys = ["lang", "n_chars", "doc_id"]
+    s = (
+        docs.repartitionByRange(SNM_PARTS, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze sampled boundaries: counts and ranks must see one layout
+    )
+    counts = {r["pid"]: r["cnt"] for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in range(SNM_PARTS):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy(*keys)
+    ranked = (
+        s.join(F.broadcast(off), "pid")
+        .withColumn("rnk", F.col("off") + F.row_number().over(w))
+        .select("doc_id", "rnk")
+    )
+    band = SNM_WINDOW - 1
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.expr(f"rnk DIV {band}").alias("bkt"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.explode(F.expr(f"array(rnk DIV {band}, rnk DIV {band} - 1)")).alias("bkt"),
+    )
+    pairs = (
+        a.join(b, "bkt")
+        .where(
+            (F.col("rnk_b") > F.col("rnk_a"))
+            & (F.col("rnk_b") - F.col("rnk_a") <= band)
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("rnk_b") - F.col("rnk_a")).cast("bigint").alias("rank_dist"),
+        )
+    )
+    sigs = _minhash_sigs(spark, sf_dir)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "rank_dist", jac.alias("jaccard"))
+    )

@@ -1098,3 +1098,282 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- count-min sketch frequency audit ---------------------------------------
+# Deterministic integer Count-Min sketch: D x W counter matrix, row d
+# counts events into bucket h_d(key) % W, point estimate = min over
+# rows. Counters are exact integer sums and the hash is the portable
+# md5-derived h32 (functions/hashing.py), so the WHOLE sketch — not
+# just the query result — is bit-identical in both engines. W is kept
+# deliberately small so collisions occur at test scale and the
+# overcount column is non-trivially exercised even at sf0.001's 15
+# distinct users (an overcount needs a collision in ALL D rows; at
+# W=512 that is a <1% event per key). Production widths are 2^16+ —
+# the estimate error bound is total/W per row, so W sizes to the
+# tolerated absolute error, independent of key cardinality.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8
+
+
+@query(
+    "cms_heavy_hitters_audit",
+    oracle=f"""
+WITH dd AS (SELECT unnest(range(0, {CMS_DEPTH})) AS d),
+ex AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+cms AS (
+    SELECT dd.d,
+           {{h}} % {CMS_WIDTH} AS bucket,
+           count(*) AS cnt
+    FROM events CROSS JOIN dd
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT e.user_id, min(c.cnt) AS est_cnt
+    FROM ex e
+    CROSS JOIN dd
+    JOIN cms c ON c.d = dd.d
+              AND c.bucket = {{hq}} % {CMS_WIDTH}
+    GROUP BY 1
+)
+SELECT e.user_id, e.exact_cnt, s.est_cnt,
+       s.est_cnt - e.exact_cnt AS overcount
+FROM ex e JOIN est s USING (user_id)
+""".format(
+        h="CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#' || CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT)",
+        hq="CAST(('0x' || substring(md5(CAST(e.user_id AS VARCHAR) || '#' || CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT)",
+    ),
+)
+def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, audited against the exact
+    counts it approximates: build the D x W sketch over event user_ids,
+    point-query it for every user, and report exact vs estimate with
+    the overcount (the CMS guarantee est >= exact means the column is
+    always >= 0 — pinned by tests/test_aggregates_props.py). This is
+    the mergeable frequency sketch that completes the sketch family
+    (HLL distinct, KLL quantiles, Bloom membership, CMS frequency).
+
+    Plan/scale: the sketch build explodes each event into D (row,
+    bucket) pairs, but the partial aggregate collapses them to at most
+    D*W = 2048 groups PER TASK before the shuffle — the shuffle volume
+    is tasks x 2048 counters, independent of data volume, exactly a
+    distributed sketch merge. The finished sketch (2048 rows) and the
+    depth spine broadcast onto the point-query join; the per-user exact
+    side is one ordinary groupBy. At 100 TB you keep the sketch and
+    drop the exact side — it exists here because the audit IS the
+    query."""
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    dd = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '#',"
+        f" CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+    cms = (
+        ev.crossJoin(F.broadcast(dd))
+        .groupBy("d", F.expr(h).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = (
+        ex.select("user_id")
+        .crossJoin(F.broadcast(dd))
+        .withColumn("bucket", F.expr(h))
+        .join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return ex.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# --- key-skew audit (shuffle-planning telemetry) ----------------------------
+
+_SKEW_KEYS = [
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+]
+
+# HHI (Herfindahl concentration) over per-key row shares, reported in
+# ppm: sum over keys of share^2, = sum(cnt^2) / total^2. The moment
+# sums run in 128-bit-exact arithmetic (DECIMAL(38,0) / HUGEINT —
+# addition and multiplication are exact there, see events_rolling_corr
+# _wide) and the single division happens once, in DOUBLE, in an
+# expression shared verbatim by both engines.
+_HHI_EXPR = (
+    "round(CAST(sum_sq AS DOUBLE) * 1000000.0"
+    " / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 4)"
+)
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for label, table, col in _SKEW_KEYS:
+        parts.append(f"""
+SELECT '{label}' AS keyed, n_keys, total, max_cnt,
+       CAST(max_cnt * 1000000 // total AS BIGINT) AS top_share_ppm,
+       {_HHI_EXPR} AS hhi_ppm
+FROM (
+    SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           sum(CAST(cnt AS HUGEINT) * cnt) AS sum_sq
+    FROM (SELECT {col}, count(*) AS cnt FROM {table} GROUP BY 1)
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("key_skew_audit", oracle=_skew_oracle())
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew telemetry — the report that decides whether a
+    join/agg key needs salting (operators/scale.py) or AQE skew
+    splitting BEFORE the job runs: per candidate key, the key count,
+    the heaviest key's row share, and the Herfindahl concentration
+    index (hhi_ppm; 1e6 = one key owns everything, 1e6/n_keys =
+    perfectly uniform — its reciprocal is the effective key count that
+    actually sizes the biggest shuffle partition). TPC-H l_orderkey is
+    near-uniform while user activity skews — exactly the contrast the
+    report should surface. Complements operators/scale.py's
+    key_skew_profile: that lists the 20 hottest values of ONE key for
+    salting decisions; this scores whole-distribution concentration
+    across candidate keys in one fixed-size report.
+
+    Exactness: counts are integers; sum(cnt^2) runs in 128-bit-exact
+    arithmetic (DECIMAL(38,0) Spark / HUGEINT DuckDB) so it never
+    wraps (int64 dies once a key passes ~3e9 rows); top share is
+    integer ppm floor-division; the one float division sits in a
+    shared-verbatim expression. Plan: one groupBy per audited key with
+    map-side partials, then a one-row second-level aggregate — the
+    audit costs one shuffle per key at key cardinality, nothing at row
+    cardinality."""
+    out = None
+    for label, table, col in _SKEW_KEYS:
+        t = load_table(spark, table, sf_dir)
+        per_key = t.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        one = (
+            per_key.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cnt").cast("bigint").alias("total"),
+                F.max("cnt").cast("bigint").alias("max_cnt"),
+                F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias(
+                    "sum_sq"
+                ),
+            )
+            .select(
+                F.lit(label).alias("keyed"),
+                "n_keys",
+                "total",
+                "max_cnt",
+                F.expr("CAST(max_cnt * 1000000 DIV total AS BIGINT)").alias(
+                    "top_share_ppm"
+                ),
+                F.expr(_HHI_EXPR).alias("hhi_ppm"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# --- RFM segmentation (quantile-cutoff scoring) -----------------------------
+
+_RFM_EPOCH = "1992-01-01"
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '{_RFM_EPOCH}', max(o_orderdate)) AS BIGINT)
+               AS rdays,
+           count(*) AS freq,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), cuts AS (
+    SELECT quantile_disc(rdays, 0.2) AS r20, quantile_disc(rdays, 0.4) AS r40,
+           quantile_disc(rdays, 0.6) AS r60, quantile_disc(rdays, 0.8) AS r80,
+           quantile_disc(freq,  0.2) AS f20, quantile_disc(freq,  0.4) AS f40,
+           quantile_disc(freq,  0.6) AS f60, quantile_disc(freq,  0.8) AS f80,
+           quantile_disc(cents, 0.2) AS m20, quantile_disc(cents, 0.4) AS m40,
+           quantile_disc(cents, 0.6) AS m60, quantile_disc(cents, 0.8) AS m80
+    FROM base
+), scored AS (
+    SELECT b.o_custkey, b.cents,
+           1 + CAST(b.rdays > c.r20 AS INT) + CAST(b.rdays > c.r40 AS INT)
+             + CAST(b.rdays > c.r60 AS INT) + CAST(b.rdays > c.r80 AS INT) AS r_score,
+           1 + CAST(b.freq > c.f20 AS INT) + CAST(b.freq > c.f40 AS INT)
+             + CAST(b.freq > c.f60 AS INT) + CAST(b.freq > c.f80 AS INT) AS f_score,
+           1 + CAST(b.cents > c.m20 AS INT) + CAST(b.cents > c.m40 AS INT)
+             + CAST(b.cents > c.m60 AS INT) + CAST(b.cents > c.m80 AS INT) AS m_score
+    FROM base b CROSS JOIN cuts c
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the marketing
+    mart every commerce warehouse ships: each customer scores 1-5 per
+    dimension and the report counts customers and revenue per segment
+    cell. Scores come from QUANTILE-CUTOFF bucketing, not ntile: the
+    five per-metric quintile cutoffs (exact discrete elements — the
+    PCTL_ACCURACY convention, base cardinality = |customers|) broadcast
+    as one row and each customer scores map-side with pure integer/date
+    comparisons. That is the 100 TB shape — a global ntile window
+    funnels every customer through one task (window_ntile_customers
+    demonstrates that operator on its own); cutoff scoring trades exact
+    equal-count buckets for an embarrassingly parallel score pass with
+    near-equal buckets (they differ only at cutoff-value ties, which
+    the > convention resolves identically in both engines).
+
+    Exactness: recency is integer days-since-epoch of the max order
+    date, frequency an integer count, monetary integer cents (dsum
+    discipline); scores are sums of integer comparisons — no floats in
+    the whole plan."""
+    o = load_table(spark, "orders", sf_dir)
+    base = o.groupBy("o_custkey").agg(
+        F.expr(
+            f"CAST(datediff(max(o_orderdate), DATE '{_RFM_EPOCH}') AS BIGINT)"
+        ).alias("rdays"),
+        F.count(F.lit(1)).alias("freq"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cuts = base.agg(
+        *[
+            F.percentile_approx(m, q, PCTL_ACCURACY).alias(f"{m[0]}{int(q * 100)}")
+            for m in ("rdays", "freq", "cents")
+            for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+    # cents cutoffs alias as c20.. in Spark; rename to m20.. to share the
+    # scoring expression text with the oracle
+    cuts = cuts.select(
+        "r20", "r40", "r60", "r80", "f20", "f40", "f60", "f80",
+        F.col("c20").alias("m20"), F.col("c40").alias("m40"),
+        F.col("c60").alias("m60"), F.col("c80").alias("m80"),
+    )
+    score = lambda v, pfx: (  # noqa: E731
+        F.lit(1)
+        + (F.col(v) > F.col(f"{pfx}20")).cast("int")
+        + (F.col(v) > F.col(f"{pfx}40")).cast("int")
+        + (F.col(v) > F.col(f"{pfx}60")).cast("int")
+        + (F.col(v) > F.col(f"{pfx}80")).cast("int")
+    )
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "cents",
+        score("rdays", "r").alias("r_score"),
+        score("freq", "f").alias("f_score"),
+        score("cents", "m").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

@@ -1612,3 +1612,178 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(gap_days) * 1000 DIV count(gap_days) AS BIGINT)"
         ).alias("mean_gap_millidays"),
     )
+
+
+# --- robust anomaly flags (median / MAD) ------------------------------------
+
+MAD_K = 3  # flag |x - median| > K * MAD (the classic 3-MAD rule)
+
+
+@query(
+    "events_mad_outliers",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), med AS (
+    SELECT event_type, quantile_disc(cents, 0.5) AS med_cents FROM d GROUP BY 1
+), dev AS (
+    SELECT d.day, d.event_type, d.cents, m.med_cents,
+           abs(d.cents - m.med_cents) AS adev
+    FROM d JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, quantile_disc(adev, 0.5) AS mad_cents FROM dev GROUP BY 1
+)
+SELECT v.day, v.event_type,
+       CAST(v.cents AS BIGINT) AS cents,
+       CAST(v.med_cents AS BIGINT) AS med_cents,
+       CAST(a.mad_cents AS BIGINT) AS mad_cents,
+       CAST(v.adev * 1000000 // greatest(a.mad_cents, 1) AS BIGINT) AS dev_ratio_ppm,
+       v.adev > {MAD_K} * a.mad_cents AS is_outlier
+FROM dev v JOIN mad a USING (event_type)
+""",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier flags on daily per-type revenue — the ROBUST
+    twin of events_anomaly_zscore: a single fat-finger day inflates a
+    mean/stddev score enough to mask itself, while the median and the
+    median-absolute-deviation barely move (50% breakdown point vs 0%).
+    Flags |x - median| > 3 * MAD per type; dev_ratio_ppm carries the
+    graded deviation for downstream thresholds.
+
+    Exactness: the domain is integer daily cents; both medians use the
+    exact-discrete-quantile convention (percentile_approx at
+    PCTL_ACCURACY == DuckDB quantile_disc — group cardinality here is
+    |days|, thousands of times under the bound; see
+    plans/aggregates.PCTL_ACCURACY); the deviation test and the ppm
+    ratio are pure integer arithmetic, so every column including the
+    boolean is engine-exact — no float anywhere.
+
+    Plan/scale: one map-side-combined daily aggregate at (day, type)
+    cardinality, then two |types|-row median tables broadcast back onto
+    it (each an O(|days| per type) mergeable-sketch aggregate, no
+    per-group sort); flags are map-side expressions. Nothing scales
+    with raw event count after the first aggregate."""
+    from .aggregates import PCTL_ACCURACY
+
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.groupBy(
+        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"), "event_type"
+    ).agg(
+        F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    med = d.groupBy("event_type").agg(
+        F.percentile_approx("cents", 0.5, PCTL_ACCURACY).alias("med_cents")
+    )
+    dev = d.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", 0.5, PCTL_ACCURACY).alias("mad_cents")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "day",
+        "event_type",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("med_cents").cast("bigint").alias("med_cents"),
+        F.col("mad_cents").cast("bigint").alias("mad_cents"),
+        F.expr("CAST(adev * 1000000 DIV greatest(mad_cents, 1) AS BIGINT)").alias(
+            "dev_ratio_ppm"
+        ),
+        (F.col("adev") > F.lit(MAD_K) * F.col("mad_cents")).alias("is_outlier"),
+    )
+
+
+# --- exact audience overlap via bitmap AND ----------------------------------
+
+
+@query(
+    "audience_overlap_bitmap",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           user_id // 63 AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+    FROM events
+    GROUP BY 1, 2
+), sz AS (
+    SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+    FROM b GROUP BY 1
+), inter AS (
+    SELECT a.event_type AS type_a, c.event_type AS type_b,
+           CAST(sum(bit_count(a.bits & c.bits)) AS BIGINT) AS n_both
+    FROM b a JOIN b c ON a.w = c.w AND a.event_type < c.event_type
+    GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n_users AS users_a, sb.n_users AS users_b,
+       i.n_both,
+       CAST(i.n_both * 1000000 // (sa.n_users + sb.n_users - i.n_both) AS BIGINT)
+           AS jaccard_ppm
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+""",
+)
+def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap between event types — "how many
+    purchase users also click?" — via bitmap set algebra: per-type
+    packed bitmap words (the bitmap_distinct_users_daily asset) AND
+    together word-by-word and popcount to the exact intersection, plus
+    integer-ppm Jaccard from the inclusion-exclusion union. This is the
+    set-INTERSECTION capability sketches give up: HLL unions exactly
+    but only estimates intersections (by inclusion-exclusion, with
+    compounding error); bitmaps pay 8 bytes per 63 users of state and
+    answer both exactly.
+
+    Plan/scale: one partial-agg shuffle builds the (type, word) bitmap
+    table at keyspace/63 cardinality; the pair step is an equi-join ON
+    THE WORD KEY (co-partitioned, |types|^2-bounded fan-out per word,
+    never a cross join of users) and a |pairs|-row rollup. At 10^9
+    users the word axis shards the state exactly as in the daily
+    query; precomputed per-type bitmaps answer any new pair without
+    touching raw events — the mergeable-asset property."""
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.groupBy(
+        "event_type", F.expr("user_id DIV 63").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("bits")
+    ).localCheckpoint()  # three consumers: sizes + both pair sides
+    sz = b.groupBy("event_type").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    inter = (
+        a.join(
+            c,
+            (F.col("a.w") == F.col("c.w"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(
+            F.expr("CAST(sum(bit_count(a.bits & c.bits)) AS BIGINT)").alias("n_both")
+        )
+    )
+    sa = F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")))
+    sb = F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users_a",
+            "users_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000 DIV (users_a + users_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

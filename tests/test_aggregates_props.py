@@ -61,3 +61,34 @@ def test_referential_integrity_single_scan_per_relationship(spark):
     o_scans = len(re.findall(r"orders\.parquet", plan))
     assert li_scans == 3, f"expected 3 lineitem scans, plan has {li_scans}"
     assert o_scans == 2, f"expected 2 orders scans, plan has {o_scans}"
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """The Count-Min guarantee: est >= exact for every key (counters
+    only ever absorb extra collisions). With W deliberately small,
+    collisions must actually occur at test scale — otherwise the audit
+    is vacuous and the overcount column untested."""
+    from dend_covid19_spark.plans.aggregates import cms_heavy_hitters_audit
+
+    rows = cms_heavy_hitters_audit(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)
+    assert any(r.overcount > 0 for r in rows), (
+        "no collisions at the demo width — widen the test corpus or shrink the sketch"
+    )
+
+
+def test_rfm_recency_buckets_near_equal(spark):
+    """Quantile-cutoff scoring must produce near-quintile buckets: each
+    r_score's customer count stays within the slack that cutoff-value
+    ties allow (the documented deviation from exact ntile)."""
+    from dend_covid19_spark.plans.aggregates import rfm_segments
+
+    rows = rfm_segments(spark, SF_DIR).collect()
+    per_r = {}
+    for r in rows:
+        per_r[r.r_score] = per_r.get(r.r_score, 0) + r.n_customers
+    total = sum(per_r.values())
+    assert set(per_r) == {1, 2, 3, 4, 5}
+    for score, cnt in per_r.items():
+        assert abs(cnt - total / 5) <= 0.1 * total, (score, cnt, total)

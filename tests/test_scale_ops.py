@@ -149,3 +149,65 @@ def test_bitmap_equals_count_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_audience_overlap_matches_exact_intersection(spark):
+    """Bitmap AND + popcount must equal the exact distinct-user
+    intersection computed the naive way (distinct pair sets joined) —
+    the identity that makes the bitmap an EXACT set-algebra asset, not
+    an estimate."""
+    from dend_covid19_spark.plans.timeseries import audience_overlap_bitmap
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.type_a, r.type_b): (r.users_a, r.users_b, r.n_both)
+        for r in audience_overlap_bitmap(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    ).distinct()
+    a = ev.select(F.col("event_type").alias("ta"), "user_id")
+    b = ev.select(F.col("event_type").alias("tb"), "user_id")
+    naive = {
+        (r.ta, r.tb): r.n
+        for r in a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    sizes = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got, "no overlap pairs"
+    for (ta, tb), (ua, ub, nboth) in got.items():
+        assert ua == sizes[ta] and ub == sizes[tb]
+        assert nboth == naive.get((ta, tb), 0)
+
+
+def test_snm_distributed_rank_is_dense_and_ordered(spark):
+    """dedup_sorted_neighborhood's two-phase global rank (range
+    partition + local row_number + offset fix-up) must produce exactly
+    the ranks 1..n in (lang, n_chars, doc_id) order — the property that
+    makes its window pairs equal a single-partition ORDER BY's, without
+    ever running one."""
+    from dend_covid19_spark.operators.dedup import SNM_WINDOW, dedup_sorted_neighborhood
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    pairs = dedup_sorted_neighborhood(spark, SF_DIR).collect()
+    # pair-count identity: rank r pairs with min(W-1, n-r) successors
+    w = SNM_WINDOW - 1
+    expect_pairs = sum(min(w, n - r) for r in range(1, n + 1))
+    assert len(pairs) == expect_pairs, (len(pairs), expect_pairs, n)
+    assert all(1 <= p.rank_dist <= w for p in pairs)
+    # adjacency must follow the sort order: doc ranked right after doc_a
+    # in (lang, n_chars, doc_id) order appears among its rank_dist=1 pair
+    ordered = [
+        r.doc_id
+        for r in docs.select("doc_id", "lang", "n_chars")
+        .orderBy("lang", "n_chars", "doc_id")
+        .collect()
+    ]
+    succ = {(a, b) for a, b in zip(ordered, ordered[1:])}
+    got_adjacent = {(p.doc_a, p.doc_b) for p in pairs if p.rank_dist == 1}
+    assert got_adjacent == succ
