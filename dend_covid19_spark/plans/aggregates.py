@@ -1377,3 +1377,101 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# --- skyline (Pareto frontier) ----------------------------------------------
+
+SKYLINE_PARTS = 32
+
+
+@query(
+    "skyline_customers",
+    oracle=f"""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+           CAST(date_diff('day', DATE '{_RFM_EPOCH}', max(o_orderdate)) AS BIGINT)
+               AS rdays
+    FROM orders GROUP BY 1
+), w AS (
+    SELECT o_custkey, cents, rdays,
+           max(rdays) OVER (ORDER BY cents
+                            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS hi_max,
+           max(rdays) OVER (PARTITION BY cents) AS eq_max
+    FROM base
+)
+SELECT o_custkey, cents, rdays
+FROM w
+WHERE (hi_max IS NULL OR rdays > hi_max) AND rdays = eq_max
+""",
+)
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over customers: the set nobody
+    dominates on (total spend, recency) — spent at least as much AND
+    ordered at least as recently, strictly better on one. The
+    multi-criteria "best customers" query that no single ORDER BY can
+    answer; the frontier is what a retention team actually means by
+    "top customers".
+
+    The sort-order identity: in spend order, a customer is on the
+    frontier iff their recency strictly exceeds the running max recency
+    of every strictly-higher spender (and ties the max within their
+    exact spend level). The oracle says that with one global ordered
+    window; the Spark side runs the DISTRIBUTED form of the same scan —
+    the two-phase prefix pattern shared with
+    dedup_sorted_neighborhood's global rank: repartitionByRange on
+    spend + localCheckpoint (freeze sampled boundaries), per-partition
+    running max via a RANGE frame, per-partition summary maxes
+    (SKYLINE_PARTS rows, bounded control-plane collect) prefix-folded
+    and broadcast back, so the global running max = greatest(local,
+    prior-partition) and NO single-partition window exists. Range
+    partitioning keeps equal spend values in one partition, so the
+    equal-spend tie window partitions by (pid, cents) — hash-parallel.
+
+    Exactness: integer cents and day counts; comparisons only. The
+    anti-join dominance definition is property-checked against this
+    plan in tests/test_aggregates_props.py."""
+    o = load_table(spark, "orders", sf_dir)
+    base = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.expr(
+            f"CAST(datediff(max(o_orderdate), DATE '{_RFM_EPOCH}') AS BIGINT)"
+        ).alias("rdays"),
+    )
+    s = (
+        base.repartitionByRange(SKYLINE_PARTS, F.col("cents"))
+        .sortWithinPartitions("cents")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze boundaries: summaries and scan see one layout
+    )
+    summ = {
+        r["pid"]: r["mx"]
+        for r in s.groupBy("pid").agg(F.max("rdays").alias("mx")).collect()
+    }
+    # prefix from the HIGH end: partitions hold ascending cents ranges,
+    # so the "strictly higher spend" side of partition p is partitions > p
+    prior, acc = [], None
+    for pid in range(SKYLINE_PARTS - 1, -1, -1):
+        prior.append((pid, acc))
+        if pid in summ:
+            acc = summ[pid] if acc is None else max(acc, summ[pid])
+    off = spark.createDataFrame(prior, "pid int, hi_prior long")
+    w_hi = (
+        Window.partitionBy("pid")
+        .orderBy("cents")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy("pid", "cents")
+    flagged = (
+        s.join(F.broadcast(off), "pid")
+        .withColumn("hi_local", F.max("rdays").over(w_hi))
+        .withColumn("eq_max", F.max("rdays").over(w_eq))
+        .withColumn("hi_max", F.greatest("hi_local", "hi_prior"))
+    )
+    return flagged.where(
+        (F.col("hi_max").isNull() | (F.col("rdays") > F.col("hi_max")))
+        & (F.col("rdays") == F.col("eq_max"))
+    ).select("o_custkey", "cents", "rdays")

@@ -452,3 +452,104 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pc.join(deg, "n").select(
         F.col("n").alias("part_key"), "degree", "n_triangles"
     )
+
+
+# --- k-core decomposition (iterative peeling) --------------------------------
+
+KCORE_K = 3
+KCORE_ITERS = 4  # unrolled peel rounds (demo graph reaches fixpoint earlier)
+
+
+def _duck_kcore_round(prev_e: str, d: str, k: str, nxt_e: str) -> str:
+    return f"""
+{d} AS (SELECT s, count(*) AS deg FROM {prev_e} GROUP BY s),
+{k} AS (SELECT s FROM {d} WHERE deg >= {KCORE_K}),
+{nxt_e} AS (
+    SELECT e.s, e.d FROM {prev_e} e
+    JOIN {k} a ON e.s = a.s
+    JOIN {k} b ON e.d = b.s
+)"""
+
+
+_KCORE_ORACLE = f"""
+WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= {TRI_MAX_SIZE}),
+op AS (
+    SELECT DISTINCT l.l_orderkey, l.l_partkey
+    FROM lineitem l JOIN sp ON l.l_partkey = sp.p_partkey
+),
+ec AS (
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM op x JOIN op y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+e0 AS (SELECT a AS s, b AS d FROM ec UNION ALL SELECT b, a FROM ec),
+{",".join(_duck_kcore_round(f"e{i}", f"d{i + 1}", f"k{i + 1}", f"e{i + 1}") for i in range(KCORE_ITERS))}
+SELECT s AS part_key, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ITERS}
+GROUP BY s
+"""
+
+
+@query("graph_kcore_members", oracle=_KCORE_ORACLE)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by iterative peeling over the bounded
+    co-purchase subgraph (same TRI_MAX_SIZE subgraph as the triangle
+    count): repeatedly delete nodes with degree < K until the K-core
+    remains — the standard cohesive-subgraph / influence-zone
+    extraction (a node in the 3-core belongs to a region where
+    everyone co-purchases with >= 3 others even after peeling
+    hangers-on). KCORE_ITERS peel rounds are UNROLLED — the same
+    fixed-iteration determinism discipline as PageRank/kmeans — and
+    the oracle unrolls identical CTE rounds; the demo graph reaches
+    its fixpoint within them (pinned by
+    tests/test_graph.py::test_kcore_fixpoint_reached), so the result
+    IS the true K-core, not a truncation.
+
+    Output: surviving nodes with their within-core degree (>= K at
+    fixpoint). Pure integer counting — engine-exact.
+
+    Plan/scale: each round is one degree aggregate (map-side combined,
+    node cardinality) and two semi joins of the edge list against the
+    survivor set; Spark picks broadcast semi joins while survivors fit
+    (auto) and co-partitioned SMJ beyond — both correct, same rows.
+    localCheckpoint truncates lineage per round so the unrolled loop
+    doesn't replan prior rounds. At 100 TB the edge list keeps a
+    stationary hash partitioning on s exactly like
+    pagerank_copurchase_shuffle (same iterative-join shape)."""
+    sp = (
+        load_table(spark, "part", sf_dir)
+        .where(F.col("p_size") <= TRI_MAX_SIZE)
+        .select("p_partkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    op = (
+        li.join(F.broadcast(sp), li.l_partkey == sp.p_partkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = op.alias("x"), op.alias("y")
+    ec = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = ec.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        ec.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    for _ in range(KCORE_ITERS):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= KCORE_K).select("s")
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("s").alias("part_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -92,3 +92,35 @@ def test_rfm_recency_buckets_near_equal(spark):
     assert set(per_r) == {1, 2, 3, 4, 5}
     for score, cnt in per_r.items():
         assert abs(cnt - total / 5) <= 0.1 * total, (score, cnt, total)
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    """The distributed prefix-scan skyline must equal the definitional
+    anti-join form: a customer is on the frontier iff NO other customer
+    weakly dominates them on (cents, rdays) with one strict improvement."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.aggregates import _RFM_EPOCH, skyline_customers
+
+    got = {
+        (r.o_custkey, r.cents, r.rdays)
+        for r in skyline_customers(spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    base = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.expr(
+            f"CAST(datediff(max(o_orderdate), DATE '{_RFM_EPOCH}') AS BIGINT)"
+        ).alias("rdays"),
+    )
+    pts = [(r.o_custkey, r.cents, r.rdays) for r in base.collect()]
+    want = {
+        (c, s, d)
+        for c, s, d in pts
+        if not any(
+            s2 >= s and d2 >= d and (s2 > s or d2 > d) for _, s2, d2 in pts
+        )
+    }
+    assert got == want and got

@@ -241,3 +241,19 @@ def test_zorder_envelopes_tight(spark):
     mean_cust = sum((r.max_cust - r.min_cust) / cust_range * r.n_rows for r in z) / n
     mean_day = sum((r.max_day - r.min_day) / day_range * r.n_rows for r in z) / n
     assert mean_cust < 0.2 and mean_day < 0.2, (mean_cust, mean_day)
+
+
+def test_kcore_fixpoint_reached(spark):
+    """After KCORE_ITERS unrolled peels every surviving node must have
+    within-core degree >= K — i.e. one more peel round would remove
+    nobody, so the unrolled result IS the true K-core, not a
+    truncation. (If the demo graph ever grows enough to need more
+    rounds, this fails loudly instead of the oracle silently matching
+    a non-fixpoint.)"""
+    from dend_covid19_spark.plans.graph import KCORE_K, graph_kcore_members
+
+    rows = graph_kcore_members(spark, SF_DIR).collect()
+    assert rows, "K-core empty at test scale — lower KCORE_K"
+    assert all(r.core_degree >= KCORE_K for r in rows), sorted(
+        r.core_degree for r in rows
+    )[:5]
