@@ -931,3 +931,127 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- BPE training: merge-pair statistics ------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH wf AS (
+    SELECT w AS word, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) >= 2
+    GROUP BY 1
+), pairs AS (
+    SELECT substring(word, k, 1) || '|' || substring(word, k + 1, 1) AS pair,
+           freq
+    FROM wf, unnest(range(1, len(word))) t(k)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING step (Sennrich et al.): count adjacent symbol
+    pairs across the corpus weighted by word frequency — the statistic
+    whose argmax becomes the next merge rule. text_token_bpe covers the
+    tokenization (apply) side; this is the learn side, and it is the
+    exact computation a distributed tokenizer trainer runs per merge
+    round (re-run after each merge with the merged symbol table).
+
+    Plan/scale: word frequencies first (one shuffle, vocabulary
+    cardinality — the classic wordcount collapse, so the pair explosion
+    runs over the VOCABULARY weighted by freq, not over the corpus:
+    sum(len(word)-1 per distinct word) rows instead of per-token);
+    pair extraction is codegen substring arithmetic (no UDF); the pair
+    aggregate partial-combines into at most |alphabet|^2 groups; top-N
+    is a TakeOrdered (per-partition heaps), ties broken by pair text.
+    Pure integer counts — engine-exact."""
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " k -> concat(substring(word, k, 1), '|', substring(word, k + 1, 1)))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+# --- PII detection audit -----------------------------------------------------
+# Patterns deliberately avoid backslash escapes and engine-divergent
+# syntax (lookaround, \b): plain character classes and {m,} counts
+# parse and match identically under Java regex (Spark) and RE2
+# (DuckDB). Matching runs on lower(text); counts are non-overlapping
+# leftmost scans in both engines.
+PII_PATTERNS = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+",
+    "url": "https?://[a-z0-9./_-]+",
+    "long_number": "[0-9]{6,}",
+}
+
+
+def _pii_oracle() -> str:
+    cols = []
+    for name, pat in PII_PATTERNS.items():
+        n = f"len(regexp_extract_all(lower(text), '{pat}'))"
+        cols.append(f"CAST(sum({n}) AS BIGINT) AS n_{name}")
+        cols.append(
+            f"CAST(sum(CASE WHEN {n} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS docs_with_{name}"
+        )
+    return f"""
+SELECT source, count(*) AS n_docs, {", ".join(cols)}
+FROM documents
+GROUP BY source
+"""
+
+
+@query("pii_detection_audit", oracle=_pii_oracle())
+def pii_detection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / leakage detection audit over the corpus, per source: match
+    counts and affected-document counts for email addresses, URLs, and
+    long digit runs — the report that decides which sources need
+    redaction (text_scrub_denylist is the removal side; this is the
+    detection/triage side every training-data pipeline runs first,
+    and re-runs after scrubbing to prove rates dropped to zero). The
+    synthetic corpus is PII-free, so the registered audit correctly
+    reports zeros; the pattern machinery is exercised on planted PII —
+    with cross-dialect agreement pinned — in
+    tests/test_aggregates_props.py::test_pii_patterns_detect_and_agree.
+
+    Plan/scale: pure map-side regexp_count per pattern fused into one
+    codegen stage over a single corpus scan, then a partial-agg shuffle
+    at |sources| cardinality — per-row cost is the regex scans, shuffle
+    cost is nil. Patterns are dialect-portable by construction (module
+    note); adding a pattern is one dict entry feeding both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, pat in PII_PATTERNS.items():
+        n = F.expr(f"regexp_count(lower(text), '{pat}')")
+        aggs.append(F.sum(n).cast("bigint").alias(f"n_{name}"))
+        aggs.append(
+            F.sum(F.when(n > 0, 1).otherwise(0)).cast("bigint").alias(
+                f"docs_with_{name}"
+            )
+        )
+    return docs.groupBy("source").agg(*aggs)

@@ -1668,12 +1668,19 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .aggregates import PCTL_ACCURACY
 
     ev = load_table(spark, "events", sf_dir)
-    d = ev.groupBy(
-        F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"), "event_type"
-    ).agg(
-        F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
-            "cents"
+    d = (
+        ev.groupBy(
+            F.expr("CAST(date_trunc('day', ts) AS DATE)").alias("day"), "event_type"
         )
+        .agg(
+            F.expr("CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)").alias(
+                "cents"
+            )
+        )
+        # three consumers (median, deviation build, final report) — the
+        # (day, type)-cardinality table materializes once so the raw
+        # event scan isn't re-paid per branch
+        .localCheckpoint()
     )
     med = d.groupBy("event_type").agg(
         F.percentile_approx("cents", 0.5, PCTL_ACCURACY).alias("med_cents")

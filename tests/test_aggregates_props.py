@@ -124,3 +124,45 @@ def test_skyline_equals_bruteforce_dominance(spark):
         )
     }
     assert got == want and got
+
+
+def test_pii_patterns_detect_and_agree(spark, duck):
+    """The registered corpus audit legitimately reports zeros (the
+    synthetic corpus is PII-free) — so the pattern machinery itself is
+    exercised here on planted PII, and the two dialects must agree on
+    every count (Java regex vs RE2 divergence would silently skew the
+    audit)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.textops import PII_PATTERNS
+
+    texts = [
+        "contact me at Jane.Doe+spam@Example-Mail.org or jd@x.io today",
+        "see https://docs.example.com/a_b/c-d and HTTP://WWW.FOO.NET/x",
+        "card 4111111111111111 pin 123 id 987654 ok",
+        "no pii here at all",
+        "",
+    ]
+    expected = {
+        "email": [2, 0, 0, 0, 0],
+        "url": [0, 2, 0, 0, 0],
+        "long_number": [0, 0, 2, 0, 0],
+    }
+    sdf = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    for name, pat in PII_PATTERNS.items():
+        got_spark = [
+            r.n
+            for r in sdf.select(
+                F.expr(f"regexp_count(lower(text), '{pat}')").alias("n")
+            ).collect()
+        ]
+        duck.register("_pii_t", pd.DataFrame({"text": texts}))
+        got_duck = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT len(regexp_extract_all(lower(text), '{pat}')) FROM _pii_t"
+            ).fetchall()
+        ]
+        assert got_spark == expected[name], (name, got_spark)
+        assert got_duck == expected[name], (name, got_duck)
