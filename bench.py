@@ -65,6 +65,11 @@ HEADLINE = [
     "dedup_ngram_spans",
     "rolling_distinct_users_7d",
     "zorder_layout_orders",
+    # round 6 additions: distributed-rank SNM dedup, CMS sketch build
+    # over the fact table, iterative k-core peeling
+    "dedup_sorted_neighborhood",
+    "cms_heavy_hitters_audit",
+    "graph_kcore_members",
 ]
 
 

@@ -278,6 +278,8 @@ _NESTED_LOOP_ALLOWED = {
     "referential_integrity_check",  # one-row per-table row-count broadcasts
     "events_dow_hour_profile",   # one-row traffic-total broadcast
     "orders_pareto_share",       # one-row cutoff + totals broadcasts
+    "cms_heavy_hitters_audit",   # CMS_DEPTH-row (4) sketch-depth spine broadcast
+    "rfm_segments",              # one-row quantile-cutoffs broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
