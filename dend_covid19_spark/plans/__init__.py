@@ -189,10 +189,14 @@ PRIORITY = [
     "langid_confusion_matrix",
     "events_dow_hour_profile",
     "orders_pareto_share",
-    # queued for the round-6 window (rotation admits them as never-green
-    # once the r5 report lands and its greens rotate out)
+    # landed inside the r5 window after all (driver checked 50 slots):
+    # green in CORRECTNESS_r05 like the rest of the round-5 block
     "orders_interarrival_stats",
     "dedup_rate_by_source",
+    # round-6 additions register via @query and enter the window through
+    # rotation as never-green names — no hand-curation needed here; the
+    # age-ordered done block (see _effective_priority) then fills the
+    # remaining slots with the stalest greens.
 ]
 
 # --- automatic rotation across rounds -------------------------------------

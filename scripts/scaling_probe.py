@@ -211,6 +211,82 @@ def pagerank_shape(spark, k: int):
     return ranks
 
 
+def snm_rank_shape(spark, k: int):
+    """dedup_sorted_neighborhood's distributed-global-rank mechanics over
+    k x documents (minus the shingle verify, which is ivf-like codegen):
+    repartitionByRange + sortWithinPartitions, per-partition counts
+    (bounded control-plane collect), offset fix-up, banded rank-window
+    pair join. Linear if the parallel ORDER BY + rank assembly holds —
+    the primitive that replaces every single-partition row_number()."""
+    from pyspark.sql import Window
+
+    from dend_covid19_spark.operators.dedup import SNM_PARTS, SNM_WINDOW
+
+    docs = replicate(
+        load_table(spark, "documents", SF_DIR).select("doc_id", "lang", "n_chars"),
+        k,
+        ("doc_id",),
+    )
+    keys = ["lang", "n_chars", "doc_id"]
+    s = (
+        docs.repartitionByRange(SNM_PARTS, *[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(SNM_PARTS):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy(*keys)
+    ranked = (
+        s.join(F.broadcast(off), "pid")
+        .withColumn("rnk", F.col("off") + F.row_number().over(w))
+        .select("doc_id", "rnk")
+    )
+    band = SNM_WINDOW - 1
+    a = ranked.select(
+        F.col("rnk").alias("rnk_a"), F.expr(f"rnk DIV {band}").alias("bkt")
+    )
+    b = ranked.select(
+        F.col("rnk").alias("rnk_b"),
+        F.explode(F.expr(f"array(rnk DIV {band}, rnk DIV {band} - 1)")).alias("bkt"),
+    )
+    return (
+        a.join(b, "bkt")
+        .where((F.col("rnk_b") > F.col("rnk_a")) & (F.col("rnk_b") - F.col("rnk_a") <= band))
+        .groupBy((F.col("rnk_b") - F.col("rnk_a")).alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_shape(spark, k: int):
+    """cms_heavy_hitters_audit's sketch build over k x events: the D-way
+    fan-out collapses to D*W counter groups in the map-side partial
+    agg, so shuffle volume should stay CONSTANT while scan volume grows
+    k-fold — the distributed-sketch-merge bound."""
+    from dend_covid19_spark.plans.aggregates import CMS_DEPTH, CMS_WIDTH
+
+    ev = replicate(
+        load_table(spark, "events", SF_DIR).select("user_id"), k, ("user_id",)
+    )
+    dd = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '#',"
+        f" CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) % {CMS_WIDTH}"
+    )
+    return (
+        ev.crossJoin(F.broadcast(dd))
+        .groupBy("d", F.expr(h).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -223,6 +299,8 @@ def main() -> None:
         ("ivf_shape", ivf_shape),
         ("sessionize_shape", sessionize_shape),
         ("pagerank_shape", pagerank_shape),
+        ("snm_rank_shape", snm_rank_shape),
+        ("cms_shape", cms_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
