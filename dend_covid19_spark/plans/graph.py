@@ -192,16 +192,25 @@ def _pagerank_ranks(ed: DataFrame, deg: DataFrame, *, broadcast_ranks: bool) -> 
     ranks = deg.select(
         F.col("s").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r")
     )
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         msgs = ed.join(rhs, ed.s == rhs.node).select(
             "d", F.expr("(85 * r) DIV (100 * dout)").alias("c")
         )
-        ranks = (
-            msgs.groupBy(F.col("d").alias("node"))
-            .agg((F.lit(PR_BASE) + F.sum("c")).cast("bigint").alias("r"))
-            .localCheckpoint()
+        ranks = msgs.groupBy(F.col("d").alias("node")).agg(
+            (F.lit(PR_BASE) + F.sum("c")).cast("bigint").alias("r")
         )
+        # Checkpoint every OTHER iteration, not every one: each eager
+        # materialization is a job barrier (~10% wall each at sf0.1 —
+        # measured: ck-every-1 4.6s, ck-every-2 4.0s, ck-never 3.7s),
+        # while the checkpoint's value — bounded lineage so a task retry
+        # or a 50-iteration variant never recomputes the whole chain —
+        # only needs PERIODIC truncation. Interval 2 keeps the worst
+        # retry at one extra iteration of recompute and the lineage
+        # depth constant; the final iteration stays lazy (the consumer's
+        # action materializes it).
+        if i % 2 == 1 and i < PR_ITERS - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("node").alias("part_key"), F.col("r").alias("rank_e9"))
 
 
@@ -227,7 +236,10 @@ def _copurchase_edges(
         .localCheckpoint()  # two consumers below (forward + reversed)
     )
     e = canon.unionAll(canon.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout"))
+    # node-cardinality and consumed three ways (size gate count, rank
+    # init, degree attach) — materialize once so the gate's count job
+    # doesn't re-pay the degree aggregate
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout")).localCheckpoint()
     # degree table is node-cardinality: broadcast the attach so the edge
     # rows never pass through another exchange before the checkpoint.
     # In the shuffle branch (past PR_BROADCAST_MAX_NODES) this attach,

@@ -172,7 +172,11 @@ def test_pagerank_shuffle_branch_edges_stationary(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert "Broadcast" not in plan, plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    assert len(exchanges) == 1, plan  # only the rank side moves
+    # at most the rank side moves — and when the rank table derives from
+    # the checkpointed degree table (whose hash partitioning on the node
+    # key survives the checkpoint and the alias), even that exchange
+    # vanishes: both sides arrive co-partitioned
+    assert len(exchanges) <= 1, plan
     # the join's LEFT subtree (edge side; toString prefixes it with ':')
     # must be exchange-free — the checkpointed partitions are read in place
     lines = plan.splitlines()
