@@ -9,6 +9,7 @@ warehouse user switching to this engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1475,3 +1476,60 @@ def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi_max").isNull() | (F.col("rdays") > F.col("hi_max")))
         & (F.col("rdays") == F.col("eq_max"))
     ).select("o_custkey", "cents", "rdays")
+
+
+# --- grouped-aggregate pandas UDAF surface ----------------------------------
+
+
+@query(
+    "events_median_udaf",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS BIGINT)
+           AS median_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF — the one Python-UDF shape the registry
+    didn't yet exercise (scalar pandas_udf, applyInPandas, mapInPandas,
+    applyInPandasWithState all have carriers): a whole group's column
+    arrives as ONE Arrow-backed pandas Series and reduces to a scalar.
+    The aggregate is the exact lower discrete median (sorted index
+    (n-1)//2) over integer cents — deterministically identical to
+    DuckDB's quantile_disc, so the Python path is value-hash-checked,
+    not just smoke-tested.
+
+    Scale honesty: a grouped-agg UDAF materializes each group in one
+    python worker (no partial aggregation), so per-group cardinality is
+    the memory bound — fine for |types| groups here; for high-volume
+    groups use the mergeable sketch (approx_quantiles_totalprice) or
+    the two-pass exact cutoff instead. This query exists to pin the API
+    surface and its exact-arithmetic discipline, not as the 100 TB
+    median plan."""
+    # pandas is imported at module level: with `from __future__ import
+    # annotations` every hint is a string, and pandas_udf resolves
+    # 'pd.Series' against MODULE globals — a function-local import
+    # leaves it unresolvable (UNSUPPORTED_SIGNATURE).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def median_disc_cents(v: pd.Series) -> int:
+        s = v.sort_values(kind="mergesort").to_numpy()
+        return int(s[(len(s) - 1) // 2])
+
+    # Catalyst refuses to mix a group-agg pandas UDF with JVM aggregates
+    # in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT) — the row count
+    # rides the same Arrow batch as a second pandas aggregate instead.
+    @pandas_udf("bigint")
+    def count_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    return ev.groupBy("event_type").agg(
+        count_rows(cents).alias("n"),
+        median_disc_cents(cents).alias("median_cents"),
+    )

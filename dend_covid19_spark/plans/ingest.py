@@ -250,3 +250,99 @@ def ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --- VARIANT semi-structured decode (Spark 4 open variant type) -------------
+
+
+@query(
+    "events_props_variant",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+       count(*) AS n_events,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY 1
+""",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured decode through Spark 4's open VARIANT type:
+    ``parse_json`` ingests the props payload ONCE into the binary
+    variant encoding, ``variant_get`` path-extracts with a target type
+    — the schema-on-read path for payloads whose shape drifts too fast
+    for a fixed ``from_json`` schema (events_nested_json covers the
+    fixed-schema form; this is its flexible twin, and the variant
+    binary encoding is what Delta/Iceberg shred into columns at rest).
+    The oracle is DuckDB's JSON path extraction over the same payload.
+
+    Plan/scale: parse + extract are JVM-side codegen expressions (no
+    UDF) fused into the scan stage; the aggregate partial-combines to
+    <= 11 decile groups. A real pipeline would parse_json at ingest
+    and persist the variant column; re-parsing per query (as here) is
+    the stateless-demo shape."""
+    ev = load_table(spark, "events", sf_dir)
+    k = "variant_get(parse_json(props), '$.k', 'bigint')"
+    return (
+        ev.select(F.expr(k).alias("k"))
+        .groupBy(F.expr("k DIV 10").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").cast("bigint").alias("k_min"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+# --- custom Python DataSource read (Spark 4 datasource API) -----------------
+
+
+@query(
+    "python_datasource_spine",
+    oracle=f"""
+WITH spine AS (
+    SELECT seq,
+           DATE '1992-01-01' + CAST(seq AS INTEGER) AS day,
+           CAST(seq % 7 AS INTEGER) AS dow
+    FROM (SELECT unnest(generate_series(0, 363)) AS seq)
+)
+SELECT dow,
+       count(*) AS n_days,
+       CAST(min(day) AS DATE) AS first_day,
+       CAST(max(day) AS DATE) AS last_day,
+       CAST(sum(seq) AS BIGINT) AS seq_sum
+FROM spine
+GROUP BY dow
+""",
+)
+def python_datasource_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4's engine-surface twin done the Spark 4 way: a custom PYTHON
+    DataSource (sources/pyds.py) registered under a format name and
+    read like any table — ``spark.read.format("graft_spine")`` — with
+    a partition planner fanning the generate out across executor
+    tasks (8 seq-range partitions; the plan shows a parallel
+    BatchScan, not a driver-side collect). This is the wrapper shape
+    for the reference's HTTP feed (market.py:21-27) or any external
+    API at scale: schema + partitions + per-partition reader, no
+    driver bottleneck, no RDD.
+
+    The source is a deterministic calendar spine, so the oracle
+    regenerates it from pure SQL arithmetic and the whole
+    Python-reader path (pickling, worker import, Arrow conversion,
+    date handling) sits under the value hash — `sf_dir` is unused by
+    design (the source IS the data)."""
+    from ..sources.pyds import SPINE_FORMAT, register_spine_source
+
+    register_spine_source(spark)
+    spine = (
+        spark.read.format(SPINE_FORMAT)
+        .option("start", "1992-01-01")
+        .option("days", 364)
+        .load()
+    )
+    return spine.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.sum("seq").cast("bigint").alias("seq_sum"),
+    )

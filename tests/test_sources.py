@@ -127,3 +127,44 @@ def test_configure_object_store_sets_hadoop_conf(spark):
     assert hconf.get("fs.s3a.access.key") == "ak"
     assert hconf.get("fs.s3a.path.style.access") == "true"
     assert hconf.get("fs.s3a.committer.name") == "magic"
+
+
+def test_python_datasource_partitions_disjoint_complete(spark):
+    """The custom Python DataSource must fan its read across partitions
+    that tile the seq range exactly (no dropped or duplicated rows),
+    and re-registering the format must be a no-op, not an error."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.sources.pyds import (
+        SPINE_FORMAT,
+        register_spine_source,
+    )
+
+    register_spine_source(spark)
+    register_spine_source(spark)  # idempotent
+    df = (
+        spark.read.format(SPINE_FORMAT)
+        .option("start", "2000-01-01")
+        .option("days", 100)
+        .option("numPartitions", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7  # ceil(100/15)... planner-set fan-out
+    rows = df.select("seq", "day", "dow", "is_weekend").collect()
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(100))
+    by_seq = {r.seq: r for r in rows}
+    import datetime
+
+    assert by_seq[0].day == datetime.date(2000, 1, 1)
+    assert by_seq[99].day == datetime.date(2000, 4, 9)
+    assert all(r.dow == r.seq % 7 for r in rows)
+    assert all(r.is_weekend == (r.dow in (5, 6)) for r in rows)
+    # partition count stat: 7 requested -> ceil-split keeps every task
+    # non-empty except possibly the last
+    sizes = [
+        r.n for r in df.groupBy(F.spark_partition_id().alias("p")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    ]
+    assert sum(sizes) == 100 and len(sizes) == 7
