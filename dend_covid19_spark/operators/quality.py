@@ -44,3 +44,35 @@ def expect_no_nulls(df: DataFrame, *cols: str, name: str = "not_null") -> DataFr
         if df.where(df[c].isNull()).limit(1).count() > 0:
             raise DataQualityError(f"quality gate {name!r}: NULLs in column {c!r}")
     return df
+
+
+def observe_metrics(df: DataFrame, *metrics: Column):
+    """Attach FREE quality telemetry to a DataFrame via ``df.observe``:
+    the aggregate metrics accumulate DURING whatever action the caller
+    runs next — zero extra scans, unlike the expect_* gates above,
+    which each pay a (short-circuited) job. The trade: observe metrics
+    exist only AFTER an action, so they suit "measure every batch,
+    alert after" pipelines, while expect_* suits "refuse to publish"
+    gates. Returns (observed_df, observation); read
+    ``observation.get`` after the action (it blocks until one ran).
+
+    At 100 TB this is the right gate shape: the expect_* family costs
+    an extra (short-circuited) job per assertion, while an observe
+    piggybacks the metric on the write itself — one pass, telemetry
+    included. Streams surface the same metrics per-batch through
+    QueryProgressEvent.observedMetrics."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *metrics), obs
+
+
+def expect_observed(observation, predicate, name: str = "observed") -> dict:
+    """Assert over metrics captured by ``observe_metrics`` after the
+    action ran: ``predicate(metrics_dict) -> bool``. Returns the
+    metrics on success, raises DataQualityError with them on failure —
+    the alert-after twin of the refuse-to-publish gates."""
+    metrics = observation.get
+    if not predicate(metrics):
+        raise DataQualityError(f"quality gate {name!r} failed: {metrics}")
+    return metrics

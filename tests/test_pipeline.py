@@ -116,3 +116,33 @@ def test_incremental_daily_counts_matches_full(spark):
         for r in events_tumbling_daily(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_observe_metrics_free_telemetry(spark):
+    """observe_metrics rides the caller's action (no extra job) and
+    expect_observed gates on the captured aggregates — the alert-after
+    quality-gate shape. A failing predicate must raise with the
+    metrics embedded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.quality import (
+        DataQualityError,
+        expect_observed,
+        observe_metrics,
+    )
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    observed, obs = observe_metrics(
+        df,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the action
+    m = expect_observed(obs, lambda m: m["n_rows"] == 1000 and m["n_zero"] == 100)
+    assert m == {"n_rows": 1000, "n_zero": 100}
+
+    observed2, obs2 = observe_metrics(df, F.count(F.lit(1)).alias("n_rows"))
+    observed2.write.format("noop").mode("overwrite").save()
+    with pytest.raises(DataQualityError, match="n_rows"):
+        expect_observed(obs2, lambda m: m["n_rows"] > 10**6, name="volume-floor")
