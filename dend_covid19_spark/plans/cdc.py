@@ -393,3 +393,83 @@ def snapshot_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report("as_of_v0", read_snapshot(spark, scratch, version=0)).unionByName(
         report("latest", read_snapshot(spark, scratch, version=None))
     )
+
+
+# --- SCD2 point-in-time join (feature-store as-of enrichment) ---------------
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH daily_last AS (
+    SELECT user_id, day, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(value, 2) AS value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+), hist AS (
+    SELECT user_id, value, day AS valid_from,
+           lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to
+    FROM daily_last
+)
+SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS day,
+       h.value AS version_value,
+       CAST(h.valid_from AS DATE) AS valid_from
+FROM events e
+JOIN hist h
+  ON h.user_id = e.user_id
+ AND h.valid_from <= CAST(e.ts AS DATE)
+ AND (h.valid_to IS NULL OR CAST(e.ts AS DATE) < h.valid_to)
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: every event is enriched
+    with the SCD2 version row that was valid ON ITS DAY — the
+    feature-store correctness primitive ("train on the feature value
+    as it existed at event time, never a later one" — the
+    leakage-prevention join), and the fact-side twin of
+    scd2_customer_value_history's dimension build. Convention: a day's
+    version includes that day (valid_from <= day < valid_to); every
+    event matches exactly one version by the intervals' construction.
+
+    Plan/scale: both sides hash-partition on user_id, so the interval
+    predicate is a residual filter INSIDE a co-partitioned sort-merge
+    join, never a cross product; per-user version counts are bounded
+    by active days, so the residual scans a bounded run per probe. At
+    100 TB this is the same key-partitioned shape as the asof joins —
+    and unlike asof_join_latest_order (nearest-earlier pick via
+    union-merge), this matches against explicit validity INTERVALS,
+    which is what an SCD2 dimension publishes."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.to_date("ts").alias("day"), "ts"
+    )
+    pick = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    src = load_table(spark, "events", sf_dir)
+    daily_last = (
+        src.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.to_date("ts").alias("valid_from"),
+            F.round("value", 2).alias("version_value"),
+        )
+    )
+    versions = Window.partitionBy("user_id").orderBy("valid_from")
+    hist = daily_last.withColumn("valid_to", F.lead("valid_from").over(versions))
+    h = hist.select(
+        F.col("user_id").alias("h_user"), "version_value", "valid_from", "valid_to"
+    )
+    return (
+        ev.join(
+            h,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("valid_from") <= F.col("day"))
+            & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "day", "version_value", "valid_from")
+    )

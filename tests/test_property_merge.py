@@ -41,3 +41,24 @@ def test_merge_matches_reference_and_is_idempotent(spark, current, updates):
     assert got == _reference(current, updates)
     twice = merge_upsert(once, upd, "id", "ts")
     assert {tuple(r) for r in twice.collect()} == got
+
+
+def test_point_in_time_join_total_and_unique(spark):
+    """Every event must match EXACTLY one SCD2 version (the validity
+    intervals tile each user's timeline from their first active day),
+    and the matched version must be the event's own day's last value
+    when the event falls on a version boundary day."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.cdc import scd2_point_in_time_join
+    from tests.conftest import SF_DIR
+
+    out = scd2_point_in_time_join(spark, SF_DIR)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_events  # total: intervals tile the timeline
+    assert len({r.event_id for r in rows}) == n_events  # unique: no overlap
+    # boundary-day correctness: an event on its version's valid_from day
+    # carries that day's (final) value
+    same_day = [r for r in rows if r.day == r.valid_from]
+    assert same_day, "no boundary-day events at test scale?"
