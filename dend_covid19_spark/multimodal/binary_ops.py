@@ -203,3 +203,34 @@ def extract_byte_histogram(df: DataFrame, bins: int = HIST_BINS) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         hist, "doc_id long, hist array<bigint>"
     )
+
+
+PHASH_BITS = 16  # aHash-style signature width (one bit per histogram bin)
+
+
+def extract_phash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash stage (aHash shape): bit b of the signature is 1
+    iff histogram bin b exceeds the per-payload mean bin mass — the
+    average-hash construction real image dedup uses over downsampled
+    pixels, here over the byte-value profile (byte % 16 — for text-like
+    payloads the letter-frequency fingerprint; >>4 would collapse all
+    lowercase bytes into two bins and every payload onto one
+    signature) the decode stub exposes.
+    Integer threshold (cnt * BITS > total) keeps it exactly portable.
+    numpy-vectorized per Arrow batch like the other extractors."""
+    import numpy as np
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for b in pdf["payload"]:
+                hist = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) % 16, minlength=PHASH_BITS
+                )[:PHASH_BITS].astype("int64")
+                bits = hist * PHASH_BITS > hist.sum()
+                sigs.append(int((bits << np.arange(PHASH_BITS)).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        phash, "doc_id long, sig long"
+    )
