@@ -349,3 +349,81 @@ def fuzzy_join_parts(
         .where(F.col("dist") >= 0)
         .select("part_a", "part_b", "p_brand", "dist")
     )
+
+
+# --- entity resolution end-to-end (fuzzy pairs -> clusters -> canonical) ----
+
+
+@query(
+    "entity_resolution_parts",
+    oracle=f"""
+WITH RECURSIVE pr AS (
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= {LEV_MAX}
+     AND levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+),
+edges AS (
+    SELECT part_a AS a, part_b AS b FROM pr
+    UNION
+    SELECT part_b, part_a FROM pr
+),
+reach(node, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, re.r FROM edges e JOIN reach re ON re.node = e.b
+),
+comp AS (SELECT node, min(r) AS canonical FROM reach GROUP BY node)
+SELECT c.node AS part_key, c.canonical AS canonical_part,
+       s.n_members,
+       (c.node = c.canonical) AS is_canonical
+FROM comp c
+JOIN (SELECT canonical, count(*) AS n_members FROM comp GROUP BY 1) s
+  ON s.canonical = c.canonical
+""",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END on the part dimension — the
+    relational twin of corpus_dedup_canonical's find->verify->cluster->
+    canonicalize pipeline: fuzzy_join_parts' blocked+salted levenshtein
+    pairs become undirected edges, min-label-propagation connected
+    components merge transitive matches ("A~B, B~C => one entity" —
+    the step a pair list alone cannot express), and each entity gets a
+    deterministic canonical id (min part key) plus its member count.
+    Every part in a multi-member entity surfaces with its resolution.
+
+    The oracle restates the whole pipeline declaratively: clean
+    levenshtein pair semantics + a recursive-CTE transitive closure —
+    so the blocking rewrite AND the iterative component algorithm are
+    both under the value hash (the duck_components_ctes pattern).
+
+    Plan/scale: pair generation inherits the fuzzy join's pinned
+    bounds (<5% of n^2 candidates, salted cells); components iterate
+    O(diameter) rounds of key-partitioned join + min-agg (edge
+    partitions stationary per round, operators/components.py); the
+    canonical pick and sizes are one aggregate each. Nothing
+    quadratic, nothing single-partition."""
+    from .components import connected_components
+
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    pairs = (
+        _fuzzy_blocked(part, SALT_TARGET)
+        .withColumn("dist", F.levenshtein("name_a", "name_b", LEV_MAX).cast("long"))
+        .where(F.col("dist") >= 0)
+        .select("part_a", "part_b")
+    )
+    comp = connected_components(pairs, src="part_a", dst="part_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("component").alias("canonical_part"),
+            "n_members",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )
