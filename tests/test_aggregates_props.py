@@ -166,3 +166,36 @@ def test_pii_patterns_detect_and_agree(spark, duck):
         ]
         assert got_spark == expected[name], (name, got_spark)
         assert got_duck == expected[name], (name, got_duck)
+
+
+def test_negative_sampling_properties(spark):
+    """Every user must receive exactly K negatives, none of which is a
+    true interaction — the starvation case the docstring documents must
+    not occur at tested scales (if it ever does, the threshold-doubling
+    loop becomes required, and this fails loudly first)."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.llm_pipeline import (
+        NEG_SAMPLES_PER_USER,
+        negative_sampling_per_user,
+    )
+
+    neg = negative_sampling_per_user(spark, SF_DIR)
+    per_user = neg.groupBy("user_id").agg(F.count(F.lit(1)).alias("k")).collect()
+    assert per_user and all(r.k == NEG_SAMPLES_PER_USER for r in per_user)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    ui = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .distinct()
+    )
+    leaked = neg.join(ui, ["user_id", "item_id"]).count()
+    assert leaked == 0

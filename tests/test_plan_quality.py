@@ -536,3 +536,49 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     )
     plan = j._jdf.queryExecution().explainString(mode)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Spark's runtime bloom filter (InjectRuntimeFilter) must fire for
+    the selective-dimension fact-fact join shape: the filtered side's
+    join keys fold into a bloom_filter_agg that pre-filters the big
+    side's scan — the row-level complement of dynamic partition
+    pruning, and at 100 TB the difference between shuffling the whole
+    fact table and shuffling the ~matching slice.
+
+    Three silent disablers, pinned here by setting them explicitly
+    (mirroring test_aqe_skew_join_splits' discipline): a broadcastable
+    build side (broadcast joins skip injection entirely — threshold
+    -1), a build side above creationSideThreshold (default 10MB), and
+    an application-side scan below applicationSideScanSizeThreshold
+    (default 10GB — tiny test scans need it lowered)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
