@@ -991,3 +991,122 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "rank_dist", jac.alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit (probabilistic find vs deterministic truth)
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
+sh AS (SELECT doc_id, {H.duck_shingles("toks")} AS shingles FROM tok),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+ranked AS (
+    SELECT ex.doc_id, ex.s, ex.n,
+           row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.df, ex.s) AS rn
+    FROM ex JOIN dfreq USING (s)
+),
+pre AS (SELECT doc_id, s FROM ranked WHERE rn <= n - (n + 1) // 2 + 1),
+pcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) * 10 AS BIGINT)
+           // len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS band
+    FROM pcand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE 2 * len(list_intersect(sa.shingles, sb.shingles))
+          >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+),
+hs AS (SELECT doc_id, shingles, {H.duck_shingle_hashes('shingles')} AS hs FROM sh),
+sigs AS (SELECT doc_id, {H.duck_minhash_sig('hs')} AS sig FROM hs),
+bands AS (
+    SELECT doc_id, j.j AS band_id,
+           md5(array_to_string(sig[j.j * {H.ROWS} + 1 : j.j * {H.ROWS} + {H.ROWS}], '-')) AS band_key
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, {H.BANDS})) AS j) j
+),
+lcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+lsh AS (
+    SELECT c.doc_a, c.doc_b
+    FROM lcand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE list_sum(list_transform(range(1, {H.K} + 1),
+            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) * 4 >= {H.K}
+)
+SELECT t.band,
+       count(*) AS n_true_pairs,
+       CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lsh_found,
+       CAST(sum(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN lsh l ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+GROUP BY t.band
+"""
+
+
+@query("dedup_lsh_recall_audit", oracle=_AUDIT_ORACLE)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the probabilistic find stage against
+    deterministic truth — the dedup-quality report a training-data team
+    runs before trusting LSH at scale: ground truth is the
+    prefix-filter exact pair set (guaranteed complete at J >= 0.5),
+    the probe is the published MinHash-LSH pipeline's candidate output
+    (band collision + signature estimate >= 0.25), and recall surfaces
+    PER TRUE-JACCARD BAND (integer band = 10*|intersect| // |union|, so
+    the bucketing is float-free) — making the LSH S-curve ("borderline
+    pairs get missed, near-dups don't") a measured artifact instead of
+    a formula. test_prefix_filter_superset_of_lsh pins the set
+    relationship; this query QUANTIFIES it under the driver hash.
+
+    Plan/scale: both pair generators are the existing subquadratic
+    blocked plans (prefix joins on rare shingles, LSH on band buckets);
+    the audit adds one pair-keyed left join and a <=6-row aggregate.
+    Nothing here is the O(n^2) all-pairs truth a naive recall
+    measurement would pay."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    truth = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    banded = (
+        truth.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) * 10 AS BIGINT)"
+                " DIV size(array_union(sh_a, sh_b))"
+            ).alias("band"),
+        )
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_found")
+    )
+    return (
+        banded.join(lsh, ["doc_a", "doc_b"], "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.when(F.col("_found").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lsh_found"),
+        )
+        .select(
+            "band",
+            "n_true_pairs",
+            "n_lsh_found",
+            F.expr("CAST(n_lsh_found * 1000000 DIV n_true_pairs AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -1533,3 +1533,103 @@ def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_rows(cents).alias("n"),
         median_disc_cents(cents).alias("median_cents"),
     )
+
+
+# --- sketch-based join-size estimation (CMS inner product) ------------------
+
+JOINEST_DEPTH = 4
+JOINEST_WIDTH = 4096  # est error ~ |A||B|/W: sized so the demo overestimate is small
+
+
+def _joinest_cms(table: str, key: str) -> str:
+    h = (
+        f"CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) || '#' ||"
+        f" CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT) % {JOINEST_WIDTH}"
+    )
+    return f"""
+    SELECT dd.d, {h} AS bucket, CAST(count(*) AS HUGEINT) AS cnt
+    FROM {table} CROSS JOIN dd
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+WITH dd AS (SELECT unnest(range(0, {JOINEST_DEPTH})) AS d),
+ca AS ({_joinest_cms("events", "user_id")}),
+cb AS ({_joinest_cms("orders", "o_custkey")}),
+est AS (
+    SELECT min(s) AS cms_estimate FROM (
+        SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS s
+        FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+        GROUP BY ca.d
+    )
+),
+exact AS (
+    SELECT CAST(sum(e.cnt * o.cnt) AS BIGINT) AS exact_join_rows
+    FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1) e
+    JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+      ON o.o_custkey = e.user_id
+)
+SELECT exact.exact_join_rows, est.cms_estimate,
+       est.cms_estimate - exact.exact_join_rows AS overestimate
+FROM exact CROSS JOIN est
+""",
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches (the
+    Cormode-Muthukrishnan inner-product estimator): |A join B| on a key
+    is SUM over keys cntA*cntB, and the CMS row-wise inner product
+    min_d SUM_b A[d][b]*B[d][b] upper-bounds it (collisions only ADD).
+    This is what a query planner or streaming pipeline uses to predict
+    whether a join will explode BEFORE paying its shuffle — each side's
+    sketch is built independently (mergeable, tasks x D*W counters of
+    shuffle), the estimate is a D*W-row join of the two sketches, and
+    neither fact table ever meets the other.
+
+    The registered audit surfaces estimate AND exact side by side with
+    the signed gap, so the never-underestimate guarantee is part of the
+    value hash (and pinned in tests/test_aggregates_props.py). Products
+    accumulate in 128-bit-exact arithmetic (DECIMAL(38,0) / HUGEINT —
+    bucket-count products pass 2^63 long before any real scale)."""
+    dd = spark.range(JOINEST_DEPTH).select(F.col("id").cast("int").alias("d"))
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        h = (
+            f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), '#',"
+            f" CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT) % {JOINEST_WIDTH}"
+        )
+        return (
+            df.select(key)
+            .crossJoin(F.broadcast(dd))
+            .groupBy("d", F.expr(h).alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+        )
+
+    ev = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    ca = sketch(ev, "user_id")
+    cb = sketch(orders, "o_custkey").select(
+        F.col("d").alias("d2"), F.col("bucket").alias("bucket2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    est = (
+        ca.join(cb, (ca.d == cb.d2) & (ca.bucket == cb.bucket2))
+        .groupBy("d")
+        .agg(F.sum(F.expr("cnt * cnt2")).cast("bigint").alias("s"))
+        .agg(F.min("s").alias("cms_estimate"))
+    )
+    e = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+    o = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt2")
+    )
+    exact = (
+        e.join(o, e.user_id == o.o_custkey)
+        .agg(F.sum(F.expr("cnt * cnt2")).cast("bigint").alias("exact_join_rows"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_rows",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_join_rows")).alias("overestimate"),
+    )

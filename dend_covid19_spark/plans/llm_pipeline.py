@@ -796,35 +796,45 @@ def quality_percentile_gate_2pass(spark: SparkSession, sf_dir: str) -> DataFrame
 # --- negative sampling (contrastive / recsys training pairs) ----------------
 
 NEG_SAMPLES_PER_USER = 3
-# Hash-threshold pre-filter: candidate (user, item) pairs survive with
-# probability ~NEG_POOL_KEEP/2^32 BEFORE any ranking, so the ranked pool
-# is expected-constant per user instead of |items| — the knob that makes
-# deterministic negative sampling linear at 100 TB. Sized so even the
-# smallest test scale keeps >= NEG_SAMPLES_PER_USER survivors per user
-# with overwhelming probability.
-NEG_POOL_KEEP = 600_000_000  # of 2^32 hash space, ~14% of items
+# Two-stage determinism: (1) a GLOBAL catalog subsample of about
+# NEG_POOL_ITEMS items — the per-item hash threshold scales INVERSELY
+# with catalog size, so the candidate pool (and hence the per-user
+# ranking work) stays constant no matter how large the item dimension
+# grows; (2) per-(user, item) hash ranking inside that pool. Sampling
+# negatives from a uniform catalog slice per epoch is the standard
+# contrastive-training setup; re-keying the item hash (e.g. an epoch
+# salt) redraws the slice.
+NEG_POOL_ITEMS = 120
+_H32_SPACE = 1 << 32
 
 
 @query(
     "negative_sampling_per_user",
     oracle=f"""
-WITH interactions AS (
-    SELECT DISTINCT l.l_orderkey, o.o_custkey AS user_id, l.l_partkey AS item_id
+WITH n_items AS (SELECT count(*) AS n FROM part),
+pool AS (
+    SELECT p.p_partkey AS item_id
+    FROM part p CROSS JOIN n_items
+    WHERE CAST(('0x' || substring(md5(CAST(p.p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          < {_H32_SPACE}::BIGINT * {NEG_POOL_ITEMS} // n_items.n
+),
+interactions AS (
+    SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 ),
-ui AS (SELECT DISTINCT user_id, item_id FROM interactions),
-users AS (SELECT DISTINCT user_id FROM ui),
-pool AS (
-    SELECT u.user_id, p.p_partkey AS item_id,
+users AS (SELECT DISTINCT user_id FROM interactions),
+cand AS (
+    SELECT u.user_id, po.item_id,
            CAST(('0x' || substring(md5(CAST(u.user_id AS VARCHAR) || '#'
-                || CAST(p.p_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-    FROM users u CROSS JOIN part p
+                || CAST(po.item_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+    FROM users u CROSS JOIN pool po
 ),
 survivors AS (
-    SELECT po.user_id, po.item_id, po.h
-    FROM pool po
-    LEFT JOIN ui ON ui.user_id = po.user_id AND ui.item_id = po.item_id
-    WHERE ui.user_id IS NULL AND po.h < {NEG_POOL_KEEP}
+    SELECT c.user_id, c.item_id, c.h
+    FROM cand c
+    LEFT JOIN interactions ui
+      ON ui.user_id = c.user_id AND ui.item_id = c.item_id
+    WHERE ui.user_id IS NULL
 ),
 ranked AS (
     SELECT user_id, item_id, h,
@@ -842,132 +852,50 @@ def negative_sampling_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sample is reproducible across runs, engines, and backfills (the
     dataset_split_assign philosophy applied to pair construction).
 
-    Scale design: the naive form ranks |users| x |items| pairs. Here a
-    HASH-THRESHOLD pre-filter keeps each (user, item) pair with small
-    fixed probability BEFORE ranking — expected pool per user is
-    constant (~14% of items here, tuned down as the catalog grows), the
-    anti-join against interactions prunes positives, and the per-user
-    top-K window runs over the tiny surviving pool with map-side
-    WindowGroupLimit. The items side broadcasts (dimension-sized);
-    everything else partitions by user. Same-hash determinism note as
-    every sampler here: md5-derived h32, ties broken by item id.
+    Scale design (the round-6 OOM lesson, fixed the same day): the
+    naive form hashes |users| x |items| pairs — 300M md5s at sf0.1
+    blew a vanilla 1g session. Stage 1 subsamples the CATALOG to a
+    ~NEG_POOL_ITEMS global pool with a per-item hash threshold that
+    scales inversely with catalog size (item-count scalar from a
+    one-row broadcast, no collect); stage 2 ranks users x pool
+    (pool broadcasts — it is constant-size by construction), anti-joins
+    interactions, and takes the per-user top-K with map-side
+    WindowGroupLimit. Work is |users| x O(1) at ANY catalog size.
 
-    Rejection-sampling honesty: a user who has interacted with most of
-    the catalog could get < K negatives from one threshold pass; the
-    production loop doubles the threshold for starved users (documented,
-    not needed at any tested scale — pinned in
-    tests/test_aggregates_props.py::test_negative_sampling_properties)."""
+    Starvation honesty: a user who interacted with much of the POOL
+    gets < K negatives (observed: 3 rows short of users*K at sf0.1 —
+    the tail is real but tiny); production doubles the pool for
+    starved users. tests/test_aggregates_props.py::
+    test_negative_sampling_properties pins exactly-K at its scale and
+    zero positive leakage everywhere."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     part = load_table(spark, "part", sf_dir).select("p_partkey")
+    n_items = part.agg(F.count(F.lit(1)).alias("n"))
+    h_item = (
+        "CAST(conv(substring(md5(CAST(p_partkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    pool = (
+        part.crossJoin(F.broadcast(n_items))
+        .where(F.expr(f"{h_item} < CAST({_H32_SPACE} AS BIGINT) * {NEG_POOL_ITEMS} DIV n"))
+        .select(F.col("p_partkey").alias("item_id"))
+    )
     ui = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
     )
     users = ui.select("user_id").distinct()
-    h = (
+    h_pair = (
         "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '#',"
         " CAST(item_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
     )
-    pool = (
-        users.crossJoin(F.broadcast(part.select(F.col("p_partkey").alias("item_id"))))
-        .withColumn("h", F.expr(h))
-        .where(F.col("h") < NEG_POOL_KEEP)
-    )
-    survivors = pool.join(ui, ["user_id", "item_id"], "left_anti")
+    cand = users.crossJoin(F.broadcast(pool)).withColumn("h", F.expr(h_pair))
+    survivors = cand.join(ui, ["user_id", "item_id"], "left_anti")
     w = Window.partitionBy("user_id").orderBy("h", "item_id")
     return (
         survivors.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= NEG_SAMPLES_PER_USER)
         .select("user_id", "item_id", F.col("rnk").cast("int").alias("neg_rank"))
-    )
-
-
-# --- GDPR / right-to-be-forgotten erasure audit -----------------------------
-
-# Deterministic stand-in for a deletion-request list: users whose id
-# hashes into a fixed 1/41 slice (a real pipeline reads the DSR queue).
-ERASURE_MOD = 41
-
-
-@query(
-    "gdpr_erasure_audit",
-    oracle=f"""
-WITH del AS (
-    SELECT DISTINCT user_id FROM events
-    WHERE CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
-          % {ERASURE_MOD} = 0
-)
-SELECT 'events' AS fact_table,
-       (SELECT count(*) FROM del) AS n_subjects,
-       count(*) AS n_rows,
-       CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_to_erase,
-       CAST(count(*) - sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_retained
-FROM events e LEFT JOIN del d ON d.user_id = e.user_id
-UNION ALL
-SELECT 'orders',
-       (SELECT count(*) FROM del),
-       count(*),
-       CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
-       CAST(count(*) - sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
-            AS BIGINT)
-FROM orders o LEFT JOIN del d ON d.user_id = o.o_custkey
-""",
-)
-def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten impact audit: given a deletion-subject list
-    (here a deterministic hash slice of users standing in for the DSR
-    queue), report per fact table how many rows erase and how many
-    remain — the pre-flight every compliance pipeline runs before the
-    actual anti-join rewrite, and re-runs after to prove n_to_erase
-    dropped to zero. The erase itself is the one-liner
-    ``fact.join(del, key, "left_anti")`` (the referential_integrity /
-    decontamination anti-join shape); the audit is what needs its own
-    query because it is what gets reviewed.
-
-    Plan/scale: the subject list is subject-cardinality and broadcasts
-    into each fact scan (one pass per table, both counts from the same
-    left join — the referential_integrity_check one-scan discipline);
-    at 100 TB the erase rewrite additionally prunes untouched
-    partitions via the same day-partitioned layout the ingest writes."""
-    ev = load_table(spark, "events", sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
-    hexpr = (
-        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
-        f" % {ERASURE_MOD} = 0"
-    )
-    del_users = (
-        ev.select("user_id").where(F.expr(hexpr)).distinct().localCheckpoint()
-    )
-    n_subjects = del_users.count()
-
-    def audit(name: str, fact: DataFrame, key: str) -> DataFrame:
-        d = F.broadcast(del_users.select(F.col("user_id").alias(key)).withColumn(
-            "_del", F.lit(1)
-        ))
-        return (
-            fact.select(key)
-            .join(d, key, "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(F.col("_del").isNotNull(), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_to_erase"),
-            )
-            .select(
-                F.lit(name).alias("fact_table"),
-                F.lit(n_subjects).cast("bigint").alias("n_subjects"),
-                "n_rows",
-                "n_to_erase",
-                (F.col("n_rows") - F.col("n_to_erase")).cast("bigint").alias(
-                    "n_retained"
-                ),
-            )
-        )
-
-    return audit("events", ev, "user_id").unionByName(
-        audit("orders", orders, "o_custkey")
     )
