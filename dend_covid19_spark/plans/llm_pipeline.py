@@ -899,3 +899,220 @@ def negative_sampling_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= NEG_SAMPLES_PER_USER)
         .select("user_id", "item_id", F.col("rnk").cast("int").alias("neg_rank"))
     )
+
+
+# --- end-to-end training-corpus funnel (capstone composition) ---------------
+
+_E2E_ORACLE = f"""
+WITH RECURSIVE {duck_components_ctes()},
+noncanon AS (
+    SELECT node FROM reach GROUP BY node HAVING node <> min(r)
+),
+qtok AS (
+    SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+),
+qm AS (
+    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           len(list_filter(toks, t -> list_contains(
+               ['the','a','and','of','to','in','is','it'], t))) AS stop_hits
+    FROM qtok
+),
+quality AS (
+    SELECT doc_id FROM qm
+    WHERE n_chars >= 50
+      AND (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+          * (0.5 + CAST(stop_hits AS DOUBLE) / n_tokens) >= 0.6
+),
+dtok AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+dsh AS (
+    SELECT doc_id, unnest({{grams}}) AS gh FROM dtok
+),
+bench AS (SELECT doc_id AS bench_id, gh FROM dsh WHERE doc_id % {{dmod}} = 0),
+contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, gh FROM dsh WHERE doc_id % {{dmod}} <> 0) t
+    JOIN bench b ON t.gh = b.gh
+),
+s_quality AS (
+    SELECT d.doc_id, d.n_chars FROM documents d JOIN quality q USING (doc_id)
+),
+s_dedup AS (
+    SELECT * FROM s_quality WHERE doc_id NOT IN (SELECT node FROM noncanon)
+),
+s_clean AS (
+    SELECT * FROM s_dedup
+    WHERE doc_id % {{dmod}} <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+s_split AS (
+    SELECT c.*, CASE WHEN substr(md5('doc-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                     THEN 'train'
+                WHEN substr(md5('doc-' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM s_clean c
+)
+SELECT 'raw' AS stage, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT 'quality', count(*), CAST(sum(n_chars) AS BIGINT) FROM s_quality
+UNION ALL
+SELECT 'dedup', count(*), CAST(sum(n_chars) AS BIGINT) FROM s_dedup
+UNION ALL
+SELECT 'clean', count(*), CAST(sum(n_chars) AS BIGINT) FROM s_clean
+UNION ALL
+SELECT 'split:' || split, count(*), CAST(sum(n_chars) AS BIGINT)
+FROM s_split GROUP BY split
+"""
+
+
+@query(
+    "training_corpus_funnel",
+    oracle=_E2E_ORACLE.format(
+        toks=H.duck_tokens("text"),
+        grams=H.duck_shingle_hashes(H.duck_shingles("toks", DECON_NGRAM)),
+        dmod=DECON_MOD,
+    ),
+)
+def training_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE verified funnel — the
+    capstone composition a user actually ships: raw corpus -> quality
+    gate (corpus_quality_filter) -> near-dup canonicalization
+    (corpus_dedup_canonical: LSH find, exact verify, components,
+    canonical keep) -> benchmark decontamination (drop the eval slice
+    AND every doc sharing a 5-gram with it) -> hash-stable
+    train/val/test split (dataset_split_assign). Each row is a funnel
+    stage with surviving doc and char counts; the oracle recomputes
+    the ENTIRE composition — recursive-CTE components included — so
+    stage interactions (not just stages) sit under one value hash.
+
+    Plan/scale: every stage reuses the registered operator's plan
+    unchanged (blocked pair generation, broadcast eval side, map-side
+    split); the funnel adds semi/anti joins on doc_id — dimension-key
+    joins AQE broadcasts — and four fixed-size aggregates. The
+    composition is exactly what runs at 100 TB; the per-stage queries
+    exist so each stage is also verified in isolation."""
+    from .textops import corpus_quality_filter
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    quality = corpus_quality_filter(spark, sf_dir).select("doc_id")
+    canon = corpus_dedup_canonical(spark, sf_dir).select("doc_id")
+    flagged = decontaminate_ngram_overlap(spark, sf_dir).select("doc_id")
+    splits = dataset_split_assign(spark, sf_dir)
+
+    s_quality = docs.join(quality, "doc_id", "left_semi")
+    s_dedup = s_quality.join(canon, "doc_id", "left_semi")
+    s_clean = s_dedup.where(F.col("doc_id") % DECON_MOD != 0).join(
+        flagged, "doc_id", "left_anti"
+    )
+    s_split = s_clean.join(splits, "doc_id")
+
+    def stage(name, df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_chars")
+
+    per_split = (
+        s_split.groupBy(F.concat(F.lit("split:"), F.col("split")).alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    return (
+        stage("raw", docs)
+        .unionByName(stage("quality", s_quality))
+        .unionByName(stage("dedup", s_dedup))
+        .unionByName(stage("clean", s_clean))
+        .unionByName(per_split)
+    )
+
+
+# --- GDPR / right-to-be-forgotten erasure audit -----------------------------
+
+# Deterministic stand-in for a deletion-request list: users whose id
+# hashes into a fixed 1/41 slice (a real pipeline reads the DSR queue).
+ERASURE_MOD = 41
+
+
+@query(
+    "gdpr_erasure_audit",
+    oracle=f"""
+WITH del AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % {ERASURE_MOD} = 0
+)
+SELECT 'events' AS fact_table,
+       (SELECT count(*) FROM del) AS n_subjects,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_to_erase,
+       CAST(count(*) - sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained
+FROM events e LEFT JOIN del d ON d.user_id = e.user_id
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM del),
+       count(*),
+       CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM orders o LEFT JOIN del d ON d.user_id = o.o_custkey
+""",
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion-subject list
+    (here a deterministic hash slice of users standing in for the DSR
+    queue), report per fact table how many rows erase and how many
+    remain — the pre-flight every compliance pipeline runs before the
+    actual anti-join rewrite, and re-runs after to prove n_to_erase
+    dropped to zero. The erase itself is the one-liner
+    ``fact.join(del, key, "left_anti")`` (the referential_integrity /
+    decontamination anti-join shape); the audit is what needs its own
+    query because it is what gets reviewed.
+
+    Plan/scale: the subject list is subject-cardinality and broadcasts
+    into each fact scan (one pass per table, both counts from the same
+    left join — the referential_integrity_check one-scan discipline);
+    at 100 TB the erase rewrite additionally prunes untouched
+    partitions via the same day-partitioned layout the ingest writes."""
+    ev = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    hexpr = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        f" % {ERASURE_MOD} = 0"
+    )
+    del_users = (
+        ev.select("user_id").where(F.expr(hexpr)).distinct().localCheckpoint()
+    )
+    n_subjects = del_users.count()
+
+    def audit(name: str, fact: DataFrame, key: str) -> DataFrame:
+        d = F.broadcast(del_users.select(F.col("user_id").alias(key)).withColumn(
+            "_del", F.lit(1)
+        ))
+        return (
+            fact.select(key)
+            .join(d, key, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("_del").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_to_erase"),
+            )
+            .select(
+                F.lit(name).alias("fact_table"),
+                F.lit(n_subjects).cast("bigint").alias("n_subjects"),
+                "n_rows",
+                "n_to_erase",
+                (F.col("n_rows") - F.col("n_to_erase")).cast("bigint").alias(
+                    "n_retained"
+                ),
+            )
+        )
+
+    return audit("events", ev, "user_id").unionByName(
+        audit("orders", orders, "o_custkey")
+    )
