@@ -199,3 +199,20 @@ def test_negative_sampling_properties(spark):
     )
     leaked = neg.join(ui, ["user_id", "item_id"]).count()
     assert leaked == 0
+
+
+def test_corpus_funnel_monotone_and_partitioned(spark):
+    """Funnel algebra: every stage can only shrink the corpus
+    (raw >= quality >= dedup >= clean, docs and chars alike), and the
+    three splits partition the clean stage exactly."""
+    from dend_covid19_spark.plans.llm_pipeline import training_corpus_funnel
+
+    rows = {r.stage: (r.n_docs, r.n_chars) for r in
+            training_corpus_funnel(spark, SF_DIR).collect()}
+    for earlier, later in (("raw", "quality"), ("quality", "dedup"), ("dedup", "clean")):
+        assert rows[earlier][0] >= rows[later][0], (earlier, later, rows)
+        assert rows[earlier][1] >= rows[later][1], (earlier, later, rows)
+    split_docs = sum(v[0] for k, v in rows.items() if k.startswith("split:"))
+    split_chars = sum(v[1] for k, v in rows.items() if k.startswith("split:"))
+    assert (split_docs, split_chars) == rows["clean"]
+    assert rows["clean"][0] > 0

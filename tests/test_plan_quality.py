@@ -280,6 +280,8 @@ _NESTED_LOOP_ALLOWED = {
     "orders_pareto_share",       # one-row cutoff + totals broadcasts
     "cms_heavy_hitters_audit",   # CMS_DEPTH-row (4) sketch-depth spine broadcast
     "rfm_segments",              # one-row quantile-cutoffs broadcast
+    "cms_join_size_estimate",    # depth spine (4 rows) + one-row estimate broadcast
+    "negative_sampling_per_user",  # one-row item-count + ~NEG_POOL_ITEMS-row pool broadcasts
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
