@@ -434,3 +434,89 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_DEDUP_CACHE[key] = out
     return out
+
+
+_STREAM_ENRICH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "streaming_enrich_executed",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_purchases,
+       count(DISTINCT e.user_id) AS n_buyers
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+""",
+)
+def streaming_enrich_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join EXECUTION under the value hash (the second
+    live-streaming row beside streaming_dedup_executed): purchase
+    events stream through the file source and join the STATIC customer
+    dimension per micro-batch — the canonical streaming enrichment
+    (Spark broadcasts the static side into each batch; no state, no
+    watermark needed for an inner stream-static join) — then drain via
+    availableNow into a memory sink whose per-segment aggregate is
+    hash-compared against the batch join. Row-level join results are
+    micro-batch-order independent, so the aggregate is deterministic.
+
+    Plan/scale: the static side is dimension-sized and broadcast once
+    per batch; the stream side filters to purchases AT THE SOURCE
+    (pushdown applies to file-source streams too), so per-batch work is
+    selective-scan + broadcast-probe. Same once-per-(session, scale)
+    drain-and-cache discipline as the dedup stream."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_ENRICH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_ENRICH_CACHE if k[0] != key[0]]:
+        del _STREAM_ENRICH_CACHE[k]
+
+    from ..streaming.daily import read_events_stream
+
+    token = abs(hash(("enrich", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ingest", f"streamenrich_{token}"
+    )
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.link(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    sink = f"stream_enrich_sink_{token}"
+    events = read_events_stream(spark, src)
+    q = (
+        events.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select("user_id", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(sink)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+    )
+    _STREAM_ENRICH_CACHE[key] = out
+    return out
