@@ -399,3 +399,21 @@ def test_read_snapshot_time_travel(spark, tmp_path):
         read_snapshot(spark, str(snaps), v2 + 999)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "nowhere"))
+
+
+def test_streaming_query_entries_repeat_stable(spark):
+    """The two live-streaming registry entries must return identical
+    aggregates when invoked repeatedly in one session (the driver
+    re-runs each query for timing): the drained memory sink is cached
+    per (session, scale), so the second call must not replay the
+    stream — and must not change values."""
+    from dend_covid19_spark.plans.ingest import (
+        streaming_dedup_executed,
+        streaming_enrich_executed,
+    )
+    from tests.conftest import SF_DIR
+
+    for fn in (streaming_dedup_executed, streaming_enrich_executed):
+        first = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        second = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+        assert first == second and first
