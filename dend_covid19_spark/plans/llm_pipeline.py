@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import hashing as H
 from ..functions.dedup_sql import duck_components_ctes
+from . import textops as _textops
 from .registry import query
 
 CHUNK_SIZE = 200
@@ -913,8 +914,7 @@ qtok AS (
 ),
 qm AS (
     SELECT doc_id, n_chars, len(toks) AS n_tokens,
-           len(list_filter(toks, t -> list_contains(
-               ['the','a','and','of','to','in','is','it'], t))) AS stop_hits
+           {{stop_hits}} AS stop_hits
     FROM qtok
 ),
 quality AS (
@@ -972,6 +972,7 @@ FROM s_split GROUP BY split
         toks=H.duck_tokens("text"),
         grams=H.duck_shingle_hashes(H.duck_shingles("toks", DECON_NGRAM)),
         dmod=DECON_MOD,
+        stop_hits=_textops._duck_hits("en"),
     ),
 )
 def training_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
