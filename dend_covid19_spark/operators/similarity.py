@@ -253,7 +253,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        CAST(pos AS INT) AS pos,
-       round(CAST(sum(CAST(embedding[CAST(pos + 1 AS INT)] AS DECIMAL(18,9))) AS DOUBLE)
+       round(CAST(sum(CAST(CAST(embedding[CAST(pos + 1 AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
              / count(*), 6) AS centroid_val
 FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
 GROUP BY label, pos
@@ -269,9 +269,15 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shuffle key is (label, pos) — n*d rows but ~|labels|*d
     groups, with map-side partial aggregation doing almost all the
     reduction; no vector ever transits whole. Determinism: each float
-    casts to DECIMAL(18,9) (same rounding of the same float both
-    engines), the sum is exact, and the /count division is one IEEE op —
-    accumulation order cannot move the mean.
+    goes through an EXPLICIT double cast before DECIMAL(18,9) — Spark
+    always widens float->double->decimal, but DuckDB's direct
+    FLOAT->DECIMAL scales in float precision (~1e-7 relative error per
+    value; found by scripts/fuzz_sim.py as a centroid hash mismatch on
+    generated vectors) — then the decimal sum is exact and the /count
+    division is one IEEE op, so accumulation order cannot move the
+    mean. Convention: NEVER cast a REAL/FLOAT column straight to
+    DECIMAL in oracle SQL — widen to DOUBLE first (kmeans/vector ops
+    already read embeddings as DOUBLE[]).
     """
     emb = load_table(spark, "embeddings", sf_dir)
     return (
@@ -279,7 +285,8 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(
             F.round(
-                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                F.sum(F.col("x").cast("double").cast("decimal(18,9)"))
+                .cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("centroid_val")

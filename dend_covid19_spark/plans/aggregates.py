@@ -546,9 +546,8 @@ WITH sums AS (
     GROUP BY c_nationkey
 )
 SELECT c_nationkey, n,
-       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS stddev_totalprice,
-       round((n * sxy - sx * sy)
-           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS corr_price_acctbal
+       CASE WHEN n < 2 THEN NULL ELSE round(sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 4) END AS stddev_totalprice,
+       CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL ELSE round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) END AS corr_price_acctbal
 FROM sums
 """,
 )
@@ -562,6 +561,11 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded (4dp/8dp) because the two engines convert wide decimals to
     double through different paths (BigDecimal vs int128/10^k) and the
     cancellation in n·Σx² − (Σx)² amplifies that last-ulp gap to ~1e-11.
+    Degenerate groups are GUARDED (found by scripts/fuzz_sim.py):
+    n = 1 divides by zero — an ANSI error here, inf in DuckDB — and a
+    zero/negative variance (constant column, or last-ulp cancellation
+    undershoot) breaks sqrt; both yield NULL through the same CASE
+    text in both engines, and the variance is clamped at 0.
 
     Scale: identical plan to any groupBy-agg (partial decimal sums
     map-side, one shuffle of 5 numbers per group); the dim join
@@ -584,19 +588,11 @@ def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dx * dy).cast("double").alias("sxy"),
         )
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return sums.select(
         "c_nationkey",
         "n",
-        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4).alias(
-            "stddev_totalprice"
-        ),
-        F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            8,
-        ).alias("corr_price_acctbal"),
+        F.expr("CASE WHEN n < 2 THEN NULL ELSE round(sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 4) END").alias("stddev_totalprice"),
+        F.expr("CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL ELSE round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) END").alias("corr_price_acctbal"),
     )
 
 

@@ -1,0 +1,216 @@
+"""Differential fuzz harness: generate a seeded synthetic dataset with
+ADVERSARIAL properties the fixed testdata never exercises — timestamp
+ties, duplicate rows, hot keys, exact-duplicate and one-edit texts,
+boundary-length documents, stopword-bearing vocab, negative balances —
+and run the ENTIRE registry through the driver-identical DuckDB
+comparison against it (driver_sim with SPARK_GRAFT_SIM_FUZZ dir).
+
+Every divergence is one of two real findings: a portability bug in a
+query/oracle pair (an engine-dependent tie-break, rounding, or NULL
+path the fixed corpus happened to dodge — the round-6 stopword-drift
+bug was exactly this class), or an undeclared data-contract assumption
+that should be documented. Both are worth a round's attention.
+
+Usage:
+    python scripts/fuzz_sim.py            # seed 1, all queries
+    python scripts/fuzz_sim.py 7          # another seed
+    FUZZ_KEEP=1 python scripts/fuzz_sim.py  # keep the generated dir
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+PTYPES = ["ECONOMY", "MEDIUM", "SMALL", "PROMO", "LARGE", "STANDARD"]
+STATUSES = ["F", "P", "O"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+RETFLAGS = ["A", "N", "R"]
+LINESTATUS = ["F", "O"]
+ETYPES = ["signup", "click", "purchase", "error", "view"]
+LANGS = ["en", "en", "en", "fr", "de", "es", "zh"]  # en-heavy like the corpus
+# vocab deliberately includes EVERY stopword list's words plus the
+# near-miss words ('to','in','is','it') that exposed the funnel drift
+VOCAB = (
+    "the a of and el la de los der die das und to in is it "
+    "spark window merge table scan join hash sort batch stream key value "
+    "row part order customer line agg filter group vector slow fast big small dup"
+).split()
+
+N_CUST = 60
+N_SUPP = 8
+N_PART = 100
+N_ORDERS = 400
+N_EVENTS = 600
+N_DOCS = 200
+N_EMB = 300
+EMB_DIM = 64
+
+DAY_US = 86_400_000_000
+
+
+def _money(rng, n, lo=1.0, hi=100_000.0):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def generate(seed: int, out: str) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+
+    def w(name, table):
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+
+    w("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": REGIONS,
+    }))
+    w("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+    w("supplier", pa.table({
+        "s_suppkey": pa.array(range(N_SUPP), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(N_SUPP)],
+        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP), pa.int32()),
+        "s_acctbal": _money(rng, N_SUPP, -999.0, 9999.0),
+    }))
+    # customers: ties in acctbal, negatives, a few exact duplicates of balance
+    bal = _money(rng, N_CUST, -999.0, 9999.0)
+    bal[5] = bal[4]  # tie
+    w("customer", pa.table({
+        "c_custkey": pa.array(range(N_CUST), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(N_CUST)],
+        "c_nationkey": pa.array(rng.integers(0, 25, N_CUST), pa.int32()),
+        "c_acctbal": bal,
+        "c_mktsegment": [SEGMENTS[i] for i in rng.integers(0, 5, N_CUST)],
+    }))
+    # parts: duplicate names (ER/fuzzy food), many tiny sizes (triangle subgraph)
+    adjs = ["cold", "small", "large", "red", "dim", "hot"]
+    nouns = ["widget", "bolt", "gear", "cog", "pin"]
+    pname = [f"{adjs[rng.integers(0, 6)]} {nouns[rng.integers(0, 5)]}" for _ in range(N_PART)]
+    w("part", pa.table({
+        "p_partkey": pa.array(range(N_PART), pa.int64()),
+        "p_name": pname,
+        "p_brand": [f"Brand#{1 + int(i)}" for i in rng.integers(0, 25, N_PART)],
+        "p_type": [PTYPES[i] for i in rng.integers(0, 6, N_PART)],
+        "p_size": pa.array(rng.integers(1, 51, N_PART), pa.int32()),
+        "p_retailprice": _money(rng, N_PART, 100.0, 2000.0),
+    }))
+    # orders: skewed customers (hot key 0), dates clustered so the 1996
+    # predicate windows (q6/q14) are non-empty, some dormant customers
+    ocust = rng.integers(0, N_CUST - 5, N_ORDERS)  # last 5 customers dormant
+    ocust[: N_ORDERS // 10] = 0  # hot customer
+    base_1995 = np.datetime64("1995-01-01", "us").astype(np.int64)
+    odate = base_1995 + rng.integers(0, 2400, N_ORDERS) * DAY_US
+    w("orders", pa.table({
+        "o_orderkey": pa.array(range(N_ORDERS), pa.int64()),
+        "o_custkey": pa.array(ocust, pa.int64()),
+        "o_orderstatus": [STATUSES[i] for i in rng.integers(0, 3, N_ORDERS)],
+        "o_totalprice": _money(rng, N_ORDERS, 900.0, 300_000.0),
+        "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        "o_orderpriority": [PRIORITIES[i] for i in rng.integers(0, 5, N_ORDERS)],
+    }))
+    # lineitems: 1-7 per order, occasional duplicated (order, part) pairs
+    lok, lpk, lsk, lln, lsd = [], [], [], [], []
+    for ok in range(N_ORDERS):
+        n_lines = int(rng.integers(1, 8))
+        parts = rng.integers(0, N_PART, n_lines)
+        if n_lines >= 3:
+            parts[1] = parts[0]  # duplicate pair: distinct() paths must dedup
+        for ln in range(n_lines):
+            lok.append(ok)
+            lpk.append(int(parts[ln]))
+            lsk.append(int(rng.integers(0, N_SUPP)))
+            lln.append(ln + 1)
+            lsd.append(int(odate[ok]) + int(rng.integers(1, 121)) * DAY_US)
+    n_li = len(lok)
+    w("lineitem", pa.table({
+        "l_orderkey": pa.array(lok, pa.int64()),
+        "l_partkey": pa.array(lpk, pa.int64()),
+        "l_suppkey": pa.array(lsk, pa.int64()),
+        "l_linenumber": pa.array(lln, pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": _money(rng, n_li, 900.0, 100_000.0),
+        "l_discount": np.round(rng.integers(0, 11, n_li) * 0.01, 2),
+        "l_tax": np.round(rng.integers(0, 9, n_li) * 0.01, 2),
+        "l_returnflag": [RETFLAGS[i] for i in rng.integers(0, 3, n_li)],
+        "l_linestatus": [LINESTATUS[i] for i in rng.integers(0, 2, n_li)],
+        "l_shipdate": pa.array(np.array(lsd, np.int64), pa.timestamp("us")),
+    }))
+    # events: Jan-2024 span (the documented contract), timestamp TIES with
+    # distinct event_ids, duplicate (user, type) pairs, a hot user
+    base_ev = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ets = base_ev + rng.integers(0, 30 * DAY_US, N_EVENTS)
+    ets[10] = ets[11] = ets[12]  # three-way exact tie
+    users = rng.integers(0, 15, N_EVENTS)
+    users[: N_EVENTS // 8] = 3  # hot user
+    w("events", pa.table({
+        "event_id": pa.array(range(N_EVENTS), pa.int64()),
+        "ts": pa.array(ets, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": [ETYPES[i] for i in rng.integers(0, 5, N_EVENTS)],
+        "value": _money(rng, N_EVENTS, 0.01, 400.0),
+        "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, N_EVENTS)],
+    }))
+    # documents: exact dups, one-edit near-dups, sub-50-char shorts,
+    # stopword-bearing vocab (incl. the drift words)
+    texts = []
+    for i in range(N_DOCS):
+        n_tok = int(rng.integers(3, 60))
+        toks = [VOCAB[j] for j in rng.integers(0, len(VOCAB), n_tok)]
+        texts.append(" ".join(toks))
+    for i in range(0, 20, 2):  # 10 exact duplicate pairs
+        texts[i + 1] = texts[i]
+    for i in range(20, 40, 2):  # 10 near-dup pairs (one-token edit)
+        toks = texts[i].split()
+        toks[len(toks) // 2] = "edited"
+        texts[i + 1] = " ".join(toks)
+    w("documents", pa.table({
+        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "text": texts,
+        "lang": [LANGS[i] for i in rng.integers(0, len(LANGS), N_DOCS)],
+        "source": [f"src{int(i)}" for i in rng.integers(0, 20, N_DOCS)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    # embeddings: near-duplicate vectors + exact duplicates; ids cover the
+    # fixed QUERY_VEC_ID (0) and CENTROID_IDS (1..8)
+    emb = rng.normal(0, 1, (N_EMB, EMB_DIM)).astype(np.float32)
+    emb[50] = emb[51]  # exact duplicate vector
+    emb[52] = emb[51] + np.float32(1e-3)
+    w("embeddings", pa.table({
+        "vec_id": pa.array(range(N_EMB), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in emb], pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, N_EMB), pa.int32()),
+    }))
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_fuzz_seed{seed}")
+    generate(seed, out)
+    print(f"fuzz data (seed {seed}) -> {out}; running driver_sim ...", flush=True)
+    env = dict(os.environ, SPARK_GRAFT_SIM_SF=out)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py")],
+        env=env,
+    ).returncode
+    if not os.environ.get("FUZZ_KEEP"):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
