@@ -450,28 +450,28 @@ def attribution_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
     SELECT CAST(o_orderdate AS DATE) AS day,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
     FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
 ), b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
 spine AS (
     SELECT CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
 ), j AS (
-    SELECT s.day, d.v FROM spine s LEFT JOIN daily d USING (day)
+    SELECT s.day, d.cents FROM spine s LEFT JOIN daily d USING (day)
 ), f AS (
-    SELECT day, v,
-        last_value(v IGNORE NULLS) OVER w_prev AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
-        first_value(v IGNORE NULLS) OVER w_next AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
+    SELECT day, cents,
+        last_value(cents IGNORE NULLS) OVER w_prev AS pc,
+        last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER w_prev AS pd,
+        first_value(cents IGNORE NULLS) OVER w_next AS nc,
+        first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER w_next AS nd
     FROM j
     WINDOW w_prev AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
            w_next AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT day,
-       round(CASE WHEN v IS NOT NULL THEN v
-             ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END,
-             6) AS value_filled,
-       (v IS NULL) AS is_interpolated
+       CAST(CASE WHEN cents IS NOT NULL THEN cents * 10000
+            ELSE (pc * (nd - day) + nc * (day - pd)) * 10000 // (nd - pd) END
+            AS DOUBLE) / 1000000.0 AS value_filled,
+       (cents IS NULL) AS is_interpolated
 FROM f
 """,
 )
@@ -487,18 +487,23 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     over ~|days| rows per series, thousands at most, AFTER the raw data
     reduced through one hash aggregate; in production you'd
     partitionBy(series_key) and this exact plan runs per key in
-    parallel. Determinism: sums go through DECIMAL, the interpolation
-    expression is parenthesized identically on both engines (one
-    int/int->double division, one multiply, one add), rounded to 6 dp.
+    parallel. Determinism: the series quantizes to integer cents and
+    the interpolant is computed EXACTLY in integer arithmetic at
+    1e-4-cent resolution (pc*(nd-day) + nc*(day-pd), floor-divided by
+    the gap length), surfaced through one shared double division with
+    NO round() — a rounded float interpolant can land on an exact
+    binary half at the rounding digit, where the engines' tie-breaks
+    differ (fuzz-found; headroom: cents x gap-days x 1e4 < 2^63 to
+    ~1e5x this scale).
     """
     orders = load_table(spark, "orders", sf_dir)
     daily = (
         orders.where(F.col("o_orderpriority") == "1-URGENT")
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("v")
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents")
         )
     )
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
@@ -512,22 +517,27 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     w_next = Window.orderBy("day").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
-    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
     f = (
-        j.withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        j.withColumn("pc", F.last("cents", ignorenulls=True).over(w_prev))
         .withColumn("pd", F.last(known_day, ignorenulls=True).over(w_prev))
-        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nc", F.first("cents", ignorenulls=True).over(w_next))
         .withColumn("nd", F.first(known_day, ignorenulls=True).over(w_next))
     )
-    interp = F.expr(
-        "pv + (nv - pv) * (CAST(datediff(day, pd) AS DOUBLE) / CAST(datediff(nd, pd) AS DOUBLE))"
+    # EXACT integer interpolation at 1e-4-cent resolution, then ONE
+    # shared division to surface a double — no round() anywhere: a
+    # rounded interpolant can land on an exact binary x.xxxxxx5 and the
+    # two engines break half-way ties differently (found by
+    # scripts/fuzz_sim.py seed 2; SURVEY lesson #2's class)
+    e6 = F.expr(
+        "CASE WHEN cents IS NOT NULL THEN cents * 10000 "
+        "ELSE (pc * datediff(nd, day) + nc * datediff(day, pd)) * 10000 "
+        "DIV datediff(nd, pd) END"
     )
     return f.select(
         "day",
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6
-        ).alias("value_filled"),
-        F.col("v").isNull().alias("is_interpolated"),
+        (e6.cast("double") / F.lit(1000000.0)).alias("value_filled"),
+        F.col("cents").isNull().alias("is_interpolated"),
     )
 
 
