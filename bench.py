@@ -110,25 +110,34 @@ def main() -> None:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "cold_first_run_total_sec": round(cold_total, 3),
-                "sf": sf,
-                # r4: events.ts ingestion fix landed — events-based rows
-                # (flagship/sessionize/session_window/scd2) now measure
-                # the TRUE workload (r1-r3 measured a collapsed one);
-                # their deltas vs earlier rounds are not regressions.
-                "post_ts_fix": True,
-                "methodology": "median_of_3_steady_state",
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "cold_first_run_total_sec": round(cold_total, 3),
+        "sf": sf,
+        # r4: events.ts ingestion fix landed — events-based rows
+        # (flagship/sessionize/session_window/scd2) now measure
+        # the TRUE workload (r1-r3 measured a collapsed one);
+        # their deltas vs earlier rounds are not regressions.
+        "post_ts_fix": True,
+        "methodology": "median_of_3_steady_state",
+    }
+    # The driver records only a bounded TAIL of stdout (~2 KB): rounds 6
+    # and 7 each lost the headline total because the one fat JSON line
+    # (medians + mins) overflowed that window and its HEAD — metric,
+    # value — was what got cut. So: persist the full artifact to disk,
+    # then print it (head may truncate harmlessly), and END stdout with
+    # a compact totals-first line that always fits whole inside the tail
+    # window. Consumers should parse the LAST line.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(full))
+    compact = dict(full)
+    compact.pop("queries_min")
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

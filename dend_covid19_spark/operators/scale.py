@@ -207,7 +207,8 @@ def _bucket_scratch(sf_dir: str) -> str:
     round-4 ADVICE finding)."""
     import hashlib
     import os
-    import tempfile
+
+    from ..scratch import scratch_dir
 
     mtimes = ":".join(
         str(os.path.getmtime(os.path.join(sf_dir, f)))
@@ -216,11 +217,7 @@ def _bucket_scratch(sf_dir: str) -> str:
     token = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{mtimes}".encode()
     ).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_ingest",
-        f"bucketed_{token}_{os.getpid()}",
-    )
+    return scratch_dir(f"bucketed_{token}_{os.getpid()}")
 
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -268,13 +268,12 @@ _SNAPSHOT_BOUND: dict[str, str] = {}
 def _snapshot_scratch(sf_dir: str) -> str:
     import hashlib
     import os
-    import tempfile
+
+    from ..scratch import scratch_dir
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
     token = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_ingest", f"snap_{token}_{os.getpid()}"
-    )
+    return scratch_dir(f"snap_{token}_{os.getpid()}")
 
 
 def _ensure_snapshot_store(spark: SparkSession, sf_dir: str) -> str:

@@ -63,10 +63,11 @@ GROUP BY lang
 def _scratch(name: str) -> str:
     """Fixed per-query scratch dir: every invocation overwrites the same
     path (writers run mode('overwrite')), so repeated bench/correctness
-    runs reuse one directory instead of leaking a mkdtemp copy each."""
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_ingest", name)
-    os.makedirs(path, exist_ok=True)
-    return path
+    runs reuse one directory instead of leaking a mkdtemp copy each.
+    pid-stamped so gc_scratch can reap it once this process dies."""
+    from ..scratch import scratch_dir
+
+    return scratch_dir(name)
 
 
 def _digest(df: DataFrame) -> DataFrame:
@@ -396,9 +397,7 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.daily import read_events_stream
 
     token = abs(hash((os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
-    scratch = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ingest", f"streamdedup_{token}"
-    )
+    scratch = _scratch(f"streamdedup_{token}")
     src = os.path.join(scratch, "src")
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
@@ -479,9 +478,7 @@ def streaming_enrich_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.daily import read_events_stream
 
     token = abs(hash(("enrich", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
-    scratch = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ingest", f"streamenrich_{token}"
-    )
+    scratch = _scratch(f"streamenrich_{token}")
     src = os.path.join(scratch, "src")
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")

@@ -67,6 +67,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
     )
+    # Reap dead processes' /tmp scratch before this one starts writing
+    # its own (SURVEY.md §8 queue item c): side-effecting queries leave
+    # pid-stamped dirs under $TMPDIR/spark_graft_ingest; rounds sharing
+    # a machine would otherwise accumulate a few MB per driver pid.
+    try:
+        from .scratch import gc_scratch
+
+        gc_scratch()
+    except Exception:
+        pass  # GC is best-effort; never block session creation
     return builder.getOrCreate()
 
 

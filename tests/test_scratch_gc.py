@@ -1,0 +1,80 @@
+"""Liveness-checked /tmp scratch GC (SURVEY.md §8 queue item c):
+pid-marked dirs are reaped exactly when their owner is dead; live and
+current-process dirs survive; unmarked dirs fall back to an age check.
+No Spark needed — pure filesystem semantics."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import time
+
+from dend_covid19_spark.scratch import gc_scratch, scratch_dir
+
+
+def _dead_pid() -> int:
+    """A pid that existed a moment ago and is now certainly dead."""
+    p = subprocess.Popen(["true"])
+    p.wait()
+    return p.pid
+
+
+def test_scratch_dir_stamps_owner(tmp_path):
+    root = str(tmp_path)
+    d = scratch_dir("mine", root=root)
+    assert os.path.isdir(d)
+    with open(os.path.join(d, "owner.pid")) as fh:
+        assert int(fh.read()) == os.getpid()
+
+
+def test_gc_spares_live_owner_and_self(tmp_path):
+    root = str(tmp_path)
+    mine = scratch_dir("mine", root=root)
+    # dir stamped by a demonstrably live foreign process (pid 1)
+    other = os.path.join(root, "other")
+    os.makedirs(other)
+    with open(os.path.join(other, "owner.pid"), "w") as fh:
+        fh.write("1")
+    removed = gc_scratch(root=root)
+    assert removed == []
+    assert os.path.isdir(mine) and os.path.isdir(other)
+
+
+def test_gc_reaps_dead_owner_marker(tmp_path):
+    root = str(tmp_path)
+    dead = os.path.join(root, "deadguy")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "owner.pid"), "w") as fh:
+        fh.write(str(_dead_pid()))
+    removed = gc_scratch(root=root)
+    assert removed == [dead]
+    assert not os.path.exists(dead)
+
+
+def test_gc_reaps_dead_owner_name_suffix(tmp_path):
+    """Legacy dirs (pre-marker) encode the owner as a trailing _<pid>
+    name segment — cdc snap_*, scale bucketed_*."""
+    root = str(tmp_path)
+    dead = os.path.join(root, f"snap_abc123_{_dead_pid()}")
+    os.makedirs(dead)
+    live = os.path.join(root, "bucketed_def456_1")  # pid 1 is alive
+    os.makedirs(live)
+    removed = gc_scratch(root=root)
+    assert removed == [dead]
+    assert os.path.isdir(live)
+
+
+def test_gc_unmarked_dirs_age_gated(tmp_path):
+    root = str(tmp_path)
+    anon = os.path.join(root, "jsonl")
+    os.makedirs(anon)
+    # young: kept regardless of ownership ambiguity
+    assert gc_scratch(root=root, stale_age_sec=3600) == []
+    assert os.path.isdir(anon)
+    # old: reaped (simulate age by shifting "now" forward)
+    assert gc_scratch(root=root, stale_age_sec=3600, now=time.time() + 7200) == [anon]
+    assert not os.path.exists(anon)
+
+
+def test_gc_missing_root_is_noop(tmp_path):
+    assert gc_scratch(root=str(tmp_path / "nope")) == []
