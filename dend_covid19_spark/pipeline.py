@@ -102,23 +102,28 @@ def run_daily(
     fetch: Callable[[str, str], list],
     indices: Iterable[str] = ("NASDAQOMX/XQC",),
     language: str = "en",
+    db_prefix: str = "",
 ) -> None:
     """One execution-date run of the whole DAG (tweets_and_market.py:97-104):
     both extract sides, both loads, both quality gates. Ordering mirrors
     the reference's fan-out/fan-in; Spark's lazy DAG handles everything
-    within each side."""
+    within each side. ``db_prefix`` (e.g. ``"mydb."``) redirects the
+    serving tables into an alternate database — the warehouse-relocation
+    knob the roundtrip query uses to stay cwd-independent."""
     sentiment = extract_sentiment(spark, sf_dir, date, language)
-    sentiment.write.mode("append").insertInto("tweets_sentiment")
+    sentiment.write.mode("append").insertInto(f"{db_prefix}tweets_sentiment")
     market = scrap_market_data(spark, fetch, indices, date)
-    market.write.mode("append").insertInto("markets_value")
+    market.write.mode("append").insertInto(f"{db_prefix}markets_value")
 
     d = F.to_date(F.lit(date)).cast("timestamp")
     expect_nonempty(
-        spark.table("tweets_sentiment"), F.col("date") == d, name=f"tweets@{date}"
+        spark.table(f"{db_prefix}tweets_sentiment"),
+        F.col("date") == d,
+        name=f"tweets@{date}",
     )
     for index in indices:
         expect_nonempty(
-            spark.table("markets_value"),
+            spark.table(f"{db_prefix}markets_value"),
             (F.col("date") == d) & (F.col("index") == index),
             name=f"market@{date}/{index}",
         )
@@ -130,15 +135,16 @@ def backfill(
     dates: Iterable[str],
     fetch: Callable[[str, str], list],
     reset: bool = True,
+    db_prefix: str = "",
     **kwargs,
 ) -> None:
     """O2: the bounded backfill window (tweets_and_market.py:15-17,
     2020-01-21..31 in the reference) as an explicit date loop, optionally
     after an O6 reset."""
     if reset:
-        reset_serving_tables(spark)
+        reset_serving_tables(spark, db_prefix)
     for date in dates:
-        run_daily(spark, sf_dir, date, fetch, **kwargs)
+        run_daily(spark, sf_dir, date, fetch, db_prefix=db_prefix, **kwargs)
 
 
 def flagship_join(spark: SparkSession) -> DataFrame:

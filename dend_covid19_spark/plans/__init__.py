@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     multimodal_plans,
     parity,
     relational,
+    serving,
     textops,
     timeseries,
     tpch_extra,
