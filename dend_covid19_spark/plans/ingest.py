@@ -385,7 +385,6 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver runs each query several times for timing) reuse the drained
     sink instead of replaying the stream."""
     import os
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _STREAM_DEDUP_CACHE.get(key)
@@ -466,7 +465,6 @@ def streaming_enrich_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective-scan + broadcast-probe. Same once-per-(session, scale)
     drain-and-cache discipline as the dedup stream."""
     import os
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _STREAM_ENRICH_CACHE.get(key)
@@ -517,3 +515,76 @@ def streaming_enrich_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_ENRICH_CACHE[key] = out
     return out
+
+
+# --- idempotent daily re-run (dynamic partition overwrite) ------------------
+
+_OVR_DAYS = ("2024-01-05", "2024-01-07")  # inclusive window
+_OVR_RERUN_DAY = "2024-01-06"
+
+
+@query(
+    "ingest_overwrite_idempotent",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN '{_OVR_DAYS[0]}' AND '{_OVR_DAYS[1]}'
+GROUP BY 1
+""",
+)
+def ingest_overwrite_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent daily re-run semantics under the value hash — the
+    backfill-retry pattern every production daily pipeline hits first.
+    The reference re-runs execution dates freely (its Airflow window,
+    tweets_and_market.py:15-17) but its INSERT loads would double-rows
+    on retry; the engine-side fix is dynamic partition overwrite:
+    ``mode("overwrite")`` with ``partitionOverwriteMode=dynamic``
+    replaces ONLY the date partitions present in the incoming frame.
+
+    Execution: load a 3-day events window into a day-partitioned store,
+    then RE-RUN the middle day (same write, same data). The digest read
+    back matches the source digest iff (a) the re-run replaced rather
+    than appended its partition — no double-load — and (b) dynamic mode
+    left the sibling partitions untouched (static overwrite would have
+    deleted them; append mode would have doubled day two: either failure
+    flips the hash).
+
+    Plan/scale: the write shuffles once on the partition key; a re-run
+    of one day rewrites one partition's files regardless of table size —
+    O(day), not O(table) — which is exactly why this is the idempotency
+    mechanism that survives 100 TB while DELETE+INSERT or full rewrites
+    don't. The conf is set per-write and restored (it's a session conf;
+    the driver's other queries must not inherit it)."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    win = ev.where(F.col("day").between(*_OVR_DAYS))
+    path = os.path.join(_scratch("ovr_idempotent"), "events_by_day")
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "static")
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        win.write.partitionBy("day").mode("overwrite").parquet(path)
+        # the daily re-run: same day loaded again (retry / backfill)
+        ev.where(F.col("day") == _OVR_RERUN_DAY).write.partitionBy(
+            "day"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("value_sum"),
+    )
