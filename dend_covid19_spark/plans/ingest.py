@@ -588,3 +588,101 @@ def ingest_overwrite_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_sum"),
     )
+
+
+# --- streaming session-window aggregation (executed) ------------------------
+
+_STREAM_SESSION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_window_closed_oracle() -> str:
+    """The batch twin's oracle restricted to sessions CLOSED by the
+    final watermark: append-mode streaming aggregation emits a session
+    only once the watermark (here: corpus max ts, delay 0) passes its
+    end, so sessions whose last event lies within one gap of the corpus
+    end are still open state at drain time — by definition, not by
+    defect. The filter states that emission contract in SQL."""
+    from .timeseries import SESSION_WINDOW_ORACLE
+
+    return f"""
+SELECT * FROM ({SESSION_WINDOW_ORACLE})
+WHERE end_us <= (SELECT epoch_us(max(ts)) FROM events)
+"""
+
+
+@query("streaming_session_window_executed", oracle=_session_window_closed_oracle())
+def streaming_session_window_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful WINDOWED aggregation executed as a live stream under the
+    value hash — the third Structured-Streaming execution row (after
+    dedup and stream-static join): events stream through the file
+    source, aggregate per (user, 30-min session_window), and drain via
+    availableNow into a memory sink in APPEND mode with a ZERO-delay
+    watermark. Spark only supports append output for streaming session
+    windows (update raises STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION),
+    and append emits a session exactly once — when the watermark passes
+    its end. A zero delay puts the final watermark at the corpus max
+    event time, so every session except those still within one gap of
+    the stream head is emitted finalized; the oracle is the batch
+    twin's SQL (events_session_window_native) restricted to exactly
+    those closed sessions. A hash match therefore proves the streaming
+    operator's merge/emit logic equals the batch operator on all
+    watermark-closed state.
+
+    Correctness precondition (same as streaming_dedup_executed): the
+    source dir holds ONE parquet file, so availableNow processes one
+    data micro-batch and no event can arrive behind an already-advanced
+    watermark — zero late drops. The emitting pass is the no-data
+    finalization batch availableNow runs after the last data batch.
+
+    Plan/scale: state is one open session per active user inside the
+    gap horizon (bounded by arrival rate x gap in production); the sink
+    holds session-cardinality rows, not events. In production the delay
+    is tuned to tolerated lateness and sessions emit continuously as
+    the watermark flows — the drain-at-end shape here is the bounded
+    projection of that. Same once-per-(session, scale) drain-and-cache
+    discipline as the other streaming rows."""
+    from ..streaming.daily import read_events_stream
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_SESSION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_SESSION_CACHE if k[0] != key[0]]:
+        del _STREAM_SESSION_CACHE[k]
+
+    token = abs(hash(("sesswin", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamsesswin_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.link(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+
+    sink = f"stream_sesswin_sink_{token}"
+    events = read_events_stream(spark, src)
+    q = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).select("user_id", "start_us", "end_us", "n_events")
+    _STREAM_SESSION_CACHE[key] = out
+    return out

@@ -184,9 +184,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_session_window_native",
-    oracle="""
+# Shared by the batch query below and its live Structured-Streaming
+# execution twin (plans/ingest.py streaming_session_window_executed):
+# identical oracle => any divergence between the batch operator and the
+# streaming drain shows up as a hash mismatch on one of the two rows.
+SESSION_WINDOW_ORACLE = """
 WITH ordered AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
@@ -208,8 +210,10 @@ SELECT user_id,
        count(*) AS n_events
 FROM sessions
 GROUP BY user_id, session_seq
-""",
-)
+"""
+
+
+@query("events_session_window_native", oracle=SESSION_WINDOW_ORACLE)
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in ``session_window`` (use the native operator when
     one exists): merges each user's events whose [ts, ts+30min) intervals
