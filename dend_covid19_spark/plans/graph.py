@@ -502,32 +502,13 @@ GROUP BY s
 """
 
 
-@query("graph_kcore_members", oracle=_KCORE_ORACLE)
-def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core decomposition by iterative peeling over the bounded
-    co-purchase subgraph (same TRI_MAX_SIZE subgraph as the triangle
-    count): repeatedly delete nodes with degree < K until the K-core
-    remains — the standard cohesive-subgraph / influence-zone
-    extraction (a node in the 3-core belongs to a region where
-    everyone co-purchases with >= 3 others even after peeling
-    hangers-on). KCORE_ITERS peel rounds are UNROLLED — the same
-    fixed-iteration determinism discipline as PageRank/kmeans — and
-    the oracle unrolls identical CTE rounds; the demo graph reaches
-    its fixpoint within them (pinned by
-    tests/test_graph.py::test_kcore_fixpoint_reached), so the result
-    IS the true K-core, not a truncation.
+KCORE_BROADCAST_MAX_NODES = PR_BROADCAST_MAX_NODES
+KCORE_SHUFFLE_PARTS = PR_SHUFFLE_PARTS
 
-    Output: surviving nodes with their within-core degree (>= K at
-    fixpoint). Pure integer counting — engine-exact.
 
-    Plan/scale: each round is one degree aggregate (map-side combined,
-    node cardinality) and two semi joins of the edge list against the
-    survivor set; Spark picks broadcast semi joins while survivors fit
-    (auto) and co-partitioned SMJ beyond — both correct, same rows.
-    localCheckpoint truncates lineage per round so the unrolled loop
-    doesn't replan prior rounds. At 100 TB the edge list keeps a
-    stationary hash partitioning on s exactly like
-    pagerank_copurchase_shuffle (same iterative-join shape)."""
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct co-purchase edge list over the bounded
+    subgraph (same TRI_MAX_SIZE cut as the triangle count)."""
     sp = (
         load_table(spark, "part", sf_dir)
         .where(F.col("p_size") <= TRI_MAX_SIZE)
@@ -550,18 +531,130 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    e = ec.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+    return ec.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         ec.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
+
+
+def _kcore_peel_broadcast(e: DataFrame) -> DataFrame:
+    """Sub-gate branch: filter-based peeling with the survivor set
+    EXPLICITLY broadcast into both semi joins — the checkpointed edge
+    partitions are probed in place every round, zero edge-side
+    exchange (pinned by tests/test_graph.py::
+    test_kcore_broadcast_branch_edges_stationary). Survivors are
+    node-cardinality, the same budget PageRank broadcasts under the
+    same gate."""
+    e = e.localCheckpoint()
     for _ in range(KCORE_ITERS):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= KCORE_K).select("s")
         e = (
-            e.join(keep, "s", "left_semi")
-            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            e.join(F.broadcast(keep), "s", "left_semi")
+            .join(F.broadcast(keep.select(F.col("s").alias("d"))), "d", "left_semi")
             .select("s", "d")
             .localCheckpoint()
         )
     return e.groupBy(F.col("s").alias("part_key")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+def _kcore_peel_shuffle(e: DataFrame) -> DataFrame:
+    """The >KCORE_BROADCAST_MAX_NODES branch: decrement-maintained
+    peeling with the edge table STATIONARY. Edges are hash-partitioned
+    on the source key once and checkpointed, then NEVER rewritten or
+    re-shuffled: each round computes the dropped frontier (deg < K),
+    reads the frontier's edges off the stationary partitions (the only
+    thing exchanged toward the edge table is the node-cardinality
+    frontier itself), and folds per-destination decrements into the
+    maintained degree table — deg(v) always equals v's count of
+    not-yet-dropped neighbors, the same value the filter formulation
+    recomputes from a rewritten edge list.
+
+    Equivalence to the filter/oracle rounds: a node drops exactly once
+    (it leaves the alive table and can never re-enter the frontier); an
+    edge (u, v) decrements v exactly when u drops while v is still
+    alive — precisely the edge removals the filter branch applies; and
+    decrements aimed at already-dead nodes vanish in the survivor-side
+    join. After KCORE_ITERS rounds the maintained degree equals the
+    within-core degree over the oracle's e_ITERS, with deg >= 1
+    matching the oracle's GROUP BY over surviving edges (a survivor
+    whose remaining neighbors all dropped has no e_ITERS rows).
+
+    Scale: per-round exchanged volume is the dropped frontier plus its
+    incident edges — summed over all rounds that is at most |V| + |E|,
+    against the filter formulation's per-round full edge rewrite. The
+    plan shape (frontier attach leaves the edge side exchange-free) is
+    pinned by tests/test_graph.py::
+    test_kcore_shuffle_branch_edges_stationary."""
+    e = e.repartition(KCORE_SHUFFLE_PARTS, "s").localCheckpoint()
+    alive = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(KCORE_SHUFFLE_PARTS, "s")
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ITERS):
+        dropped = alive.where(F.col("deg") < KCORE_K).select("s")
+        dec = (
+            e.join(dropped.repartition(KCORE_SHUFFLE_PARTS, "s"), "s")
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        survivors = alive.where(F.col("deg") >= KCORE_K)
+        alive = (
+            survivors.join(dec, survivors.s == dec.d, "left")
+            .select(
+                "s",
+                (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+            )
+            .repartition(KCORE_SHUFFLE_PARTS, "s")
+            .localCheckpoint()
+        )
+    return alive.where(F.col("deg") >= 1).select(
+        F.col("s").alias("part_key"), F.col("deg").cast("bigint").alias("core_degree")
+    )
+
+
+@query("graph_kcore_members", oracle=_KCORE_ORACLE)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by iterative peeling over the bounded
+    co-purchase subgraph (same TRI_MAX_SIZE subgraph as the triangle
+    count): repeatedly delete nodes with degree < K until the K-core
+    remains — the standard cohesive-subgraph / influence-zone
+    extraction (a node in the 3-core belongs to a region where
+    everyone co-purchases with >= 3 others even after peeling
+    hangers-on). KCORE_ITERS peel rounds are UNROLLED — the same
+    fixed-iteration determinism discipline as PageRank/kmeans — and
+    the oracle unrolls identical CTE rounds; the demo graph reaches
+    its fixpoint within them (pinned by
+    tests/test_graph.py::test_kcore_fixpoint_reached), so the result
+    IS the true K-core, not a truncation.
+
+    Output: surviving nodes with their within-core degree (>= K at
+    fixpoint). Pure integer counting — engine-exact.
+
+    Plan/scale: SIZE-GATED like pagerank_copurchase. Below
+    KCORE_BROADCAST_MAX_NODES the survivor set broadcasts into both
+    semi joins and the checkpointed edge partitions never move; above
+    it the decrement-maintained branch runs (_kcore_peel_shuffle) —
+    edges stationary forever, per-round exchange bounded by the
+    dropped frontier. The gate reads the node count off the
+    first-round degree table, one bounded control-plane job. Both
+    branches are bit-identical (test_kcore_branches_identical) and the
+    shuffle branch carries its own driver-checked row below."""
+    e = _kcore_edges(spark, sf_dir)
+    n_nodes = e.select("s").distinct().count()
+    if n_nodes <= KCORE_BROADCAST_MAX_NODES:
+        return _kcore_peel_broadcast(e)
+    return _kcore_peel_shuffle(e)
+
+
+@query("graph_kcore_members_shuffle", oracle=_KCORE_ORACLE)
+def graph_kcore_members_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >KCORE_BROADCAST_MAX_NODES branch of graph_kcore_members,
+    forced at demo scale so the 100 TB code path carries its own
+    value-hash row (the pagerank_copurchase_shuffle discipline):
+    decrement-maintained peeling over a stationary hash-partitioned
+    edge table — identical integer counting, identical oracle."""
+    return _kcore_peel_shuffle(_kcore_edges(spark, sf_dir))

@@ -261,3 +261,103 @@ def test_kcore_fixpoint_reached(spark):
     assert all(r.core_degree >= KCORE_K for r in rows), sorted(
         r.core_degree for r in rows
     )[:5]
+
+
+def test_kcore_branches_identical(spark):
+    """The broadcast (filter-based) and shuffle (decrement-maintained)
+    peeling branches are physically different algorithms over the same
+    integer counting — their results must be bit-identical, which is
+    what lets the size gate switch at KCORE_BROADCAST_MAX_NODES
+    without changing answers."""
+    from dend_covid19_spark.plans.graph import (
+        graph_kcore_members,
+        graph_kcore_members_shuffle,
+    )
+
+    a = {
+        (r.part_key, r.core_degree)
+        for r in graph_kcore_members(spark, SF_DIR).collect()
+    }
+    b = {
+        (r.part_key, r.core_degree)
+        for r in graph_kcore_members_shuffle(spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_kcore_broadcast_branch_edges_stationary(spark):
+    """Sub-gate contract: each peel round probes the checkpointed edge
+    partitions in place — both semi joins broadcast the survivor set,
+    so the plan above the edge scan contains broadcast exchanges ONLY
+    (no shuffle Exchange of the edge table)."""
+    from dend_covid19_spark.plans.graph import KCORE_K, _kcore_edges
+
+    e = _kcore_edges(spark, SF_DIR).localCheckpoint()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    keep = deg.where(F.col("deg") >= KCORE_K).select("s")
+    j = e.join(F.broadcast(keep), "s", "left_semi").join(
+        F.broadcast(keep.select(F.col("s").alias("d"))), "d", "left_semi"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # The probe spine (edge scan up to the joins) prints BEFORE the
+    # first BroadcastExchange; shuffle Exchanges are legitimate only
+    # INSIDE the broadcast build subtrees (node-cardinality degree
+    # aggregates), i.e. after it. A shuffle of the edge table would
+    # surface on the probe spine — before any BroadcastExchange.
+    lines = plan.splitlines()
+    first_bcast = next(
+        i for i, ln in enumerate(lines) if "BroadcastExchange" in ln
+    )
+    probe_spine = lines[:first_bcast]
+    assert any("BroadcastHashJoin" in ln for ln in probe_spine), plan
+    shuffles = [
+        ln
+        for ln in probe_spine
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert not shuffles, plan
+
+
+def test_kcore_shuffle_branch_edges_stationary(spark):
+    """The 100 TB branch's contract: after the one-time
+    repartition(s) + localCheckpoint, the per-round frontier attach
+    exchanges ONLY the node-cardinality dropped set — the checkpointed
+    edge partitions are read in place (no Exchange above the edge
+    scan). Broadcast auto-planning is disabled so the demo-scale plan
+    is the at-scale plan. Mirrors
+    test_pagerank_shuffle_branch_edges_stationary."""
+    from dend_covid19_spark.plans.graph import (
+        KCORE_K,
+        KCORE_SHUFFLE_PARTS,
+        _kcore_edges,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        e = _kcore_edges(spark, SF_DIR).repartition(
+            KCORE_SHUFFLE_PARTS, "s"
+        ).localCheckpoint()
+        alive = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .repartition(KCORE_SHUFFLE_PARTS, "s")
+            .localCheckpoint()
+        )
+        dropped = alive.where(F.col("deg") < KCORE_K).select("s")
+        j = e.join(dropped.repartition(KCORE_SHUFFLE_PARTS, "s"), "s")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert "Broadcast" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    # at most the frontier side moves; the checkpointed edge partitions
+    # arrive co-partitioned and are read in place
+    assert len(exchanges) <= 1, plan
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+    left = [ln for ln in lines[join_at + 1 :] if ln.lstrip().startswith(":")]
+    assert left and all("Exchange" not in ln for ln in left), plan
