@@ -19,7 +19,7 @@ shuffles on node keys only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -658,3 +658,91 @@ def graph_kcore_members_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrement-maintained peeling over a stationary hash-partitioned
     edge table — identical integer counting, identical oracle."""
     return _kcore_peel_shuffle(_kcore_edges(spark, sf_dir))
+
+
+# --- label-propagation communities ------------------------------------------
+
+LPA_ITERS = 3  # synchronous rounds, unrolled in both engines
+
+
+def _duck_lpa_round(prev: str, nxt: str) -> str:
+    return f"""
+{nxt} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, label ASC
+               ) AS rn
+        FROM (
+            SELECT e.s AS node, l.label, count(*) AS cnt
+            FROM e JOIN {prev} l ON e.d = l.node
+            GROUP BY e.s, l.label
+        )
+    ) WHERE rn = 1
+)"""
+
+
+_LPA_ORACLE = f"""
+WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= {TRI_MAX_SIZE}),
+op AS (
+    SELECT DISTINCT l.l_orderkey, l.l_partkey
+    FROM lineitem l JOIN sp ON l.l_partkey = sp.p_partkey
+),
+ec AS (
+    SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    FROM op x JOIN op y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+e AS (SELECT a AS s, b AS d FROM ec UNION ALL SELECT b, a FROM ec),
+l0 AS (SELECT DISTINCT s AS node, s AS label FROM e),
+{",".join(_duck_lpa_round(f"l{i}", f"l{i + 1}") for i in range(LPA_ITERS))}
+SELECT node AS part_key, CAST(label AS BIGINT) AS community
+FROM l{LPA_ITERS}
+"""
+
+
+@query("graph_lpa_communities", oracle=_LPA_ORACLE)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    bounded co-purchase subgraph (same TRI_MAX_SIZE cut as triangles /
+    k-core): every node starts as its own label; each round it adopts
+    the MOST FREQUENT label among its neighbors, ties broken by
+    smallest label — the standard near-linear community algorithm
+    (product families emerge as stable labels). Determinism
+    discipline: plain synchronous LPA is tie- and schedule-dependent,
+    so the engine pins (a) a total tie order (count desc, label asc
+    via a per-node row_number) and (b) LPA_ITERS unrolled rounds —
+    the oracle unrolls the identical CTE rounds, making the result
+    engine-exact even where synchronous LPA oscillates rather than
+    converges (oscillation is a property of the update rule, not of
+    either engine).
+
+    Plan/scale: the edge list is checkpointed once and STATIONARY
+    (the PageRank/k-core shape); per round the node-cardinality label
+    table attaches to the stationary partitions, the (node, label)
+    count is one map-side-combined aggregate over edge-cardinality
+    messages, and the argmax is a window partitioned by node — no
+    unpartitioned window, no self-join. localCheckpoint truncates
+    each round's lineage. At 100 TB rounds are edge-linear, the same
+    cost envelope as one PageRank iteration."""
+    e = _kcore_edges(spark, sf_dir).repartition(KCORE_SHUFFLE_PARTS, "s").localCheckpoint()
+    labels = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("s").orderBy(F.desc("cnt"), F.asc("label"))
+    for i in range(LPA_ITERS):
+        cnt = (
+            e.join(labels, e.d == labels.node)
+            .groupBy("s", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("s").alias("node"), "label")
+        )
+        if i < LPA_ITERS - 1:
+            labels = labels.localCheckpoint()
+    return labels.select(
+        F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
+    )

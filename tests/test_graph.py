@@ -361,3 +361,21 @@ def test_kcore_shuffle_branch_edges_stationary(spark):
     join_at = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
     left = [ln for ln in lines[join_at + 1 :] if ln.lstrip().startswith(":")]
     assert left and all("Exchange" not in ln for ln in left), plan
+
+
+def test_lpa_communities_nontrivial(spark):
+    """LPA must actually group: fewer distinct communities than nodes,
+    every community label is itself a node of the subgraph, and at
+    least one community has >= 2 members at test scale."""
+    from collections import Counter
+
+    from dend_covid19_spark.plans.graph import graph_lpa_communities
+
+    rows = graph_lpa_communities(spark, SF_DIR).collect()
+    assert rows
+    nodes = {r.part_key for r in rows}
+    labels = [r.community for r in rows]
+    assert set(labels) <= nodes
+    sizes = Counter(labels)
+    assert len(sizes) < len(nodes)
+    assert max(sizes.values()) >= 2
