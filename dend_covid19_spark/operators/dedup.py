@@ -1110,3 +1110,161 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH (bands x rows) tuning sweep
+# ---------------------------------------------------------------------------
+
+# All configurations factor the SAME K=32 signature, so the sweep costs
+# K minhashes once plus one banded self-join per row of the grid.
+LSH_SWEEP_CONFIGS = ((16, 2), (8, 4), (4, 8))
+
+_SWEEP_TRUTH_CTE = f"""
+tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
+sh AS (SELECT doc_id, {H.duck_shingles("toks")} AS shingles FROM tok),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+ranked AS (
+    SELECT ex.doc_id, ex.s, ex.n,
+           row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.df, ex.s) AS rn
+    FROM ex JOIN dfreq USING (s)
+),
+pre AS (SELECT doc_id, s FROM ranked WHERE rn <= n - (n + 1) // 2 + 1),
+pcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT c.doc_a, c.doc_b
+    FROM pcand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE 2 * len(list_intersect(sa.shingles, sb.shingles))
+          >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+),
+ntrue AS (SELECT count(*) AS n_true_pairs FROM truth),
+hs AS (SELECT doc_id, shingles, {H.duck_shingle_hashes('shingles')} AS hs FROM sh),
+sigs AS (SELECT doc_id, {H.duck_minhash_sig('hs')} AS sig FROM hs)
+"""
+
+
+def _duck_sweep_config(b: int, r: int) -> str:
+    return f"""
+bands_{b} AS (
+    SELECT doc_id, j.j AS band_id,
+           md5(array_to_string(sig[j.j * {r} + 1 : j.j * {r} + {r}], '-')) AS band_key
+    FROM sigs CROSS JOIN (SELECT unnest(range(0, {b})) AS j) j
+),
+cand_{b} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_{b} a JOIN bands_{b} b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+),
+stat_{b} AS (
+    SELECT CAST({b} AS INTEGER) AS n_bands, CAST({r} AS INTEGER) AS rows_per_band,
+           count(*) AS n_candidates,
+           CAST(coalesce(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 END), 0) AS BIGINT)
+               AS n_found
+    FROM cand_{b} c LEFT JOIN truth t
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)"""
+
+
+_SWEEP_ORACLE = f"""
+WITH {_SWEEP_TRUTH_CTE},
+{",".join(_duck_sweep_config(b, r) for b, r in LSH_SWEEP_CONFIGS)}
+SELECT s.n_bands, s.rows_per_band, s.n_candidates,
+       nt.n_true_pairs, s.n_found,
+       CASE WHEN nt.n_true_pairs = 0 THEN NULL
+            ELSE CAST(s.n_found * 1000000 // nt.n_true_pairs AS BIGINT)
+       END AS recall_ppm,
+       CASE WHEN s.n_candidates = 0 THEN NULL
+            ELSE CAST(s.n_found * 1000000 // s.n_candidates AS BIGINT)
+       END AS precision_ppm
+FROM ({" UNION ALL ".join(f"SELECT * FROM stat_{b}" for b, _ in LSH_SWEEP_CONFIGS)}) s
+CROSS JOIN ntrue nt
+"""
+
+
+@query("dedup_lsh_band_sweep", oracle=_SWEEP_ORACLE)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands x rows) tuning sweep that justifies LSH parameters at
+    100 TB: every factorization of the SAME K=32 signature — (16,2)
+    permissive, (8,4) published default, (4,8) strict — measured
+    against deterministic exact truth (the prefix-filter pair set,
+    complete at J >= 0.5). One output row per configuration: candidate
+    volume, true pairs found, recall and precision in exact ppm — the
+    measured S-curve trade (more bands / shorter keys => higher recall,
+    quadratically more candidates to verify) as an auditable artifact
+    instead of the textbook (1-(1-s^r)^b) formula.
+
+    Plan/scale: signatures compute once (the shared persisted table);
+    each configuration adds one band-bucket self-join (data-linear,
+    same shape the production pipeline runs) and a 1-row aggregate;
+    truth is the existing subquadratic prefix-filter join, NOT an
+    all-pairs scan. Counts and ppm ratios are integer arithmetic —
+    engine-exact."""
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
+    truth = (
+        dedup_prefix_filter_join(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_t", F.lit(1))
+    )
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    per_config = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        band_expr = (
+            f"transform(sequence(0, {b - 1}), "
+            f"j -> struct(j AS band_id, "
+            f"md5(concat_ws('-', slice(sig, j * {r} + 1, {r}))) AS band_key))"
+        )
+        bands = sigs.select(
+            "doc_id", F.explode(F.expr(band_expr)).alias("band")
+        ).select(
+            "doc_id",
+            F.col("band.band_id").alias("band_id"),
+            F.col("band.band_key").alias("band_key"),
+        )
+        x, y = bands.alias("a"), bands.alias("b")
+        cand = (
+            x.join(
+                y,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        per_config.append(
+            cand.join(truth, ["doc_a", "doc_b"], "left").agg(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_found"),
+            )
+        )
+    stats = per_config[0]
+    for c in per_config[1:]:
+        stats = stats.unionAll(c)
+    return stats.crossJoin(F.broadcast(n_true)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_pairs",
+        "n_found",
+        F.expr(
+            "CASE WHEN n_true_pairs = 0 THEN NULL"
+            " ELSE CAST(n_found * 1000000 DIV n_true_pairs AS BIGINT) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN NULL"
+            " ELSE CAST(n_found * 1000000 DIV n_candidates AS BIGINT) END"
+        ).alias("precision_ppm"),
+    )
