@@ -1055,3 +1055,134 @@ def pii_detection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return docs.groupBy("source").agg(*aggs)
+
+
+# --- BPE round 2: apply the learned merge, recount ---------------------------
+
+_BPE_WF_SQL = """
+wf AS (
+    SELECT w AS word, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) >= 2
+    GROUP BY 1
+)"""
+
+
+@query(
+    "bpe_merge_round2",
+    oracle=f"""
+WITH {_BPE_WF_SQL},
+p1 AS (
+    SELECT substring(word, k, 1) || '|' || substring(word, k + 1, 1) AS pair,
+           freq
+    FROM wf, unnest(range(1, len(word))) t(k)
+),
+c1 AS (SELECT pair, sum(freq) AS cnt FROM p1 GROUP BY 1),
+rule AS (
+    SELECT substring(pair, 1, 1) || substring(pair, 3, 1) AS merged
+    FROM c1 ORDER BY cnt DESC, pair LIMIT 1
+),
+mw AS (
+    SELECT replace(word, r.merged, chr(1)) AS word, freq, r.merged
+    FROM wf CROSS JOIN rule r
+),
+p2 AS (
+    SELECT merged,
+           (CASE WHEN substring(word, k, 1) = chr(1) THEN merged
+                 ELSE substring(word, k, 1) END)
+           || '|' ||
+           (CASE WHEN substring(word, k + 1, 1) = chr(1) THEN merged
+                 ELSE substring(word, k + 1, 1) END) AS pair,
+           freq
+    FROM mw, unnest(range(1, len(word))) t(k)
+)
+SELECT merged AS merge_rule, pair, CAST(sum(freq) AS BIGINT) AS cnt
+FROM p2 GROUP BY 1, 2
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+""",
+)
+def bpe_merge_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second BPE training round — bpe_pair_counts is the statistic
+    of round one; this query closes the train loop: take round one's
+    argmax pair (ties to the lexicographically smallest, a total
+    order), APPLY it as a merge rule over the weighted vocabulary
+    (greedy leftmost non-overlapping — exactly what string replace
+    does when both symbols are single characters), and recount
+    adjacent-symbol pairs over the merged sequences. Output: the
+    applied merge rule and round two's top pair statistics — pairs
+    whose sides may now be the 2-char merged symbol.
+
+    The merged symbol is carried as a sentinel char (chr(1), outside
+    the corpus alphabet) so the merged word stays a flat string and
+    round two's pair extraction stays pure codegen substring
+    arithmetic; the sentinel maps back to the merged text at labeling
+    time. Both engines replace leftmost-first, matching the BPE merge
+    convention on overlapping runs ("aaa" + rule aa -> [aa, a]).
+
+    Plan/scale: everything runs over the VOCABULARY weighted by word
+    frequency (the wordcount collapse, one shuffle), not the corpus;
+    the argmax rule is a one-row DataFrame broadcast into the merge —
+    no driver round-trip, the whole two-round train step is one lazy
+    plan. Further rounds iterate the same shape (symbol arrays +
+    per-round broadcast rule) with cost per round linear in vocabulary
+    size — the distributed-trainer loop in miniature."""
+    docs = load_table(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    p1 = wf.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " k -> concat(substring(word, k, 1), '|', substring(word, k + 1, 1)))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    rule = (
+        p1.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(1)
+        .select(
+            F.concat(
+                F.expr("substring(pair, 1, 1)"), F.expr("substring(pair, 3, 1)")
+            ).alias("merged")
+        )
+    )
+    mw = (
+        wf.crossJoin(F.broadcast(rule))
+        .select(
+            F.expr("replace(word, merged, chr(1))").alias("word"), "freq", "merged"
+        )
+        # a word equal to the merge rule collapses to the 1-char
+        # sentinel: no adjacent pairs. DuckDB's range(1, 1) is empty;
+        # Spark's sequence(1, 0) DESCENDS ([1, 0]) and would fabricate
+        # pairs — filter the degenerate words out explicitly.
+        .where(F.length("word") >= 2)
+    )
+    relabel = (
+        "CASE WHEN substring(word, k, 1) = chr(1) THEN merged"
+        " ELSE substring(word, k, 1) END"
+    )
+    relabel_next = relabel.replace("word, k, 1", "word, k + 1, 1")
+    p2 = mw.select(
+        "merged",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                f" k -> concat({relabel}, '|', {relabel_next}))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        p2.groupBy(F.col("merged").alias("merge_rule"), "pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
