@@ -70,6 +70,11 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "cms_heavy_hitters_audit",
     "graph_kcore_members",
+    # round 8 additions: label-propagation communities, the LSH
+    # (bands x rows) tuning sweep, dynamic-partition-overwrite re-run
+    "graph_lpa_communities",
+    "dedup_lsh_band_sweep",
+    "ingest_overwrite_idempotent",
 ]
 
 

@@ -686,3 +686,84 @@ def streaming_session_window_executed(spark: SparkSession, sf_dir: str) -> DataF
     out = spark.table(sink).select("user_id", "start_us", "end_us", "n_events")
     _STREAM_SESSION_CACHE[key] = out
     return out
+
+
+# --- streaming interval join (executed) -------------------------------------
+
+_STREAM_ATTR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "streaming_interval_join_executed",
+    oracle="""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS seconds_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+""",
+)
+def streaming_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join executed live under the value hash —
+    the fourth Structured-Streaming execution row (dedup, stream-static
+    join, session windows, and now the hardest shape): views and
+    purchases stream as two watermarked sides of a self-joining event
+    stream, matched per user within the 1-hour conversion horizon
+    (streaming/daily.py::attribution_stream), drained via availableNow
+    into a memory sink. The oracle is the batch twin's SQL
+    (attribution_view_purchase) verbatim: an inner stream-stream join
+    emits each matched pair exactly once as it forms (emission is not
+    watermark-gated; the watermark only bounds state eviction and
+    late-arrival tolerance), so with the corpus in one micro-batch and
+    the watermark starting at zero, the streamed pair SET equals the
+    batch join — and the driver hash is order-insensitive.
+
+    Plan/scale: join state is O(traffic x horizon) per side — Spark
+    evicts buffered views once the purchase-side watermark passes
+    view_ts + horizon — so the join runs indefinitely on unbounded
+    streams with bounded memory. Same single-file/single-batch
+    precondition and once-per-(session, scale) drain-and-cache
+    discipline as the other streaming rows."""
+    from ..streaming.daily import read_events_stream, attribution_stream
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_ATTR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_ATTR_CACHE if k[0] != key[0]]:
+        del _STREAM_ATTR_CACHE[k]
+
+    token = abs(hash(("attrjoin", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamattr_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.link(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+
+    sink = f"stream_attr_sink_{token}"
+    events = read_events_stream(spark, src)
+    q = (
+        attribution_stream(events)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).select(
+        "view_id", "purchase_id", "user_id", "seconds_to_purchase"
+    )
+    _STREAM_ATTR_CACHE[key] = out
+    return out
