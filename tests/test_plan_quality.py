@@ -282,6 +282,8 @@ _NESTED_LOOP_ALLOWED = {
     "rfm_segments",              # one-row quantile-cutoffs broadcast
     "cms_join_size_estimate",    # depth spine (4 rows) + one-row estimate broadcast
     "negative_sampling_per_user",  # one-row item-count + ~NEG_POOL_ITEMS-row pool broadcasts
+    "dedup_lsh_band_sweep",      # one-row true-pair-count broadcast per config
+    "bpe_merge_round2",          # one-row argmax merge-rule broadcast
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
