@@ -767,3 +767,98 @@ def streaming_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFr
     )
     _STREAM_ATTR_CACHE[key] = out
     return out
+
+
+# --- custom stateful operator (applyInPandasWithState) executed -------------
+
+_STREAM_STATEFUL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "streaming_stateful_sessionize_executed",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts, event_id,
+           sum(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM ordered
+), agg AS (
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           CAST(min(ts) AS DATE) AS session_date
+    FROM sessions
+    GROUP BY user_id, session_seq
+)
+SELECT user_id, session_seq, n_events, session_date
+FROM agg
+WHERE session_seq < (SELECT max(a2.session_seq) FROM agg a2
+                     WHERE a2.user_id = agg.user_id)
+""",
+)
+def streaming_stateful_sessionize_executed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CUSTOM stateful streaming operator executed live under the
+    value hash — the fifth streaming row, and the one that exercises
+    the applyInPandasWithState surface (per-key Python state machine,
+    Arrow-batched; the operator class SURVEY §2.7 maps to
+    'applyInPandasWithState for custom stateful operators'): the
+    gap-based sessionizer in streaming/stateful.py folds each user's
+    events through keyed state and EMITS a session when the next one
+    opens. A session still open at stream end stays in state
+    (NoTimeout, nothing closes it), so the drained sink holds exactly
+    every session except each user's LAST — and the oracle states that
+    contract: the batch sessionize SQL (events_sessionize's oracle
+    verbatim) minus each user's max session_seq. The hash match proves
+    the Python state machine's fold (order, gap compare, seq
+    numbering, date labeling) equals the batch islands operator on all
+    closed state.
+
+    Correctness precondition: one parquet file -> one data micro-batch,
+    so each user's events arrive as one sorted group (the in-batch
+    (ts, event_id) sort is the same total order the batch window
+    uses). Plan/scale: state is one 4-field tuple per user; emission
+    is session-cardinality; the Python stage is Arrow-batched per
+    micro-batch group, not per row. Same drain-and-cache discipline as
+    the other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_STATEFUL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_STATEFUL_CACHE if k[0] != key[0]]:
+        del _STREAM_STATEFUL_CACHE[k]
+
+    token = abs(hash(("statefulsess", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamstateful_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.link(os.path.join(sf_dir, "events.parquet"), link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), link)
+
+    from ..streaming.stateful import run_sessionize_available_now
+
+    sink = f"stream_stateful_sink_{token}"
+    run_sessionize_available_now(
+        spark, src, os.path.join(scratch, "ckpt"), sink_table=sink
+    )
+    out = spark.table(sink).select(
+        "user_id", "session_seq", "n_events", "session_date"
+    )
+    _STREAM_STATEFUL_CACHE[key] = out
+    return out
