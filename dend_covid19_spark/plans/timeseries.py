@@ -1808,3 +1808,61 @@ def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --- hopping (overlapping) time windows --------------------------------------
+
+_HOP_WIN_US = 6 * 3600 * 1_000_000
+_HOP_SLIDE_US = 3 * 3600 * 1_000_000
+
+
+@query(
+    "events_hopping_window",
+    oracle=f"""
+SELECT start_us,
+       start_us + {_HOP_WIN_US} AS end_us,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM (
+    SELECT user_id,
+           unnest([
+               (epoch_us(ts) // {_HOP_SLIDE_US}) * {_HOP_SLIDE_US},
+               (epoch_us(ts) // {_HOP_SLIDE_US}) * {_HOP_SLIDE_US} - {_HOP_SLIDE_US}
+           ]) AS start_us
+    FROM events
+)
+GROUP BY start_us
+""",
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HOPPING (sliding) time windows — the one windowed-
+    aggregation shape the registry lacked beside tumbling
+    (events_tumbling_daily) and session (events_session_window_native):
+    ``F.window(ts, '6 hours', '3 hours')`` assigns every event to the
+    window/slide = 2 overlapping windows it falls in; Spark plans this
+    as an Expand (one output row per containing window) feeding a
+    normal hash aggregate — no self-join, no range join. The oracle
+    states the same assignment arithmetically: both containing window
+    starts are slide-grid floors of the event time (Spark's hopping
+    windows are epoch-aligned by default, exactly the // arithmetic).
+
+    Plan/scale: Expand multiplies the scan by the constant overlap
+    factor (2 here) BEFORE the partial aggregate, so shuffle volume is
+    2x window-cardinality partials, not 2x events; the aggregate
+    shuffles on the window struct like any groupBy. Used for rolling
+    health/traffic dashboards where each reading must contribute to
+    every window covering it."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+            "n_users",
+        )
+    )
