@@ -1117,3 +1117,90 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("events", ev, "user_id").unionByName(
         audit("orders", orders, "o_custkey")
     )
+
+
+# --- sequence packing (concat-then-chop batch prep) --------------------------
+
+PACK_BUDGET_TOKENS = 512
+
+
+@query(
+    "training_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+),
+placed AS (
+    SELECT source, doc_id, n_tok,
+           sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS start_off
+    FROM toks
+)
+SELECT source,
+       CAST(start_off // {PACK_BUDGET_TOKENS} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc_id,
+       CAST(sum(CASE WHEN start_off // {PACK_BUDGET_TOKENS}
+                   <> (start_off + n_tok - 1) // {PACK_BUDGET_TOKENS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM placed
+GROUP BY source, start_off // {PACK_BUDGET_TOKENS}
+""",
+)
+def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chop SEQUENCE PACKING — the batch-prep step between
+    a curated corpus and a pretraining dataloader: documents are
+    concatenated in a deterministic order (doc_id within source) and
+    chopped into fixed PACK_BUDGET_TOKENS sequences; each document is
+    assigned the bin its first token falls in, and documents straddling
+    a chop boundary are counted (the fraction a loader must truncate or
+    cross-attend). Token counts use the whitespace tokenization shared
+    with text_token_stats, so the packing is exact integer arithmetic
+    over a running sum — engine-identical.
+
+    Output per (source, bin): docs starting there, their token mass,
+    the first doc id (the bin's seek position), and the boundary-doc
+    count.
+
+    Plan/scale: one window (partitioned by source, ordered by doc_id —
+    a running sum, no self-join) plus one hash aggregate. At 100 TB the
+    partition key is (source, shard) so no single source serializes
+    into one task, and the running sum becomes per-shard with shard
+    base offsets — the same O(parts) offset-collect pattern
+    dedup_sorted_neighborhood already implements for global ranks."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = toks.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    b = F.expr(f"start_off DIV {PACK_BUDGET_TOKENS}")
+    return (
+        placed.withColumn("bin_id", b.cast("bigint"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"start_off DIV {PACK_BUDGET_TOKENS}"
+                        f" <> (start_off + n_tok - 1) DIV {PACK_BUDGET_TOKENS}"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_boundary_docs"),
+        )
+    )
