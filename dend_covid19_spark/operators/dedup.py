@@ -133,6 +133,19 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in [k for k in _SIG_CACHE if k[0] != key[0]]:
         del _SIG_CACHE[k]
     docs = load_table(spark, "documents", sf_dir)
+    # Split sizing follows input BYTES, but minhash is CPU-bound: a
+    # few-MB documents file arrives as ONE split and the whole
+    # K x shingles x md5 pipeline serializes onto a single core. At
+    # demo scale the one-time codegen/JIT compile dominates either way
+    # (~7s compile vs ~2.5s single-core compute at sf0.1), but at any
+    # real corpus size the compute term grows with rows while compile
+    # stays fixed — widen low-split scans to the executor width before
+    # the heavy derivation. The raw-text exchange this costs is tiny
+    # beside the compute, and at 100 TB (many splits) the branch never
+    # fires.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     toks = H.spark_tokens("text")
     shingles = H.spark_shingles(toks)
     sigs = (

@@ -287,6 +287,66 @@ def cms_shape(spark, k: int):
     )
 
 
+def lsh_shape(spark, k: int):
+    """dedup_minhash_lsh's plan over k x documents: shingle -> minhash
+    signature (codegen higher-order functions, the compute-heavy part)
+    -> (8,4) band explode -> band-bucket self-join -> distinct pair
+    count. Linear iff candidates stay bucket-local as the corpus grows —
+    the blocked-pair-generation bound behind every dedup claim at
+    100 TB. Replicas get their text SALTED per replica (a replica tag
+    token injected between every word) so all shingles differ across
+    replicas: in-replica near-dup structure is preserved (both members
+    of a pair transform identically) while cross-replica collisions —
+    which would be REAL k^2 duplicate growth, not plan degradation —
+    can't form."""
+    from dend_covid19_spark.functions import hashing as H
+
+    parts = [
+        load_table(spark, "documents", SF_DIR).select(
+            (F.col("doc_id") + F.lit(i * KEY_SPAN)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " ", f" r{i} ").alias("text"),
+        )
+        for i in range(k)
+    ]
+    docs = reduce(lambda a, b: a.unionByName(b), parts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = H.spark_tokens("text")
+    # Keep the intermediate shingle/hash COLUMNS (the production
+    # _minhash_sigs shape) and checkpoint once: collapsing the whole
+    # pipeline into one projection re-inlines the shingle expression
+    # into every minhash lambda and blows the generated code up by
+    # ~10x compile time, and without materialization the self-join
+    # recomputes signatures per side.
+    sigs = (
+        docs.select("doc_id", F.expr(H.spark_shingles(toks)).alias("shingles"))
+        .withColumn("hs", F.expr(H.spark_shingle_hashes("shingles")))
+        .withColumn("sig", F.expr(H.spark_minhash_sig("hs")))
+        .localCheckpoint()
+        .select("doc_id", "sig")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -301,6 +361,7 @@ def main() -> None:
         ("pagerank_shape", pagerank_shape),
         ("snm_rank_shape", snm_rank_shape),
         ("cms_shape", cms_shape),
+        ("lsh_shape", lsh_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
