@@ -1186,3 +1186,70 @@ def bpe_merge_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --- Python UDTF surface (user-defined TABLE function) -----------------------
+
+UDTF_TOP_TERMS = 20
+
+
+def _register_term_pos_udtf(spark: SparkSession) -> None:
+    """Define + register the UDTF lazily (idempotent per session): a
+    nested class so cloudpickle ships it by value, like the stateful
+    sessionizer's state machine."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class TermPos:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" "), 1):
+                yield (i, tok)
+
+    spark.udtf.register("term_pos_udtf", TermPos)
+
+
+@query(
+    "udtf_term_positions",
+    oracle=f"""
+WITH terms AS (
+    SELECT unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+)
+SELECT term, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS pos_mass
+FROM terms
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT {UDTF_TOP_TERMS}
+""",
+)
+def udtf_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python USER-DEFINED TABLE FUNCTION surface under the value
+    hash — the one Python-integration path the registry didn't yet
+    exercise (beside pandas_udf scalar, GROUPED_AGG, mapInPandas,
+    applyInPandas(WithState), and the Python DataSource): a UDTF
+    explodes each document into (position, term) rows through a
+    LATERAL join, and the aggregate digests term frequency plus
+    positional mass (sum of 1-based positions — proving the UDTF's
+    row ORDER survives, not just its row set). The oracle is the same
+    explosion as unnest + generate_subscripts arithmetic.
+
+    Plan/scale: UDTFs are the row-iterator Python path — per-row
+    Python generator calls, the slow lane compared to Arrow-batched
+    pandas_udfs — so this is a SURFACE-parity row, deliberately not in
+    the bench headline; production term explosion runs as the codegen
+    posexplode(split()) the oracle states. The lateral join itself is
+    partition-parallel with no shuffle before the aggregate."""
+    _register_term_pos_udtf(spark)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "udtf_docs_view"
+    )
+    return spark.sql(f"""
+        SELECT f.term, count(*) AS cnt, CAST(sum(f.pos) AS BIGINT) AS pos_mass
+        FROM udtf_docs_view d, LATERAL term_pos_udtf(d.text) f
+        GROUP BY f.term
+        ORDER BY cnt DESC, f.term
+        LIMIT {UDTF_TOP_TERMS}
+    """)
