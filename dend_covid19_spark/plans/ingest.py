@@ -862,3 +862,120 @@ def streaming_stateful_sessionize_executed(
     )
     _STREAM_STATEFUL_CACHE[key] = out
     return out
+
+
+# --- checkpointed restart/resume (executed) ---------------------------------
+
+_STREAM_RESUME_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_RESUME_SPLIT_DAY = "2024-01-15"
+
+
+def _stage_single_parquet(df, stage_dir: str, dest_link: str) -> None:
+    """Write df as one parquet file and hard-link it to dest_link (the
+    file-source dir wants flat files, not nested write dirs). ts is
+    forced to TIMESTAMP_MICROS for the write: Spark's default INT96
+    output would break the source dir's one-physical-unit contract
+    (read_events_stream sniffs ONE footer for the whole dir)."""
+    import glob as _glob
+    import shutil
+
+    if os.path.exists(dest_link):
+        return
+    spark = df.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(conf_key, "INT96")
+    try:
+        spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+        df.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+    finally:
+        spark.conf.set(conf_key, old)
+    part = _glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0]
+    try:
+        os.link(part, dest_link)
+    except OSError:
+        shutil.copyfile(part, dest_link)
+
+
+@query(
+    "streaming_restart_resume_executed",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct_events,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_restart_resume_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART/RESUME executed under the value hash — the
+    exactly-once property that makes streaming pipelines operable: the
+    events corpus is split into two source files; drain one runs with
+    only the first file present (availableNow -> parquet sink +
+    checkpoint), the second file then "arrives", and drain two is a NEW
+    streaming query on the SAME checkpoint and sink. The file source's
+    seen-files log makes the restarted query process ONLY the new file,
+    and the sink's _spark_metadata commits each batch's files exactly
+    once. The digest over the sink equals the batch digest over the
+    full corpus iff the restart neither reprocessed (n_events ==
+    n_distinct_events — any replay doubles rows of file one) nor lost
+    data (both halves' ids present). pytest pins the same property
+    in-engine (tests/test_streaming.py::test_file_sink_incremental_
+    restart); this row puts it under the cross-engine hash.
+
+    Plan/scale: pure source->sink passthrough, no state; checkpoint
+    cost is the seen-file log and per-batch sink manifest — the
+    mechanism is O(files), independent of data volume, which is why
+    the same resume works after a 100 TB backfill. Once-per-(session,
+    scale) drain-and-cache like the other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_RESUME_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_RESUME_CACHE if k[0] != key[0]]:
+        del _STREAM_RESUME_CACHE[k]
+
+    from ..streaming.daily import read_events_stream
+
+    token = abs(hash(("resume", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamresume_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    sink = os.path.join(scratch, "sink")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    ev = load_table(spark, "events", sf_dir)
+    half1 = ev.where(F.to_date("ts") <= _RESUME_SPLIT_DAY)
+    half2 = ev.where(F.to_date("ts") > _RESUME_SPLIT_DAY)
+
+    def _drain() -> None:
+        q = (
+            read_events_stream(spark, src)
+            .select("event_id", "user_id", "event_type", "value", "ts")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _stage_single_parquet(half1, os.path.join(scratch, "stage1"), os.path.join(src, "p1.parquet"))
+    _drain()
+    _stage_single_parquet(half2, os.path.join(scratch, "stage2"), os.path.join(src, "p2.parquet"))
+    _drain()  # the restart: same checkpoint, same sink, new file only
+
+    out = (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+    _STREAM_RESUME_CACHE[key] = out
+    return out
