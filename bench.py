@@ -115,6 +115,30 @@ def main() -> None:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = None
+
+    # Full-registry sweep (once, cold): the headline is 34 hand-picked
+    # queries of ~215 — a regression in a non-headline query (e.g. a
+    # stale TPC-H row) could otherwise hide between rounds. One timed
+    # run per registered query; total + the top-10 slowest go into the
+    # artifact. Failures are recorded, never fatal to the bench.
+    reg_t: dict[str, float] = {}
+    reg_errs: dict[str, str] = {}
+    for name, fn in plans.all_queries().items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reg_t[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — sweep must survive one bad query
+            reg_errs[name] = f"{type(exc).__name__}: {exc}"[:200]
+        spark.catalog.clearCache()
+    top10 = dict(sorted(reg_t.items(), key=lambda kv: -kv[1])[:10])
+    full_registry = {
+        "total_sec": round(sum(reg_t.values()), 3),
+        "n": len(reg_t),
+        "n_err": len(reg_errs),
+        "top10_slowest": top10,
+    }
+
     full = {
         "metric": "headline_queries_total_wall_sec",
         "value": round(sum(timings.values()), 3),
@@ -129,6 +153,8 @@ def main() -> None:
         # their deltas vs earlier rounds are not regressions.
         "post_ts_fix": True,
         "methodology": "median_of_3_steady_state",
+        "full_registry": full_registry,
+        "full_registry_errs": reg_errs,
     }
     # The driver records only a bounded TAIL of stdout (~2 KB): rounds 6
     # and 7 each lost the headline total because the one fat JSON line
@@ -140,8 +166,14 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
         json.dump(full, fh)
     print(json.dumps(full))
+    # Compact last line: drop BOTH per-query maps (queries ~1.5 KB was
+    # already crowding the ~2 KB tail window; a few more headline rows
+    # would reintroduce the r6/r7 head-truncation). Full per-query data
+    # lives in the committed BENCH.json and the full print above.
     compact = dict(full)
     compact.pop("queries_min")
+    compact.pop("queries")
+    compact.pop("full_registry_errs")
     print(json.dumps(compact))
 
 

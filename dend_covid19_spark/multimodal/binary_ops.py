@@ -5,11 +5,16 @@ The engine's stance for image/audio/video at 100 TB: store payloads as
 run decode / feature-extraction as Arrow-batched ``mapInPandas`` stages so
 Python sees columnar batches, never rows.
 
-The decode step itself is STUBBED here — the container has no
+The decode step in THIS module is STUBBED — the container has no
 image/audio libraries — but everything Spark-side is real and tested:
 schema handling, batch iteration, partition-preserving mapInPandas, and
 deterministic fallback features. Swap ``_decode_stub`` for a real decoder
 (PIL/librosa/ffmpeg) without touching the plan.
+
+The stub is RETIRED for one payload class: 24-bit BMP images are
+genuinely encoded and decoded byte-for-byte (header parse, stride,
+bottom-up rows, channel order) in ``multimodal/bmp.py`` — see the
+``multimodal_decode_bmp`` query.
 """
 
 from __future__ import annotations

@@ -717,21 +717,29 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges (oscillation is a property of the update rule, not of
     either engine).
 
-    Plan/scale: the edge list is checkpointed once and STATIONARY
-    (the PageRank/k-core shape); per round the node-cardinality label
-    table attaches to the stationary partitions, the (node, label)
-    count is one map-side-combined aggregate over edge-cardinality
-    messages, and the argmax is a window partitioned by node — no
-    unpartitioned window, no self-join. localCheckpoint truncates
-    each round's lineage. At 100 TB rounds are edge-linear, the same
-    cost envelope as one PageRank iteration."""
-    e = _kcore_edges(spark, sf_dir).repartition(KCORE_SHUFFLE_PARTS, "s").localCheckpoint()
+    Plan/scale: the edge list is hash-partitioned ONCE on ``d`` — the
+    per-round join key (``e.d == labels.node``) — and checkpointed, so
+    it is STATIONARY (the PageRank/k-core shape): each round only the
+    node-cardinality label table exchanges (repartitioned on ``node``
+    to attach to the stationary edge partitions as a co-partitioned
+    SMJ); the (node, label) count is one map-side-combined aggregate
+    over edge-cardinality messages, and the argmax is a hash max_by —
+    no unpartitioned window, no self-join. Partitioning on ``s`` here
+    would be useless: the join re-exchanges on ``d`` every round once
+    labels exceed the broadcast threshold (pinned by
+    test_lpa_edges_stationary). localCheckpoint truncates each round's
+    lineage. At 100 TB rounds are edge-linear, the same cost envelope
+    as one PageRank iteration."""
+    e = _kcore_edges(spark, sf_dir).repartition(KCORE_SHUFFLE_PARTS, "d").localCheckpoint()
     labels = e.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     for i in range(LPA_ITERS):
         cnt = (
-            e.join(labels, e.d == labels.node)
+            e.join(
+                labels.repartition(KCORE_SHUFFLE_PARTS, "node"),
+                e.d == labels.node,
+            )
             .groupBy("s", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -523,6 +523,24 @@ _OVR_DAYS = ("2024-01-05", "2024-01-07")  # inclusive window
 _OVR_RERUN_DAY = "2024-01-06"
 
 
+def _ovr_scratch(sf_dir: str) -> str:
+    """(dataset, pid)-keyed overwrite-store scratch. Dynamic partition
+    overwrite replaces ONLY partitions present in the incoming frame, so
+    a path shared across datasets would carry stale partitions of a
+    previously-run sf_dir whenever a window day is absent at the new
+    scale (hash mismatch); shared across processes, two concurrent runs
+    would race (overwrite deletes files a live reader is scanning).
+    Keyed exactly like cdc._snapshot_scratch: sf_dir path + events mtime
+    + pid."""
+    import hashlib
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    return _scratch(f"ovr_{token}_{os.getpid()}")
+
+
 @query(
     "ingest_overwrite_idempotent",
     oracle=f"""
@@ -564,7 +582,7 @@ def ingest_overwrite_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", F.to_date("ts")
     )
     win = ev.where(F.col("day").between(*_OVR_DAYS))
-    path = os.path.join(_scratch("ovr_idempotent"), "events_by_day")
+    path = os.path.join(_ovr_scratch(sf_dir), "events_by_day")
 
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     old = spark.conf.get(conf_key, "static")

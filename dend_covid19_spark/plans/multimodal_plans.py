@@ -204,3 +204,39 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_payloads") >= 2)
     )
+
+
+@query(
+    "multimodal_decode_bmp",
+    oracle="""
+SELECT doc_id,
+       CAST(r AS INT) AS row_idx,
+       CAST(5 AS INT) AS w,
+       CAST(4 AS INT) AS h,
+       CAST(sum(ascii(substring(text,
+                CAST(1 + ((r * 5 + c) * octet_length(encode(text))) // 20 AS INT),
+                1)) + 1) AS BIGINT) AS row_g_sum
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs
+CROSS JOIN (SELECT unnest(range(0, 5)) AS c) cs
+GROUP BY doc_id, r
+""",
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes image decode — the stub retired for the BMP class.
+
+    Two Arrow mapInPandas stages: (1) write a genuine 24-bit BMP per
+    document (5x4 gray image nearest-neighbor-sampled from the UTF-8
+    bytes, honest file structure: 54-byte headers, bottom-up rows,
+    stride padded 15->16); (2) parse it back with struct.unpack — the
+    width, height, pixel offset, stride, row order, and BGR channel
+    order all come from the file — and sum the GREEN channel (g+1)
+    per image row. The oracle restates only the pixel arithmetic over
+    documents.text; Spark can match it solely by decoding the bytes it
+    wrote correctly (misread offset/stride/row/channel => wrong sums).
+    See multimodal/bmp.py; reference analog: the annotate stage's heavy
+    decode (/root/reference/airflow/dags/tasks/tweets.py:53-54)."""
+    from ..multimodal.bmp import decode_bmp_rows, encode_bmp_payload
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_bmp_rows(encode_bmp_payload(docs))

@@ -29,8 +29,12 @@ SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ingest")
 
 _PID_MARKER = "owner.pid"
 # dirs created before the marker existed encode the owner as a trailing
-# _<pid> name segment (cdc snap_*, scale bucketed_*)
-_TRAILING_PID = re.compile(r"_(\d+)$")
+# _<pid> name segment — but ONLY for the known legacy families (cdc
+# snap_*, scale bucketed_*, serving servingdb_*). Other token-suffixed
+# names (streamdedup_<hash>, streamenrich_<hash>) end in a 32-bit hash
+# that must NOT be misread as a pid: a hash that matches no live pid
+# would make GC reap a directory a live pre-marker process still uses.
+_TRAILING_PID = re.compile(r"^(?:snap|bucketed|servingdb)_.*?(\d+)$")
 
 # unmarked, un-suffixed dirs (fixed-name ingest scratch) are only
 # reaped when untouched for this long — they are overwrite-in-place by
@@ -40,14 +44,20 @@ _STALE_AGE_SEC = 6 * 3600
 
 def scratch_dir(name: str, root: str = SCRATCH_ROOT) -> str:
     """Create (idempotently) ``root/name`` and stamp it with this
-    process's pid so gc_scratch can prove liveness later. Re-entering an
-    existing dir re-stamps it: the current process adopts ownership
-    (fixed-name dirs are shared across runs on purpose)."""
+    process's pid so gc_scratch can prove liveness later. The marker
+    records one pid per line: re-entering a shared fixed-name dir ADDS
+    this process as a co-owner (keeping still-live prior owners) rather
+    than overwriting them — otherwise B re-stamping a dir A still uses,
+    then dying, would let a third process reap it out from under A.
+    Dead pids are dropped on rewrite so the file stays bounded."""
     path = os.path.join(root, name)
     os.makedirs(path, exist_ok=True)
+    me = os.getpid()
     try:
-        with open(os.path.join(path, _PID_MARKER), "w") as fh:
-            fh.write(str(os.getpid()))
+        marker = os.path.join(path, _PID_MARKER)
+        owners = [p for p in _owner_pids(path) or [] if p != me and _pid_alive(p)]
+        with open(marker, "w") as fh:
+            fh.write("\n".join(str(p) for p in [*owners, me]))
     except OSError:
         pass  # read-only scratch is the caller's problem, not GC's
     return path
@@ -65,15 +75,19 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def _owner_pid(path: str) -> int | None:
+def _owner_pids(path: str) -> list[int] | None:
+    """All recorded owner pids (one per line), else the legacy
+    trailing-pid name inference, else None (ownerless — age-gated)."""
     marker = os.path.join(path, _PID_MARKER)
     try:
         with open(marker) as fh:
-            return int(fh.read().strip())
+            pids = [int(line) for line in fh.read().split() if line.strip()]
+        if pids:
+            return pids
     except (OSError, ValueError):
         pass
-    m = _TRAILING_PID.search(os.path.basename(path))
-    return int(m.group(1)) if m else None
+    m = _TRAILING_PID.match(os.path.basename(path))
+    return [int(m.group(1))] if m else None
 
 
 def gc_scratch(
@@ -99,11 +113,11 @@ def gc_scratch(
         path = os.path.join(root, entry)
         if not os.path.isdir(path) or os.path.islink(path):
             continue
-        pid = _owner_pid(path)
-        if pid == me:
+        pids = _owner_pids(path)
+        if pids and me in pids:
             continue
-        if pid is not None:
-            dead = not _pid_alive(pid)
+        if pids:
+            dead = not any(_pid_alive(p) for p in pids)
         else:
             try:
                 dead = (now - os.path.getmtime(path)) > stale_age_sec

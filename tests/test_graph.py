@@ -363,6 +363,51 @@ def test_kcore_shuffle_branch_edges_stationary(spark):
     assert left and all("Exchange" not in ln for ln in left), plan
 
 
+def test_lpa_edges_stationary(spark):
+    """LPA's 100 TB contract, mirroring
+    test_kcore_shuffle_branch_edges_stationary: the edge table is
+    hash-partitioned once on ``d`` — the per-round join key — and
+    checkpointed; each round's label attach exchanges ONLY the
+    node-cardinality label table (repartitioned on node), the
+    checkpointed edge partitions are read in place. Partitioning on
+    ``s`` instead would re-exchange the whole edge table on ``d``
+    every round — the regression this pin exists to catch. Broadcast
+    auto-planning is disabled so the demo-scale plan is the at-scale
+    plan."""
+    from dend_covid19_spark.plans.graph import (
+        KCORE_SHUFFLE_PARTS,
+        _kcore_edges,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        e = _kcore_edges(spark, SF_DIR).repartition(
+            KCORE_SHUFFLE_PARTS, "d"
+        ).localCheckpoint()
+        labels = e.select(F.col("s").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        j = e.join(
+            labels.repartition(KCORE_SHUFFLE_PARTS, "node"),
+            e.d == labels.node,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert "Broadcast" not in plan, plan
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+    # the edge (streamed/left) side below the join must carry no
+    # Exchange — the checkpointed partitions are read in place; the
+    # label build side may exchange (it is node-cardinality)
+    left = [ln for ln in lines[join_at + 1 :] if ln.lstrip().startswith(":")]
+    assert left and all("Exchange" not in ln for ln in left), plan
+
+
 def test_lpa_communities_nontrivial(spark):
     """LPA must actually group: fewer distinct communities than nodes,
     every community label is itself a node of the subgraph, and at

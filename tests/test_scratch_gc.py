@@ -78,3 +78,39 @@ def test_gc_unmarked_dirs_age_gated(tmp_path):
 
 def test_gc_missing_root_is_noop(tmp_path):
     assert gc_scratch(root=str(tmp_path / "nope")) == []
+
+
+def test_hash_token_suffix_not_treated_as_pid(tmp_path):
+    """streamdedup_<token>/streamenrich_<token> end in a 32-bit hash, not
+    a pid; the legacy trailing-digits inference must not apply (it would
+    reap a live pre-marker process's dir the moment the hash matched no
+    live pid). Ownerless -> age-gated: young dirs survive."""
+    root = str(tmp_path)
+    young = os.path.join(root, f"streamdedup_{_dead_pid()}")
+    os.makedirs(young)
+    assert gc_scratch(root=root, stale_age_sec=3600) == []
+    assert os.path.isdir(young)
+    # and the age gate still applies once genuinely stale
+    assert gc_scratch(root=root, stale_age_sec=3600, now=time.time() + 7200) == [young]
+
+
+def test_shared_dir_keeps_live_coowners(tmp_path):
+    """Re-stamping a shared fixed-name dir records a co-owner list, not a
+    hostile takeover: a dir co-owned by a live foreign pid and a dead one
+    survives; it is reaped only when every recorded owner is dead."""
+    root = str(tmp_path)
+    shared = os.path.join(root, "shared")
+    os.makedirs(shared)
+    with open(os.path.join(shared, "owner.pid"), "w") as fh:
+        fh.write("1")  # live foreign owner (init)
+    scratch_dir("shared", root=root)  # we adopt as co-owner
+    with open(os.path.join(shared, "owner.pid")) as fh:
+        pids = [int(x) for x in fh.read().split()]
+    assert pids == [1, os.getpid()]
+    # now simulate: our process "dies" by rewriting marker to (1, dead)
+    with open(os.path.join(shared, "owner.pid"), "w") as fh:
+        fh.write(f"1\n{_dead_pid()}")
+    assert gc_scratch(root=root) == []  # pid 1 still alive -> kept
+    with open(os.path.join(shared, "owner.pid"), "w") as fh:
+        fh.write(f"{_dead_pid()}\n{_dead_pid()}")
+    assert gc_scratch(root=root) == [shared]  # all owners dead -> reaped
