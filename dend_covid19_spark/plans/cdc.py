@@ -147,6 +147,51 @@ def merge_upsert(
     return unchanged.unionByName(latest.select(*current.columns))
 
 
+def merge_upsert_conditional(
+    current: DataFrame, updates: DataFrame, key: str, order_cols: list[str]
+) -> DataFrame:
+    """Delta's ``MERGE ... WHEN MATCHED AND s.ts > t.ts THEN UPDATE``
+    emulated without Delta: per key, keep whichever row has the greater
+    ``struct(order_cols)`` — update wins ties. Unlike ``merge_upsert``
+    (last-batch-wins), this is ORDER-INDEPENDENT and IDEMPOTENT: apply
+    batches in any order, re-apply any batch, and the final snapshot is
+    the global argmax per key — which is what makes a foreachBatch sink
+    built on it hash-stable under micro-batch replay and re-drain.
+
+    Shape: compact ``updates`` to latest-per-key (one shuffle of the
+    batch), then ONE full-outer join against the snapshot with a
+    per-column conditional pick. The batch side is small in the CDC
+    steady state, so the join broadcasts it and the snapshot streams
+    map-side — per-batch cost O(|snapshot|) scan, not a window over the
+    union."""
+    tiebreak = [
+        F.col(c).desc() for c in updates.columns if c != key and c not in order_cols
+    ]
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in order_cols], *tiebreak
+    )
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(*current.columns)
+    )
+    cur = current.alias("c")
+    upd = latest.alias("u")
+    upd_wins = F.col(f"c.{key}").isNull() | (
+        F.struct(*[F.col(f"u.{c}") for c in order_cols])
+        >= F.struct(*[F.col(f"c.{c}") for c in order_cols])
+    )
+    upd_wins = F.col(f"u.{key}").isNotNull() & upd_wins
+    picked = [
+        F.when(upd_wins, F.col(f"u.{c}")).otherwise(F.col(f"c.{c}")).alias(c)
+        for c in current.columns
+    ]
+    return cur.join(upd, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer").select(
+        *picked
+    )
+
+
 @query(
     "cdc_merge_upsert",
     oracle="""

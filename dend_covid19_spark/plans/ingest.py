@@ -997,3 +997,106 @@ def streaming_restart_resume_executed(spark: SparkSession, sf_dir: str) -> DataF
     )
     _STREAM_RESUME_CACHE[key] = out
     return out
+
+
+# --- streaming foreachBatch idempotent-upsert sink (executed) ---------------
+
+_STREAM_UPSERT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_UPSERT_SPLIT_DAYS = ("2024-01-08", "2024-01-15", "2024-01-22")  # 4 chunks
+
+
+@query(
+    "streaming_upsert_sink_executed",
+    oracle="""
+SELECT user_id,
+       CAST(ts AS DATE) AS last_day,
+       event_id AS last_event_id,
+       value AS last_value
+FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)
+def streaming_upsert_sink_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent-UPSERT sink executed under the value
+    hash — the production glue between streaming/daily.py and the
+    serving tables that no prior row exercised: the events corpus is
+    split into four chronological source files; availableNow with
+    maxFilesPerTrigger=1 drains them as four micro-batches, each
+    MERGEd into a versioned parquet snapshot via
+    merge_upsert_conditional (per user keep the greater
+    (ts, event_id) row — Delta's WHEN MATCHED AND s.ts > t.ts guard,
+    order-independent and idempotent). The corpus is then RE-DRAINED
+    from a FRESH checkpoint into the same store — the full-backfill
+    retry — and the query asserts the snapshot is bit-identical
+    before returning it: exactly-once AT THE SINK, complementing the
+    source-side restart/resume row. The digest equals batch
+    latest-per-user iff no batch double-applied, no replay shifted a
+    row, and the conditional guard never let an older row clobber a
+    newer one.
+
+    Plan/scale: per batch one compaction shuffle of the small batch +
+    one broadcast-able full-outer join; the snapshot streams
+    map-side. Versions grow monotonically across drains so a re-drain
+    never overwrites a committed snapshot in place. Once-per-
+    (session, scale) drain-and-cache like the other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_UPSERT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_UPSERT_CACHE if k[0] != key[0]]:
+        del _STREAM_UPSERT_CACHE[k]
+
+    from ..streaming.daily import (
+        read_snapshot,
+        run_conditional_upsert_available_now,
+    )
+
+    token = abs(hash(("upsert", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamupsert_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    store = os.path.join(scratch, "store")
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    lo, mid, hi = _UPSERT_SPLIT_DAYS
+    chunks = [
+        ev.where(d < lo),
+        ev.where((d >= lo) & (d < mid)),
+        ev.where((d >= mid) & (d < hi)),
+        ev.where(d >= hi),
+    ]
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+
+    first_path = run_conditional_upsert_available_now(
+        spark, src, store, os.path.join(scratch, "ckpt1"), max_files_per_trigger=1
+    )
+    first = spark.read.parquet(first_path)
+    # the full-backfill retry: fresh checkpoint, same input, same store
+    final_path = run_conditional_upsert_available_now(
+        spark, src, store, os.path.join(scratch, "ckpt2"), max_files_per_trigger=1
+    )
+    assert final_path != first_path, "re-drain must write new versions"
+    final = read_snapshot(spark, store)
+    diff = (
+        first.exceptAll(final).count() + final.exceptAll(first).count()
+    )
+    assert diff == 0, f"re-drain changed the snapshot: {diff} differing rows"
+
+    out = final.select(
+        "user_id",
+        F.to_date("ts").alias("last_day"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+    _STREAM_UPSERT_CACHE[key] = out
+    return out

@@ -62,3 +62,55 @@ def test_point_in_time_join_total_and_unique(spark):
     # carries that day's (final) value
     same_day = [r for r in rows if r.day == r.valid_from]
     assert same_day, "no boundary-day events at test scale?"
+
+
+# --- conditional merge (WHEN MATCHED AND s.ts > t.ts emulation) -------------
+
+
+def _reference_conditional(current, updates):
+    """Per key keep the greater (ts, v) row across current+updates; on a
+    full (ts, v) tie the update wins (same row anyway)."""
+    out = {k: (k, v, ts) for k, v, ts in current}
+    for k, v, ts in updates:
+        if k not in out or (ts, v) >= (out[k][2], out[k][1]):
+            out[k] = (k, v, ts)
+    return set(out.values())
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    current=st.lists(ROW, max_size=8, unique_by=lambda r: r[0]),
+    updates=st.lists(ROW, min_size=1, max_size=8),
+)
+def test_conditional_merge_matches_reference(spark, current, updates):
+    from dend_covid19_spark.plans.cdc import merge_upsert_conditional
+
+    cur, upd = _df(spark, current), _df(spark, updates)
+    once = merge_upsert_conditional(cur, upd, "id", ["ts"])
+    got = {tuple(r) for r in once.collect()}
+    assert got == _reference_conditional(current, updates)
+    # idempotent: re-applying the same batch is a no-op
+    twice = merge_upsert_conditional(once, upd, "id", ["ts"])
+    assert {tuple(r) for r in twice.collect()} == got
+
+
+def test_conditional_merge_order_independent(spark):
+    """The property merge_upsert deliberately lacks (last-batch-wins)
+    and the foreachBatch upsert sink rests on: applying batches in any
+    order converges to the same snapshot — an OLD row arriving after a
+    NEW one must not clobber it."""
+    from dend_covid19_spark.plans.cdc import merge_upsert_conditional
+
+    old = _df(spark, [(1, "old", 5), (2, "only_old", 3)])
+    new = _df(spark, [(1, "new", 9), (3, "only_new", 1)])
+    empty = _df(spark, []).limit(0)
+
+    def apply(order):
+        snap = empty
+        for b in order:
+            snap = merge_upsert_conditional(snap, b, "id", ["ts"])
+        return {tuple(r) for r in snap.collect()}
+
+    expect = {(1, "new", 9), (2, "only_old", 3), (3, "only_new", 1)}
+    assert apply([old, new]) == expect
+    assert apply([new, old]) == expect
