@@ -1253,3 +1253,130 @@ def udtf_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, f.term
         LIMIT {UDTF_TOP_TERMS}
     """)
+
+
+# --- BPE train loop generalized to N rounds ----------------------------------
+
+BPE_MERGE_ROUNDS = 4
+
+
+def _bpe_rounds_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Per-round unrolled CTEs (the LPA/k-core discipline): round r
+    counts adjacent pairs over w{r-1}, argmaxes (cnt desc, pair asc —
+    total order), assigns sentinel chr(r) to the merged symbol, and
+    e{r} expands the rule back to base characters by substituting the
+    FULLY-expanded prior sentinels (order-free: expansions contain no
+    sentinels)."""
+    parts = [_BPE_WF_SQL.strip(), "w0 AS (SELECT word, freq FROM wf)"]
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+    SELECT substring(word, k, 1) || '|' || substring(word, k + 1, 1) AS pair, freq
+    FROM w{r - 1}, unnest(range(1, len(word))) t(k)
+)"""
+        )
+        parts.append(f"c{r} AS (SELECT pair, sum(freq) AS cnt FROM p{r} GROUP BY 1)")
+        parts.append(
+            f"r{r} AS (SELECT substring(pair, 1, 1) || substring(pair, 3, 1) AS sym,"
+            f" cnt FROM c{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        exp = "sym"
+        for i in range(1, r):
+            exp = f"replace({exp}, chr({i}), (SELECT exp FROM e{i}))"
+        parts.append(f"e{r} AS (SELECT {exp} AS exp, cnt FROM r{r})")
+        parts.append(
+            f"w{r} AS (SELECT replace(word, (SELECT sym FROM r{r}), chr({r})) AS word,"
+            f" freq FROM w{r - 1}"
+            f" WHERE len(replace(word, (SELECT sym FROM r{r}), chr({r}))) >= 2)"
+        )
+        selects.append(
+            f"SELECT {r} AS merge_round, exp AS merge_rule,"
+            f" CAST(cnt AS BIGINT) AS cnt FROM e{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("bpe_merge_round4", oracle=_bpe_rounds_oracle())
+def bpe_merge_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE train loop lifted from the unrolled two rounds
+    (bpe_merge_round2) to BPE_MERGE_ROUNDS = 4 — a real trainer: each
+    round counts adjacent symbol pairs over the frequency-weighted
+    vocabulary, argmaxes with a total tie order (count desc, pair
+    asc), APPLIES the merge as greedy leftmost replace, and recounts.
+    The output is the trained artifact itself — one row per round:
+    (merge_round, merge_rule, cnt), i.e. merges.txt with the rule
+    expanded back to base characters.
+
+    Symbol-space invariant that keeps N rounds cheap: every merged
+    symbol is assigned a fresh SENTINEL char (chr(r), outside the
+    corpus alphabet), so symbols stay single characters forever,
+    every rule stays a 2-char string, and the merge stays a plain
+    ``replace`` — no arrays, no re-tokenization. Rule expansion back
+    to text substitutes prior sentinels with their fully-expanded
+    rules (order-free: expansions are sentinel-free by induction).
+    Words that collapse below 2 symbols leave the working set each
+    round — Spark's sequence(1, 0) DESCENDS and would fabricate
+    pairs for them (the bpe_merge_round2 guard, here per round,
+    property-tested in tests/test_bpe.py).
+
+    Plan/scale: per round one pair-count shuffle at vocabulary (not
+    corpus) cardinality plus a one-row broadcast of the rule into the
+    merge — the whole N-round train step is a single lazy plan with
+    no driver round-trip; rounds cost O(|vocab|) each. The oracle
+    unrolls the identical rounds as CTEs."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pair_of = (
+        "transform(sequence(1, length(word) - 1),"
+        " k -> concat(substring(word, k, 1), '|', substring(word, k + 1, 1)))"
+    )
+    rules: list[DataFrame] = []  # one-row DFs: (sym, cnt, exp)
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        cnt = (
+            words.select(F.explode(F.expr(pair_of)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        rule = (
+            cnt.orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select(
+                F.expr("concat(substring(pair, 1, 1), substring(pair, 3, 1))").alias(
+                    "sym"
+                ),
+                "cnt",
+            )
+        )
+        exp_expr = "sym"
+        for i, prev in enumerate(rules, start=1):
+            rule = rule.crossJoin(
+                F.broadcast(prev.select(F.col("exp").alias(f"__exp_{i}")))
+            )
+            exp_expr = f"replace({exp_expr}, chr({i}), __exp_{i})"
+        rule = rule.select("sym", "cnt", F.expr(exp_expr).alias("exp"))
+        rules.append(rule)
+        words = (
+            words.crossJoin(F.broadcast(rule.select("sym")))
+            .select(F.expr(f"replace(word, sym, chr({r}))").alias("word"), "freq")
+            .where(F.length("word") >= 2)
+        )
+    out = rules[0].select(
+        F.lit(1).alias("merge_round"),
+        F.col("exp").alias("merge_rule"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    for r, rule in enumerate(rules[1:], start=2):
+        out = out.unionByName(
+            rule.select(
+                F.lit(r).alias("merge_round"),
+                F.col("exp").alias("merge_rule"),
+                F.col("cnt").cast("bigint").alias("cnt"),
+            )
+        )
+    return out

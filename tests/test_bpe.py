@@ -36,3 +36,62 @@ def test_round2_pairs_reference_merged_symbol(spark):
     rows = bpe_merge_round2(spark, SF_DIR).collect()
     rule = rows[0].merge_rule
     assert any(rule in r.pair.split("|") for r in rows)
+
+
+def test_round4_rules_distinct_and_expanded(spark):
+    """N-round trainer invariants: one rule per round, counts
+    non-increasing is NOT required (later merges can beat earlier
+    residuals) but every expanded rule must be sentinel-free base text,
+    length >= 2, and all rules distinct (a repeated rule would mean the
+    merge was never applied)."""
+    from dend_covid19_spark.plans.textops import BPE_MERGE_ROUNDS, bpe_merge_round4
+
+    rows = sorted(
+        bpe_merge_round4(spark, SF_DIR).collect(), key=lambda r: r.merge_round
+    )
+    assert [r.merge_round for r in rows] == list(range(1, BPE_MERGE_ROUNDS + 1))
+    rules = [r.merge_rule for r in rows]
+    assert len(set(rules)) == len(rules)
+    for rule in rules:
+        assert len(rule) >= 2
+        assert all(ord(ch) >= 32 for ch in rule), f"unexpanded sentinel in {rule!r}"
+
+
+def test_collapse_guard_each_round(spark):
+    """The descending-sequence guard, per round: a corpus where the hot
+    pair collapses whole words to a single symbol must not fabricate
+    pairs (Spark's sequence(1, 0) descends). 'ab' everywhere -> round 1
+    merges a|b and drops the collapsed words; later rounds keep
+    training on what remains instead of erroring or double-counting."""
+    import duckdb as _duck
+
+    from dend_covid19_spark.plans.textops import _bpe_rounds_oracle, bpe_merge_round4
+
+    docs = [
+        (i, "ab ab ab cd", "en", "synth", 11) for i in range(5)
+    ] + [(99, "ab xy xy", "en", "synth", 8)]
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    sdf = spark.createDataFrame(docs, schema)
+    sdf.createOrReplaceTempView("__bpe_docs")
+    # Spark side on the planted frame
+    import dend_covid19_spark.plans.textops as T
+
+    orig = T.load_table
+    try:
+        T.load_table = lambda s, name, sf: sdf if name == "documents" else orig(s, name, sf)
+        got = {
+            (r.merge_round, r.merge_rule, r.cnt)
+            for r in bpe_merge_round4(spark, "ignored").collect()
+        }
+    finally:
+        T.load_table = orig
+    con = _duck.connect()
+    import pandas as pd
+
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"]),
+    )
+    want = {tuple(t) for t in con.execute(_bpe_rounds_oracle()).fetchall()}
+    assert got == want
+    assert ("ab" in {r[1] for r in got})  # round 1 merged the hot pair
