@@ -409,3 +409,114 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").alias("max_day"),
         )
     )
+
+
+# --- AQE skew-join split, demonstrated under the value hash -----------------
+
+_SKEW_CONFS = {
+    # dialed so the demo-scale hot partition trips the same code path a
+    # hot 100 TB partition would; restored after the in-scope execution
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+_SKEW_SNAP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _skew_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the planted-hot-key join under the scoped skew confs and
+    return the materialized (localCheckpoint) join output, asserting
+    the executed plan split the skewed partitions.
+
+    Topology gates, each found the hard way (mirrors and extends
+    tests/test_scale_ops.py::test_aqe_skew_join_splits):
+      - 90% of fact rows collapse onto key 0 (user_id % 10 != 0 -> 0);
+        repartition(8) gives the multi-task upstream stage splits need
+        (splits are MAPPER ranges);
+      - the dim distincts on (k, seg), NOT k alone — a distinct-on-k
+        dim arrives already partitioned on the join key, leaving no
+        direct shuffle stage under the join for OptimizeSkewedJoin to
+        re-read; (k, seg) partitioning forces the splittable
+        Exchange(k) on both sides;
+      - the join output is MATERIALIZED bare (localCheckpoint) and the
+        aggregate runs over the snapshot: any aggregate planned onto
+        the join's output partitioning vetoes the split (the rule
+        refuses plan surgery that would break a downstream
+        distribution requirement)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SKEW_SNAP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _SKEW_SNAP_CACHE if k[0] != key[0]]:
+        del _SKEW_SNAP_CACHE[k]
+
+    ev = load_table(spark, "events", sf_dir)
+    fact = ev.select(
+        F.when(F.col("user_id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    ).repartition(8)
+    dim = fact.select("k", (F.col("k") % 3).alias("seg")).distinct()
+    jj = fact.join(dim, "k")
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    try:
+        for k, v in _SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        snap = jj.localCheckpoint()  # materializes THIS plan under AQE
+        plan = jj._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew split did not fire:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    _SKEW_SNAP_CACHE[key] = snap
+    return snap
+
+
+@query(
+    "agg_skew_aqe_join",
+    oracle="""
+WITH fact AS (
+    SELECT CASE WHEN user_id % 10 != 0 THEN 0 ELSE user_id END AS k,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM events
+)
+SELECT CAST(k % 7 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(round(sum(value), 2) AS DOUBLE) AS value_sum,
+       count(DISTINCT k) AS n_keys
+FROM fact
+GROUP BY 1
+""",
+)
+def agg_skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join split FIRING under the value hash — the join-side
+    complement of agg_salted_event_stats (manual salting fixes skewed
+    group-bys; AQE's OptimizeSkewedJoin fixes skewed joins at runtime
+    with no query rewrite). The query plants a 90%-hot key, executes
+    the sort-merge join with the skew thresholds scoped down
+    (set/restored, the ingest_overwrite_idempotent conf discipline),
+    ASSERTS the executed plan marks the join ``skew=true``, then
+    aggregates the materialized join output — so a green driver row
+    certifies both that the split fired and that it left the values
+    bit-identical to the oracle's plain SQL (the whole point of AQE:
+    plan surgery, no semantic drift).
+
+    The dim join is trivially satisfiable (dim = distinct fact keys)
+    because the subject here is the EXCHANGE shape, not the join
+    semantics; the oracle therefore states the fact-side aggregate
+    directly. At 100 TB the same mechanism splits a hot customer/day
+    partition across tasks with default thresholds — no salting
+    rewrite needed on the join path."""
+    snap = _skew_join_snapshot(spark, sf_dir)
+    return snap.groupBy((F.col("k") % 7).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).cast("double").alias("value_sum"),
+        F.countDistinct("k").alias("n_keys"),
+    )

@@ -731,10 +731,19 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage. At 100 TB rounds are edge-linear, the same cost envelope
     as one PageRank iteration."""
     e = _kcore_edges(spark, sf_dir).repartition(KCORE_SHUFFLE_PARTS, "d").localCheckpoint()
+    return _lpa_propagate(e).select(
+        F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
+    )
+
+
+def _lpa_propagate(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """LPA_ITERS synchronous label-propagation rounds over an edge table
+    already hash-partitioned on ``d`` and checkpointed (stationary).
+    Shared by graph_lpa_communities and the scaling probe's lpa_shape."""
     labels = e.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for i in range(LPA_ITERS):
+    for i in range(iters):
         cnt = (
             e.join(
                 labels.repartition(KCORE_SHUFFLE_PARTS, "node"),
@@ -754,8 +763,6 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
             .select(F.col("s").alias("node"), "label")
         )
-        if i < LPA_ITERS - 1:
+        if i < iters - 1:
             labels = labels.localCheckpoint()
-    return labels.select(
-        F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
-    )
+    return labels

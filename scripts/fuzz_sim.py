@@ -153,8 +153,22 @@ def generate(seed: int, out: str) -> None:
     base_ev = np.datetime64("2024-01-01", "us").astype(np.int64)
     ets = base_ev + rng.integers(0, 30 * DAY_US, N_EVENTS)
     ets[10] = ets[11] = ets[12]  # three-way exact tie
+    # session-gap BOUNDARY ties (r9): one user's events spaced exactly at,
+    # one microsecond under, and one microsecond over the 30-min gap.
+    # events_sessionize splits on gap > 30min while the native/streaming
+    # session_window closes on gap >= 30min — both conventions and their
+    # oracles must agree cross-engine exactly at the boundary, where the
+    # fixed corpus never lands.
+    GAP_US = 1_800_000_000
+    t0 = base_ev + 5 * DAY_US
+    ets[20] = t0
+    ets[21] = t0 + GAP_US          # exactly at the gap
+    ets[22] = ets[21] + GAP_US - 1  # one us under
+    ets[23] = ets[22] + GAP_US + 1  # one us over
+    ets[24] = ets[23] + GAP_US      # exactly at, again (chained boundary)
     users = rng.integers(0, 15, N_EVENTS)
     users[: N_EVENTS // 8] = 3  # hot user
+    users[20:25] = 13  # the gap-boundary chain belongs to one quiet user
     w("events", pa.table({
         "event_id": pa.array(range(N_EVENTS), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),
@@ -176,11 +190,25 @@ def generate(seed: int, out: str) -> None:
         toks = texts[i].split()
         toks[len(toks) // 2] = "edited"
         texts[i + 1] = " ".join(toks)
+    # sequence-packing boundary docs (r9): one source whose token counts
+    # land EXACTLY on the PACK_BUDGET_TOKENS=512 chop lines — a doc of
+    # exactly the budget, two halves summing to it, one token over, one
+    # token, and one under-by-one. start_off // budget vs
+    # (start_off + n_tok - 1) // budget disagree between engines only if
+    # integer-division or window-ordering semantics drift — exactly at
+    # these offsets.
+    pack_sizes = [512, 256, 256, 513, 1, 511, 512]
+    pack_ids = list(range(40, 40 + len(pack_sizes)))
+    for di, n_tok in zip(pack_ids, pack_sizes):
+        texts[di] = " ".join(VOCAB[j % len(VOCAB)] for j in range(n_tok))
     w("documents", pa.table({
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
         "text": texts,
         "lang": [LANGS[i] for i in rng.integers(0, len(LANGS), N_DOCS)],
-        "source": [f"src{int(i)}" for i in rng.integers(0, 20, N_DOCS)],
+        "source": [
+            "srcpack" if i in pack_ids else f"src{int(s)}"
+            for i, s in enumerate(rng.integers(0, 20, N_DOCS))
+        ],
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
     # embeddings: near-duplicate vectors + exact duplicates; ids cover the

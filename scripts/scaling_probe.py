@@ -347,6 +347,57 @@ def lsh_shape(spark, k: int):
     )
 
 
+def _copurchase_edges(spark, k: int):
+    """Replicated symmetric co-purchase edge list (disjoint components
+    per replica — both keys offset), shared by the iterative-graph
+    shapes below. Matches pagerank_shape's edge build."""
+    li = replicate(
+        load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_partkey"),
+        k,
+        ("l_orderkey", "l_partkey"),
+    )
+    op = li.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    canon = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    return canon.unionAll(canon.select(F.col("d").alias("s"), F.col("s").alias("d")))
+
+
+def kcore_shuffle_shape(spark, k: int):
+    """graph_kcore_members_shuffle's decrement-maintained peel over k x
+    the co-purchase graph: stationary hash-partitioned edges, per-round
+    exchange bounded by the dropped frontier + its incident edges
+    (claimed <= |V| + |E| summed over all rounds). Linear-in-k wall
+    time is that claim measured."""
+    from dend_covid19_spark.plans.graph import _kcore_peel_shuffle
+
+    return _kcore_peel_shuffle(_copurchase_edges(spark, k))
+
+
+def lpa_shape(spark, k: int):
+    """graph_lpa_communities' synchronous label propagation over k x the
+    co-purchase graph: edges hash-partitioned once on the join key (d)
+    and checkpointed; per round one co-partitioned label attach + one
+    map-side-combined (node,label) count + a max_by hash argmax. The
+    claimed edge-linear-per-round envelope, measured."""
+    from dend_covid19_spark.plans.graph import KCORE_SHUFFLE_PARTS, _lpa_propagate
+
+    e = (
+        _copurchase_edges(spark, k)
+        .repartition(KCORE_SHUFFLE_PARTS, "d")
+        .localCheckpoint()
+    )
+    return _lpa_propagate(e)
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -362,6 +413,8 @@ def main() -> None:
         ("snm_rank_shape", snm_rank_shape),
         ("cms_shape", cms_shape),
         ("lsh_shape", lsh_shape),
+        ("kcore_shuffle_shape", kcore_shuffle_shape),
+        ("lpa_shape", lpa_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}

@@ -284,6 +284,7 @@ _NESTED_LOOP_ALLOWED = {
     "negative_sampling_per_user",  # one-row item-count + ~NEG_POOL_ITEMS-row pool broadcasts
     "dedup_lsh_band_sweep",      # one-row true-pair-count broadcast per config
     "bpe_merge_round2",          # one-row argmax merge-rule broadcast
+    "bpe_merge_round4",          # same, one one-row rule broadcast per round
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
