@@ -75,6 +75,11 @@ HEADLINE = [
     "graph_lpa_communities",
     "dedup_lsh_band_sweep",
     "ingest_overwrite_idempotent",
+    # round 9 additions: real-bytes BMP decode, N-round BPE trainer,
+    # AQE skew-join split under the hash
+    "multimodal_decode_bmp",
+    "bpe_merge_round4",
+    "agg_skew_aqe_join",
 ]
 
 

@@ -188,11 +188,20 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # execution twin (plans/ingest.py streaming_session_window_executed):
 # identical oracle => any divergence between the batch operator and the
 # streaming drain shows up as a hash mismatch on one of the two rows.
+#
+# Boundary semantics (r9 fuzz finding, gap-boundary seed): Spark's
+# session_window assigns each event the window [ts, ts + gap) and MERGES
+# adjacent windows — an event at exactly prev_ts + gap touches the
+# previous window's end and is absorbed into the session. So only a gap
+# STRICTLY GREATER than the threshold starts a new session (same ``>``
+# convention as events_sessionize). The oracle wrote ``>=`` through
+# round 8; indistinguishable on the fixed corpus (no event pair lands on
+# an exact-microsecond boundary), exposed by the planted boundary chain.
 SESSION_WINDOW_ORACLE = """
 WITH ordered AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS is_new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
