@@ -1326,6 +1326,29 @@ def bpe_merge_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver round-trip; rounds cost O(|vocab|) each. The oracle
     unrolls the identical rounds as CTEs."""
     docs = load_table(spark, "documents", sf_dir)
+    rules = _bpe_train_rules(docs)
+    out = rules[0].select(
+        F.lit(1).alias("merge_round"),
+        F.col("exp").alias("merge_rule"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+    for r, rule in enumerate(rules[1:], start=2):
+        out = out.unionByName(
+            rule.select(
+                F.lit(r).alias("merge_round"),
+                F.col("exp").alias("merge_rule"),
+                F.col("cnt").cast("bigint").alias("cnt"),
+            )
+        )
+    return out
+
+
+def _bpe_train_rules(docs: DataFrame) -> list[DataFrame]:
+    """The N-round BPE train loop (see bpe_merge_round4): returns one
+    one-row DataFrame per round with (sym — the 2-char rule in sentinel
+    symbol space, cnt — its count at selection, exp — the rule expanded
+    to base characters). Shared by the trainer query and
+    bpe_encode_corpus (train -> apply)."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.length("word") >= 2)
@@ -1366,17 +1389,59 @@ def bpe_merge_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.expr(f"replace(word, sym, chr({r}))").alias("word"), "freq")
             .where(F.length("word") >= 2)
         )
-    out = rules[0].select(
-        F.lit(1).alias("merge_round"),
-        F.col("exp").alias("merge_rule"),
-        F.col("cnt").cast("bigint").alias("cnt"),
-    )
-    for r, rule in enumerate(rules[1:], start=2):
-        out = out.unionByName(
-            rule.select(
-                F.lit(r).alias("merge_round"),
-                F.col("exp").alias("merge_rule"),
-                F.col("cnt").cast("bigint").alias("cnt"),
-            )
+    return rules
+
+
+def _bpe_encode_oracle() -> str:
+    """Corpus-encode twin: the identical train CTEs, then the learned
+    rules applied in round order to every document (scalar subqueries),
+    symbol counts = space-stripped lengths."""
+    train = _bpe_rounds_oracle(BPE_MERGE_ROUNDS)
+    with_clause = train[: train.rindex("\nSELECT")]  # keep CTEs, drop the select
+    ap = "text"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        ap = f"replace({ap}, (SELECT sym FROM r{r}), chr({r}))"
+    return f"""{with_clause}
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(replace(text, ' ', ''))) AS BIGINT) AS syms_before,
+       CAST(sum(len(replace({ap}, ' ', ''))) AS BIGINT) AS syms_after
+FROM documents
+GROUP BY source
+"""
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> APPLY: encode the whole corpus with the merges
+    bpe_merge_round4 learns — the tokenizer-throughput measurement
+    every pipeline runs after training (how many symbols does the
+    vocabulary actually save?). The four learned rules broadcast as
+    one-row frames into a single chained-replace expression applied in
+    merge order over every document (rules contain no spaces, so
+    whole-text replace == per-word application), and the per-source
+    aggregate reports symbol counts before/after.
+
+    Plan/scale: training runs at vocabulary cardinality (see
+    bpe_merge_round4); the apply is ONE codegen projection over the
+    corpus scan — four broadcast one-row joins, no shuffle beyond the
+    |sources| aggregate. This is the standard model: learn on the
+    compact weighted vocab, stamp the corpus map-side."""
+    docs = load_table(spark, "documents", sf_dir)
+    rules = _bpe_train_rules(docs)
+    enc = docs.select("source", "text")
+    ap = "text"
+    for r, rule in enumerate(rules, start=1):
+        enc = enc.crossJoin(
+            F.broadcast(rule.select(F.col("sym").alias(f"__sym_{r}")))
         )
-    return out
+        ap = f"replace({ap}, __sym_{r}, chr({r}))"
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.expr("replace(text, ' ', '')")))
+        .cast("bigint")
+        .alias("syms_before"),
+        F.sum(F.length(F.expr(f"replace({ap}, ' ', '')")))
+        .cast("bigint")
+        .alias("syms_after"),
+    )

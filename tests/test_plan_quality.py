@@ -285,6 +285,7 @@ _NESTED_LOOP_ALLOWED = {
     "dedup_lsh_band_sweep",      # one-row true-pair-count broadcast per config
     "bpe_merge_round2",          # one-row argmax merge-rule broadcast
     "bpe_merge_round4",          # same, one one-row rule broadcast per round
+    "bpe_encode_corpus",         # four one-row learned rules broadcast into the apply
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
