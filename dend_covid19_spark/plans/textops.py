@@ -1322,9 +1322,11 @@ def bpe_merge_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan/scale: per round one pair-count shuffle at vocabulary (not
     corpus) cardinality plus a one-row broadcast of the rule into the
-    merge — the whole N-round train step is a single lazy plan with
-    no driver round-trip; rounds cost O(|vocab|) each. The oracle
-    unrolls the identical rounds as CTEs."""
+    merge; the vocab and each rule are checkpointed per round (see
+    _bpe_train_rules — the corpus is scanned exactly once, every
+    round reads the vocab table), no data ever crosses the driver.
+    Rounds cost O(|vocab|) each. The oracle unrolls the identical
+    rounds as CTEs."""
     docs = load_table(spark, "documents", sf_dir)
     rules = _bpe_train_rules(docs)
     out = rules[0].select(
@@ -1348,12 +1350,22 @@ def _bpe_train_rules(docs: DataFrame) -> list[DataFrame]:
     one-row DataFrame per round with (sym — the 2-char rule in sentinel
     symbol space, cnt — its count at selection, exp — the rule expanded
     to base characters). Shared by the trainer query and
-    bpe_encode_corpus (train -> apply)."""
+    bpe_encode_corpus (train -> apply).
+
+    Materialization discipline: the weighted vocabulary and each
+    one-row rule are localCheckpoint'ed PER ROUND. Left lazy, round r's
+    rule embeds the whole prior-round lineage — the corpus scan
+    multiplies into every branch (a 41-scan / 81-exchange plan at
+    N=4, caught by plan audit). Checkpointed, the CORPUS is scanned
+    exactly once (the initial wordcount); every later round reads the
+    vocab-cardinality table — which is also how a real distributed
+    trainer persists its vocab between merge rounds."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
     )
     pair_of = (
         "transform(sequence(1, length(word) - 1),"
@@ -1382,12 +1394,13 @@ def _bpe_train_rules(docs: DataFrame) -> list[DataFrame]:
                 F.broadcast(prev.select(F.col("exp").alias(f"__exp_{i}")))
             )
             exp_expr = f"replace({exp_expr}, chr({i}), __exp_{i})"
-        rule = rule.select("sym", "cnt", F.expr(exp_expr).alias("exp"))
+        rule = rule.select("sym", "cnt", F.expr(exp_expr).alias("exp")).localCheckpoint()
         rules.append(rule)
         words = (
             words.crossJoin(F.broadcast(rule.select("sym")))
             .select(F.expr(f"replace(word, sym, chr({r}))").alias("word"), "freq")
             .where(F.length("word") >= 2)
+            .localCheckpoint()
         )
     return rules
 
