@@ -285,6 +285,27 @@ def _fuzzy_blocked(part: DataFrame, target: int) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt_i"),
         F.pmod(F.xxhash64("part_b"), F.col("n_salt")).cast("int").alias("salt_j"),
     )
+    # Pin the join's parallelism with an EXPLICIT numPartitions
+    # repartition on the equi keys. This stage is compute-dense but
+    # byte-light (20k short strings -> millions of levenshtein calls),
+    # and AQE's coalescer — which only sees bytes — was folding the
+    # whole verify stage into ONE task (13.7 s single-threaded at
+    # sf0.1). User-specified repartitions are exempt from AQE
+    # coalescing, and SMJ reuses the hash partitioning (same keys, same
+    # count on both sides), so this adds no extra exchange — it only
+    # forbids the byte-blind collapse. The same holds at 100 TB: any
+    # verify stage whose cost is CPU per pair, not bytes, must pin its
+    # partition count or AQE will serialize it after a quiet map stage.
+    n_part = a.sparkSession.sparkContext.defaultParallelism * 2
+    keys = ["p_brand", "band", "salt_i", "salt_j"]
+    a = a.repartition(n_part, *keys)
+    b = b.repartition(
+        n_part,
+        F.col("brand_b"),
+        F.col("band_b"),
+        F.col("salt_i"),
+        F.col("salt_j"),
+    )
     return a.join(
         b,
         (a.p_brand == b.brand_b)

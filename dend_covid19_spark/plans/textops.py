@@ -333,7 +333,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stuffed with repeated trigrams is boilerplate/spam, not prose. All
 # three signals are per-row array folds in codegen — the mode count is
 # O(m·distinct) per row, bounded by document length, zero shuffles.
-_SPARK_MODE_COUNT = "array_max(transform(array_distinct({a}), x -> size(filter({a}, y -> y = x))))"
+# Mode (most-frequent-element) COUNT of an array. The naive form —
+# filter the whole array once per distinct element — is O(distinct *
+# n) per row, quadratic on natural text where distinct ~ n; at sf0.1 it
+# made text_repetition_stats the single slowest registry query (17 s).
+# Spark side instead sorts the array and folds ONE pass tracking the
+# longest run of equal adjacent elements: O(n log n), same count for
+# every input (the mode's multiplicity is the longest run in sorted
+# order). nullif(.,0) preserves the naive form's NULL on empty arrays
+# (unreachable via split(), which always yields >= 1 element).
+_SPARK_MODE_COUNT = (
+    "nullif(aggregate(array_sort({a}), "
+    "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+    "(s, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(s.prev <=> x, s.run + 1, 1), "
+    "'best', greatest(s.best, IF(s.prev <=> x, s.run + 1, 1))), "
+    "s -> s.best), 0)"
+)
 _DUCK_MODE_COUNT = (
     "list_max(list_transform(list_distinct({a}), x -> len(list_filter({a}, y -> y = x))))"
 )
