@@ -203,6 +203,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a low-split scan up to executor width.
+
+    Split sizing follows input BYTES, and parquet splits only at
+    row-group boundaries — so a few-MB single-row-group file arrives as
+    ONE split and any CPU-bound derivation over it (minhash/simhash
+    fingerprints, per-token folds) serializes onto a single core. Call
+    this before such a stage: the raw-row exchange it costs is tiny
+    beside the compute it parallelizes. At real corpus size (many
+    splits >= cores) the branch never fires, so nothing is shuffled at
+    100 TB. Only for CPU-dense stages — byte-dense stages should keep
+    their scan partitioning.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
