@@ -458,7 +458,7 @@ def run_conditional_upsert_available_now(
     Returns the final snapshot path."""
     import os as _os
 
-    from ..plans.cdc import merge_upsert_conditional
+    from ..plans.cdc import _merge_total_order, merge_upsert_conditional
 
     prior = _latest_snapshot(target_dir)
     base = (
@@ -470,8 +470,15 @@ def run_conditional_upsert_available_now(
         s = batch_df.sparkSession
         batch = batch_df.select("user_id", "ts", "event_id", "value")
         if state["path"] is None:
+            # bootstrap compaction over the SAME total order the
+            # conditional merge uses (order cols + payload tiebreak), so
+            # a first batch carrying an order-key tie picks the same
+            # winner a later merge of the same rows would
+            total = _merge_total_order(
+                batch.columns, "user_id", ["ts", "event_id"]
+            )
             w = Window.partitionBy("user_id").orderBy(
-                F.col("ts").desc(), F.col("event_id").desc()
+                *[F.col(c).desc() for c in total]
             )
             merged = (
                 batch.withColumn("__rn", F.row_number().over(w))

@@ -155,10 +155,12 @@ def generate(seed: int, out: str) -> None:
     ets[10] = ets[11] = ets[12]  # three-way exact tie
     # session-gap BOUNDARY ties (r9): one user's events spaced exactly at,
     # one microsecond under, and one microsecond over the 30-min gap.
-    # events_sessionize splits on gap > 30min while the native/streaming
-    # session_window closes on gap >= 30min — both conventions and their
-    # oracles must agree cross-engine exactly at the boundary, where the
-    # fixed corpus never lands.
+    # Both the batch operator (events_sessionize) and Spark's native /
+    # streaming session_window start a NEW session only on gap STRICTLY >
+    # threshold (an event landing exactly at the boundary merges into the
+    # open session) — the corrected SESSION_WINDOW_ORACLE encodes the same
+    # strict inequality, and this chain pins all of them cross-engine
+    # exactly at the boundary, where the fixed corpus never lands.
     GAP_US = 1_800_000_000
     t0 = base_ev + 5 * DAY_US
     ets[20] = t0

