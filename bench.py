@@ -121,8 +121,9 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    # Full-registry sweep (once, cold): the headline is 34 hand-picked
-    # queries of ~215 — a regression in a non-headline query (e.g. a
+    # Full-registry sweep (once, cold): the headline is len(HEADLINE)
+    # hand-picked queries of the full registry — a regression in a
+    # non-headline query (e.g. a
     # stale TPC-H row) could otherwise hide between rounds. One timed
     # run per registered query; total + the top-10 slowest go into the
     # artifact. Failures are recorded, never fatal to the bench.

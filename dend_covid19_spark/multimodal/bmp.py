@@ -109,6 +109,25 @@ def encode_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             out = []
             for txt in pdf[text_col]:
+                # CORPUS PRECONDITION (fails loudly, never silently
+                # diverges): the DuckDB oracle samples CHARACTERS
+                # (substring/ascii) while this side samples UTF-8
+                # BYTES — identical only for ASCII text; and an empty
+                # doc has no byte to sample. A corpus change that
+                # emits non-ASCII or empty docs must error here, not
+                # hash-mismatch downstream.
+                if not txt:
+                    raise ValueError(
+                        "encode_bmp_payload: empty document text — the "
+                        "BMP row's corpus precondition (non-empty ASCII "
+                        "docs) no longer holds"
+                    )
+                if not txt.isascii():
+                    raise ValueError(
+                        "encode_bmp_payload: non-ASCII document text — "
+                        "byte sampling would diverge from the oracle's "
+                        "character sampling"
+                    )
                 b = txt.encode("utf-8")
                 gray = bytes(b[(p * len(b)) // _N_PX] for p in range(_N_PX))
                 out.append(bmp_encode(gray))

@@ -235,7 +235,13 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents.text; Spark can match it solely by decoding the bytes it
     wrote correctly (misread offset/stride/row/channel => wrong sums).
     See multimodal/bmp.py; reference analog: the annotate stage's heavy
-    decode (/root/reference/airflow/dags/tasks/tweets.py:53-54)."""
+    decode (/root/reference/airflow/dags/tasks/tweets.py:53-54).
+
+    CORPUS PRECONDITION: non-empty, ASCII-only document text. The
+    oracle samples characters (substring/ascii, unwrapped +1) while
+    Spark samples UTF-8 bytes (wrapped (g+1)%256) — identical only
+    under that precondition, so encode_bmp_payload asserts it and a
+    corpus change fails loudly instead of hash-mismatching."""
     from ..multimodal.bmp import decode_bmp_rows, encode_bmp_payload
 
     docs = load_table(spark, "documents", sf_dir)

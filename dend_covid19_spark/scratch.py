@@ -49,15 +49,38 @@ def scratch_dir(name: str, root: str = SCRATCH_ROOT) -> str:
     this process as a co-owner (keeping still-live prior owners) rather
     than overwriting them — otherwise B re-stamping a dir A still uses,
     then dying, would let a third process reap it out from under A.
-    Dead pids are dropped on rewrite so the file stays bounded."""
+    The compacting rewrite (dead pids dropped so the file stays
+    bounded) is guarded by an flock on the marker: two processes
+    entering the same dir concurrently serialize their
+    read-modify-write instead of each overwriting the other's pid —
+    the lost-owner race the co-owner list exists to prevent."""
     path = os.path.join(root, name)
     os.makedirs(path, exist_ok=True)
     me = os.getpid()
     try:
+        import fcntl
+
         marker = os.path.join(path, _PID_MARKER)
-        owners = [p for p in _owner_pids(path) or [] if p != me and _pid_alive(p)]
-        with open(marker, "w") as fh:
-            fh.write("\n".join(str(p) for p in [*owners, me]))
+        # open read-write WITHOUT truncating: truncation must happen
+        # only after the lock is held, or a concurrent reader/writer
+        # sees an empty owner list mid-update
+        fd = os.open(marker, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            raw = os.read(fd, 1 << 16).decode(errors="replace")
+            prior: list[int] = []
+            for line in raw.split():
+                try:
+                    prior.append(int(line))
+                except ValueError:
+                    continue
+            owners = [p for p in prior if p != me and _pid_alive(p)]
+            payload = "\n".join(str(p) for p in [*owners, me]).encode()
+            os.lseek(fd, 0, os.SEEK_SET)
+            os.truncate(fd, 0)
+            os.write(fd, payload)
+        finally:
+            os.close(fd)  # releases the flock
     except OSError:
         pass  # read-only scratch is the caller's problem, not GC's
     return path
