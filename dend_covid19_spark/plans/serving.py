@@ -143,3 +143,63 @@ def serving_tables_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _SERVING_CACHE[cache_key] = out
     return out
+
+
+_JDBC_ORACLE = """
+SELECT CAST(ts AS DATE) AS event_day,
+       event_type,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("jdbc_sink_roundtrip", oracle=_JDBC_ORACLE)
+def jdbc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL ``df.write.jdbc`` warehouse path, executed end-to-end
+    under the value hash — retiring the top r9 "what's missing" item:
+    the daily serving aggregate is loaded into an embedded-Derby SQL
+    database through Spark's JDBC sink (JdbcUtils saveTable: parallel
+    per-partition connections, batched executeBatch INSERTs), promoted
+    via the staged two-phase pattern (write ``_stage``, warehouse-side
+    RENAME — the atomic publish a per-partition-transactional sink
+    needs), then read back through the JDBC SOURCE as a 4-way
+    PARTITIONED scan (partitionColumn=cnt with real bounds — N range
+    cursors, the only JDBC read shape that scales). The hash certifies
+    type round-tripping (DATE, VARCHAR, BIGINT, DOUBLE) and that the
+    staged promote published exactly one load.
+
+    Reference parity: the psycopg2 INSERT loop into Redshift
+    (/root/reference/airflow/dags/tasks/tweets.py:123-133,
+    market.py:34-42) — here the distributed upgrade of the same sink.
+    Scale: connections bounded by coalesce (4), batchsize 1000; the
+    aggregate is group-cardinality (days x types), not event-
+    cardinality, so the JDBC stage moves dimension-sized data no
+    matter the corpus size."""
+    from ..catalog import load_table
+    from ..sources.jdbc import derby_url, read_jdbc, write_jdbc_staged
+
+    agg = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.to_date("ts").alias("event_day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    url = derby_url(os.path.join(scratch_dir(f"derby_{os.getpid()}"), "db"))
+    write_jdbc_staged(spark, agg, url, "daily_events")
+    bounds = agg.agg(F.min("cnt"), F.max("cnt")).first()
+    return read_jdbc(
+        spark,
+        url,
+        "daily_events",
+        partition_column="cnt",
+        lower_bound=str(bounds[0]),
+        upper_bound=str(bounds[1] + 1),
+        num_partitions=4,
+    ).select("event_day", "event_type", "cnt", "total_value")

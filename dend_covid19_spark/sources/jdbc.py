@@ -1,0 +1,130 @@
+"""JDBC warehouse sink/source over embedded Derby — the real
+``df.write.jdbc`` path the serving layer was missing.
+
+The reference's serving warehouse is Redshift written row-by-row over
+psycopg2 (/root/reference/airflow/dags/tasks/tweets.py:123-133,
+market.py:34-42 — cursor.execute per INSERT). The distributed analog is
+Spark's JDBC data source: executors open connections in parallel and
+stream batched INSERTs, the driver handles DDL. This sandbox has no
+network warehouse, but PySpark ships Apache Derby (the Hive-metastore
+dependency), whose EMBEDDED driver serves a file-backed SQL database
+inside the Spark JVM — so the exact production write path
+(``format("jdbc")`` → JdbcUtils.saveTable → batched executeBatch per
+partition) executes for real, transactions and all, with zero fakes.
+
+Scale notes (they transfer verbatim to a networked warehouse):
+  - one JDBC connection per input partition — ALWAYS bound the
+    partition count before a JDBC write (``coalesce``), or a 2000-task
+    stage opens 2000 warehouse connections;
+  - ``batchsize`` controls rows per executeBatch round-trip (default
+    1000); the write is per-partition transactional, not global — a
+    mid-job failure leaves partial tables, which is why production
+    loads write to a STAGING table and promote atomically (the
+    two-phase shape ``write_jdbc_staged`` demonstrates);
+  - reads parallelize only when told how: ``partitionColumn`` +
+    bounds + ``numPartitions`` turn one big cursor into N range
+    predicates pushed to the warehouse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str) -> str:
+    """Embedded-Derby JDBC URL for a file-backed database directory
+    (created on first boot). Single-JVM multi-thread access is
+    supported — exactly Spark local mode's shape."""
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 1000,
+    max_connections: int = 4,
+) -> None:
+    """Distributed JDBC write: each (bounded) partition opens one
+    connection and streams ``batchsize``-row executeBatch inserts —
+    JdbcUtils' real code path, the distributed upgrade of the
+    reference's psycopg2 single-cursor loop (tweets.py:123-133)."""
+    (
+        df.coalesce(max_connections)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+        .save()
+    )
+
+
+def write_jdbc_staged(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    max_connections: int = 4,
+) -> None:
+    """Two-phase warehouse load: write to ``<table>_stage``, then
+    promote with warehouse-side RENAME inside the same database — the
+    atomic-publish discipline a per-partition-transactional JDBC write
+    needs (a mid-job failure leaves only the staging table dirty;
+    readers of ``table`` never observe a half-load). On Derby the
+    promote is ``RENAME TABLE``; on Redshift/Postgres it would be a
+    transactional ``ALTER TABLE RENAME`` / ``BEGIN; DROP; ALTER;
+    COMMIT``."""
+    stage = f"{table}_stage"
+    write_jdbc(
+        df, url, stage, mode="overwrite",
+        batchsize=batchsize, max_connections=max_connections,
+    )
+    jvm = spark.sparkContext._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            try:
+                stmt.executeUpdate(f"DROP TABLE {table}")
+            except Exception:
+                pass  # first load: nothing to drop
+            stmt.executeUpdate(f"RENAME TABLE {stage} TO {table}")
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: str | None = None,
+    upper_bound: str | None = None,
+    num_partitions: int = 4,
+) -> DataFrame:
+    """JDBC source; with a partition column + bounds the scan becomes
+    ``num_partitions`` parallel range-predicate cursors instead of one
+    serial fetch — the only way a JDBC read scales."""
+    r = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+    )
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+            .option("numPartitions", str(num_partitions))
+        )
+    return r.load()
