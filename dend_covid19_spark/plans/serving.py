@@ -145,6 +145,63 @@ def serving_tables_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_HTTP_VALUES = ", ".join(
+    f"('{ix}', '{d}', {int(d[8:10]) * 100 + len(ix)}.0)"
+    for ix in _INDICES
+    for d in _DATES
+)
+
+_HTTP_ORACLE = f"""
+WITH pts(index_name, date_str, value) AS (VALUES {_HTTP_VALUES})
+SELECT index_name, CAST(date_str AS DATE) AS date_day,
+       CAST(value AS DOUBLE) AS value
+FROM pts
+"""
+
+
+@query("http_source_market_backfill", oracle=_HTTP_ORACLE)
+def http_source_market_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The market pull as a REAL HTTP connector — closing the r9
+    "live HTTP connector" gap: a loopback deterministic series API
+    (sources/http_source.MarketApiServer) is fetched through a Spark 4
+    Python DataSource whose partitions issue actual ``urllib`` GETs —
+    sockets, status codes, Retry-After headers. The server 503s the
+    FIRST request for every (series, date) key by design, so this row
+    hashes green ONLY if the connector's bounded-retry/backoff path
+    executed; throttling (min inter-request interval per partition) and
+    per-series partition planning (the rate-limit domain) run on the
+    same read. Oracle = the series arithmetic as VALUES literals — what
+    the hash certifies is the wire round trip: URL encoding, JSON
+    decode, typed projection, DATE cast.
+
+    Reference parity: quandl.get
+    (/root/reference/airflow/dags/tasks/market.py:21-27). Scale: the
+    connector axis is control-plane-sized (few series); parallelism =
+    n_series partitions, each throttled — the shape that doesn't DDoS
+    the API from 1000 executors."""
+    from ..sources.http_source import (
+        register_http_series_source,
+        shared_server,
+    )
+
+    srv = shared_server()
+    register_http_series_source(spark)
+    df = (
+        spark.read.format("graft_http_series")
+        .option("base_url", srv.base_url)
+        .option("indices", ",".join(_INDICES))
+        .option("dates", ",".join(_DATES))
+        .option("max_retries", "4")
+        .option("throttle_s", "0.005")
+        .load()
+    )
+    return df.select(
+        "index_name",
+        F.to_date("date_str").alias("date_day"),
+        "value",
+    )
+
+
 _JDBC_ORACLE = """
 SELECT CAST(ts AS DATE) AS event_day,
        event_type,
