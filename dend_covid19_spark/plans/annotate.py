@@ -72,3 +72,37 @@ def sentiment_pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("overall_sentiment")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _model_oracle() -> str:
+    from ..functions.model import duck_model_cte
+
+    return f"""
+WITH {duck_model_cte()}
+SELECT doc_id, topic_label, topic_score FROM mpred
+"""
+
+
+@query("model_inference_annotator", oracle=_model_oracle())
+def model_inference_annotator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 with REAL inference mechanics — the r9 "model-based
+    annotator" gap closed: a linear topic classifier whose integer
+    weight matrix rides to executors in the UDF closure and whose
+    forward pass is one vectorized ``X @ W.T + b`` numpy matmul per
+    Arrow batch (functions/model.py). Featurization (token counts)
+    stays JVM-side in codegen so scan pushdown is never blocked by
+    Python; only dense vectors cross the Arrow boundary. The oracle
+    restates the full forward pass — integer scores and
+    numpy-convention argmax (first max wins) — from the SAME weight
+    constants, so model math, batching, and tie-breaks are all under
+    the value hash.
+
+    Reference parity: PretrainedPipeline('analyze_sentiment').annotate
+    (/root/reference/airflow/dags/tasks/tweets.py:53-54). Scale: per
+    batch one (n x F) x (F x C) matmul — arithmetic-bound, shuffle-
+    free; a real transformer swaps the closure weights for a
+    broadcast/executor-local artifact, same plan."""
+    from ..functions.model import annotate_topic
+
+    docs = load_table(spark, "documents", sf_dir)
+    return annotate_topic(docs).select("doc_id", "topic_label", "topic_score")
