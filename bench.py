@@ -80,6 +80,14 @@ HEADLINE = [
     "multimodal_decode_bmp",
     "bpe_merge_round4",
     "agg_skew_aqe_join",
+    # round 10 additions: the three retired substitutions — real JDBC
+    # warehouse roundtrip (embedded Derby), real HTTP connector with
+    # retry/throttle, real model inference (weights + matmul) — plus
+    # the second real-bytes media codec (WAV)
+    "jdbc_sink_roundtrip",
+    "http_source_market_backfill",
+    "model_inference_annotator",
+    "multimodal_decode_wav",
 ]
 
 

@@ -165,3 +165,43 @@ def decode_bmp_rows(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         decode, "doc_id long, row_idx int, w int, h int, row_g_sum bigint"
     )
+
+
+RESIZE_OUT_W = 2
+RESIZE_OUT_H = 2
+
+
+def decode_bmp_resize(
+    df: DataFrame, out_w: int = RESIZE_OUT_W, out_h: int = RESIZE_OUT_H
+) -> DataFrame:
+    """Stage 2 (resize variant): parse each BMP payload and
+    nearest-neighbor-resize over the DECODED pixels — source pixel for
+    output (r, c) is ((r*h)//out_h, (c*w)//out_w) of the parsed image,
+    gray taken from the BLUE channel (the encoder's base level). The
+    resize consumes only decoded pixel values and parsed dimensions, so
+    a decoder that misreads stride/row-order/channels resizes the wrong
+    image and fails the oracle. One row per (doc_id, out_r, out_c)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rr, cc, px = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["bmp"]):
+                w, h, rows = bmp_decode(bytes(payload))
+                for r in range(out_h):
+                    for c in range(out_w):
+                        ids.append(doc_id)
+                        rr.append(r)
+                        cc.append(c)
+                        px.append(rows[(r * h) // out_h][(c * w) // out_w][0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_r": pd.Series(rr, dtype="int32"),
+                    "out_c": pd.Series(cc, dtype="int32"),
+                    "pixel": pd.Series(px, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        decode, "doc_id long, out_r int, out_c int, pixel int"
+    )

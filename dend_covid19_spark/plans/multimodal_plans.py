@@ -249,6 +249,42 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_decoded",
+    oracle="""
+SELECT doc_id,
+       CAST(r AS INT) AS out_r,
+       CAST(c AS INT) AS out_c,
+       CAST(ascii(substring(text,
+            CAST(1 + ((((r * 4) // 2) * 5 + ((c * 5) // 2))
+                 * octet_length(encode(text))) // 20 AS INT), 1)) AS INT)
+           AS pixel
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, 2)) AS r) rs
+CROSS JOIN (SELECT unnest(range(0, 2)) AS c) cs
+""",
+)
+def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over genuinely DECODED pixels — upgrading
+    multimodal_resize (which nearest-neighbor-samples raw bytes through
+    a stub 'decoder') to the real thing: encode a true 5x4 BMP per
+    document, parse it back (headers, stride, bottom-up rows, BGR), and
+    nearest-neighbor-resize the parsed pixel grid to 2x2 — source pixel
+    for output (r,c) is ((r*h)//2, (c*w)//2) of the DECODED image, gray
+    from the blue channel. The oracle restates only byte arithmetic
+    over documents.text; any decode defect resizes the wrong image and
+    misses the hash. Same corpus precondition as the other real-codec
+    rows (non-empty ASCII, asserted in the encoder).
+
+    Scale: two Arrow mapInPandas stages, partition-parallel, shuffle-
+    free; at 100 TB the encode stage is replaced by reading real image
+    bytes and the resize math is unchanged."""
+    from ..multimodal.bmp import decode_bmp_resize, encode_bmp_payload
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_bmp_resize(encode_bmp_payload(docs))
+
+
+@query(
     "multimodal_decode_wav",
     oracle="""
 SELECT doc_id,

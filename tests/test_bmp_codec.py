@@ -111,3 +111,25 @@ def test_spark_stages_roundtrip(spark):
             b[((r.row_idx * BMP_W + c) * len(b)) // n_px] + 1 for c in range(BMP_W)
         )
         assert r.row_g_sum == expect
+
+
+def test_resize_over_decoded_pixels(spark):
+    """decode_bmp_resize must source each output pixel from the DECODED
+    grid: verify against direct arithmetic on the text bytes."""
+    from dend_covid19_spark.multimodal.bmp import (
+        RESIZE_OUT_H,
+        RESIZE_OUT_W,
+        decode_bmp_resize,
+        encode_bmp_payload,
+    )
+
+    texts = {1: "hello world this is a doc", 2: "abcd"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = decode_bmp_resize(encode_bmp_payload(df)).collect()
+    assert len(out) == len(texts) * RESIZE_OUT_W * RESIZE_OUT_H
+    n_px = BMP_W * BMP_H
+    for r in out:
+        b = texts[r.doc_id].encode()
+        src_r = (r.out_r * BMP_H) // RESIZE_OUT_H
+        src_c = (r.out_c * BMP_W) // RESIZE_OUT_W
+        assert r.pixel == b[((src_r * BMP_W + src_c) * len(b)) // n_px]
