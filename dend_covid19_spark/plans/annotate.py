@@ -106,3 +106,57 @@ def model_inference_annotator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return annotate_topic(docs).select("doc_id", "topic_label", "topic_score")
+
+
+MODEL_GATE_MIN_SCORE = 3
+
+
+def _model_gate_oracle() -> str:
+    from ..functions.model import duck_model_cte
+
+    return f"""
+WITH {duck_model_cte()}
+SELECT topic_label,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN topic_score >= {MODEL_GATE_MIN_SCORE}
+                               THEN 1 END), 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN topic_score >= {MODEL_GATE_MIN_SCORE}
+                               THEN n_chars END), 0) AS BIGINT) AS kept_chars
+FROM mpred JOIN documents USING (doc_id)
+GROUP BY topic_label
+"""
+
+
+@query("model_quality_gate", oracle=_model_gate_oracle())
+def model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus gating — the modern counterpart of the
+    heuristic quality filter (corpus_quality_filter): the inference
+    stage's scores decide which documents survive into training, per
+    predicted topic (the fastText-classifier-gate shape every large
+    pretraining corpus runs). Composes model_inference_annotator's
+    forward pass into an aggregation pipeline: per topic, total docs,
+    docs clearing the score floor, and surviving chars.
+
+    Plan/scale: inference is the shuffle-free Arrow stage; the gate is
+    a codegen conditional aggregate over its output — one shuffle on
+    the 3-value topic key. At 100 TB the same plan holds; the join to
+    documents is by doc_id within the same scan (no second pass)."""
+    from ..functions.model import annotate_topic
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "n_chars"
+    )
+    gate = F.col("topic_score") >= MODEL_GATE_MIN_SCORE
+    return (
+        annotate_topic(docs)
+        .groupBy("topic_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.when(gate, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce(F.sum(F.when(gate, F.col("n_chars"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
