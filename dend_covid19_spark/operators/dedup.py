@@ -224,6 +224,94 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the simulated corpus-append delta: every 5th doc is "newly arrived"
+DELTA_MOD = 5
+
+_DELTA_ORACLE = f"""
+WITH {_duck_minhash_cte()}
+SELECT c.doc_a, c.doc_b,
+       CAST({_MINHASH_EST} AS DOUBLE) AS est_jaccard,
+       (c.doc_a % {DELTA_MOD} = 0 AND c.doc_b % {DELTA_MOD} = 0) AS both_new
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE {_MINHASH_EST} >= 0.25
+  AND (c.doc_a % {DELTA_MOD} = 0 OR c.doc_b % {DELTA_MOD} = 0)
+"""
+
+
+@query("dedup_incremental_delta", oracle=_DELTA_ORACLE)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup maintenance — the shape a 100 TB corpus
+    actually runs on append: when a delta batch of new documents
+    arrives, dedup does NOT re-run the full self-join; it bands only
+    the DELTA's signatures and probes them against the maintained band
+    index (old + new), yielding exactly the candidate pairs with at
+    least one new side. Cost: O(|delta| x bucket density) probe work
+    instead of O(|corpus|) re-banding + self-join per refresh — the
+    band table and signature table are write-once-maintained artifacts
+    (here the persisted signature table stands in for them). Matches
+    the full pipeline's semantics by construction: the output is
+    provably the has-new-side subset of dedup_minhash_lsh's pairs,
+    which is what the oracle states (full CTE + delta filter), so the
+    incremental path is hash-verified against the batch recompute —
+    the same merge(delta) == recompute identity the incremental-agg
+    row leans on.
+
+    Plan/scale: the delta band table is small — Spark broadcasts it
+    against the maintained index, so the big side never shuffles;
+    ``both_new`` distinguishes intra-delta dups from delta-vs-corpus
+    dups (the two cases a production merge treats differently:
+    drop-within-batch vs link-to-canonical)."""
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    new_bands = bands.where(F.col("doc_id") % DELTA_MOD == 0)
+    n, a = F.broadcast(new_bands).alias("n"), bands.alias("a")
+    cand = (
+        n.join(
+            a,
+            (F.col("n.band_id") == F.col("a.band_id"))
+            & (F.col("n.band_key") == F.col("a.band_key"))
+            & (F.col("n.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "a.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "a.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), "
+            "0, (acc, v) -> acc + v)"
+        )
+        / F.lit(float(H.K))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.25)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (
+                (F.col("doc_a") % DELTA_MOD == 0)
+                & (F.col("doc_b") % DELTA_MOD == 0)
+            ).alias("both_new"),
+        )
+    )
+
+
 _NGRAM_ORACLE = f"""
 WITH {_duck_minhash_cte()}
 SELECT c.doc_a, c.doc_b,

@@ -103,3 +103,30 @@ def test_prefix_filter_candidates_pruned(spark):
     )
     ratio = cand / (n * (n - 1) / 2)
     assert ratio < 0.05, f"prefix filtering degenerated: candidate ratio {ratio:.4f}"
+
+
+def test_incremental_delta_is_has_new_subset_of_full_lsh(spark):
+    """The incremental path must equal the batch recompute restricted to
+    pairs with at least one delta-side doc — the merge(delta) ==
+    recompute identity — and its delta band probe must broadcast."""
+    from dend_covid19_spark.operators.dedup import (
+        DELTA_MOD,
+        dedup_incremental_delta,
+        dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_DIR
+
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    expect = {
+        p: e
+        for p, e in full.items()
+        if p[0] % DELTA_MOD == 0 or p[1] % DELTA_MOD == 0
+    }
+    delta = dedup_incremental_delta(spark, SF_DIR)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in delta.collect()}
+    assert got == expect
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the delta probe side broadcasts
