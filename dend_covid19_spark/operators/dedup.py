@@ -262,7 +262,12 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the maintained index, so the big side never shuffles;
     ``both_new`` distinguishes intra-delta dups from delta-vs-corpus
     dups (the two cases a production merge treats differently:
-    drop-within-batch vs link-to-canonical)."""
+    drop-within-batch vs link-to-canonical). Complements
+    dedup_incremental_batch: that row restricts to batch x corpus pairs
+    (and documents intra-batch as a separate pass); this one covers the
+    FULL has-new-side set in one probe and is pinned as exactly the
+    batch recompute's subset
+    (tests/test_components.py::test_incremental_delta_is_has_new_subset_of_full_lsh)."""
     sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
     bands = sigs.select(
         "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
