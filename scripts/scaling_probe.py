@@ -347,6 +347,32 @@ def lsh_shape(spark, k: int):
     )
 
 
+def model_inference_shape(spark, k: int):
+    """model_inference_annotator's plan over k x documents: codegen
+    token-count featurization -> one Arrow batch boundary -> numpy
+    matmul forward pass -> 3-key gate aggregate. Linear iff the Arrow
+    stage's per-batch cost stays row-proportional (no shuffle anywhere
+    before the tiny topic-key exchange) — the vectorized-inference
+    bound behind every model-gated corpus pass at 100 TB."""
+    from dend_covid19_spark.functions.model import annotate_topic
+
+    docs = replicate(
+        load_table(spark, "documents", SF_DIR).select("doc_id", "text", "n_chars"),
+        k,
+        ("doc_id",),
+    )
+    return (
+        annotate_topic(docs)
+        .groupBy("topic_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("topic_score") >= 3, F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
 def _copurchase_edges(spark, k: int):
     """Replicated symmetric co-purchase edge list (disjoint components
     per replica — both keys offset), shared by the iterative-graph
@@ -415,6 +441,7 @@ def main() -> None:
         ("lsh_shape", lsh_shape),
         ("kcore_shuffle_shape", kcore_shuffle_shape),
         ("lpa_shape", lpa_shape),
+        ("model_inference_shape", model_inference_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
