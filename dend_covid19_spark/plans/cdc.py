@@ -315,6 +315,92 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SCD2 incremental delta-apply -------------------------------------------
+
+_SCD2_APPLY_CUTOFF = "2024-01-21"
+
+_SCD2_APPLY_ORACLE = """
+WITH daily_last AS (
+    SELECT user_id, day, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(value, 2) AS value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT user_id, value,
+       day AS valid_from,
+       lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+       (lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL)
+           AS is_current
+FROM daily_last
+"""
+
+
+@query("scd2_apply_delta", oracle=_SCD2_APPLY_ORACLE)
+def scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MAINTENANCE, not rebuild: apply a CDC delta batch (all
+    events from the cutoff day on) to an existing SCD2 history (built
+    from events before it) — the daily MERGE a production dimension
+    runs. The incremental contract: users ABSENT from the delta pass
+    through via an anti join with their version rows untouched (no
+    window recompute over the standing history — the scale win); only
+    AFFECTED users' versions re-derive their valid_to/is_current chain
+    over old ∪ new versions. Day-keyed versions with a midnight cutoff
+    make old and new valid_from sets disjoint by construction.
+
+    The oracle is the FULL rebuild over all events, so the
+    apply(delta, history) == rebuild(all) identity — the invariant that
+    lets a 100 TB dimension be maintained incrementally forever without
+    drifting from the recompute — is itself under the value hash, same
+    discipline as incremental_agg_maintenance and
+    dedup_incremental_delta.
+
+    Plan/scale: delta compaction is one shuffle of the (small) batch;
+    affected-user selection broadcasts; the re-chain window runs over
+    |affected users' versions| rows only; the untouched majority
+    streams through one anti join."""
+    cutoff = F.lit(_SCD2_APPLY_CUTOFF).cast("date")
+    ev = load_table(spark, "events", sf_dir)
+    pick = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily_last = (
+        ev.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.to_date("ts").alias("valid_from"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+    chain = Window.partitionBy("user_id").orderBy("valid_from")
+
+    def to_history(vers: DataFrame) -> DataFrame:
+        return vers.withColumn("valid_to", F.lead("valid_from").over(chain)).select(
+            "user_id",
+            "value",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+
+    # the standing dimension (what a real pipeline reads from storage)
+    history = to_history(daily_last.where(F.col("valid_from") < cutoff))
+    # the delta batch's new version rows
+    delta_vers = daily_last.where(F.col("valid_from") >= cutoff)
+    affected = delta_vers.select("user_id").distinct()
+    untouched = history.join(F.broadcast(affected), "user_id", "left_anti")
+    rechained = to_history(
+        history.join(F.broadcast(affected), "user_id", "left_semi")
+        .select("user_id", "valid_from", "value")
+        .unionByName(delta_vers.select("user_id", "valid_from", "value"))
+    )
+    return untouched.unionByName(rechained)
+
+
 # --- snapshot time travel (AS OF VERSION) -----------------------------------
 # Scratch store the time-travel query materializes once per (source
 # data version, pid) — same write-once scoping discipline as

@@ -242,3 +242,34 @@ def test_upsert_sink_cross_batch_order_key_ties(spark, tmp_path):
     }
     assert drain("fwd", rows_a, rows_b) == expect
     assert drain("rev", rows_b, rows_a) == expect
+
+
+def test_scd2_apply_delta_semantics(spark):
+    """The incremental SCD2 apply on the corpus: the affected users'
+    previously-open versions must be CLOSED by their first delta day,
+    untouched users keep is_current rows, and per user exactly one
+    version is current."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.cdc import (
+        _SCD2_APPLY_CUTOFF,
+        scd2_apply_delta,
+    )
+    from tests.conftest import SF_DIR
+
+    out = scd2_apply_delta(spark, SF_DIR)
+    cur = out.where("is_current").groupBy("user_id").count()
+    assert cur.where("count != 1").count() == 0  # one open version per user
+    # every affected user's pre-cutoff open version is closed by a
+    # delta-day valid_to (no open interval may precede a later version)
+    bad = out.where(
+        (F.col("valid_from") < F.lit(_SCD2_APPLY_CUTOFF))
+        & F.col("is_current")
+    ).join(
+        out.where(F.col("valid_from") >= F.lit(_SCD2_APPLY_CUTOFF))
+        .select("user_id")
+        .distinct(),
+        "user_id",
+        "left_semi",
+    )
+    assert bad.count() == 0
