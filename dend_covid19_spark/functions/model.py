@@ -81,6 +81,74 @@ def model_predict():
     return _predict
 
 
+# per-worker-process weight cache for file-backed inference: loaded at
+# most once per (path, mtime) per Python worker, NOT per task — the
+# discipline that matters when weights are GBs, not a 3x8 matrix
+_WORKER_WEIGHTS: dict = {}
+
+
+def save_weights(path: str) -> str:
+    """Publish the model artifact (weights + bias + classes) to a file
+    executors can load — the stand-in for 'weights on the lake /
+    executor-local disk'. Returns the path."""
+    import json as _json
+
+    with open(path, "w") as fh:
+        _json.dump(
+            {
+                "weights": MODEL_WEIGHTS,
+                "bias": MODEL_BIAS,
+                "classes": MODEL_CLASSES,
+            },
+            fh,
+        )
+    return path
+
+
+def model_predict_from_file(weights_path: str):
+    """The BIG-model variant of ``model_predict``: the UDF closure
+    carries only the artifact PATH; each Python worker process loads
+    the weights lazily on first batch and caches them keyed by
+    (path, mtime) — one load per worker lifetime, not one pickle per
+    task. This is how real checkpoint-sized weights reach executors
+    (broadcast variables re-ship per job; executor-local/lake files +
+    a worker cache don't). Same forward pass, bit-identical output to
+    the closure path (pytest-pinned)."""
+
+    @F.pandas_udf("label string, score bigint")
+    def _predict(feats: pd.Series) -> pd.DataFrame:
+        import json as _json
+        import os as _os
+
+        import numpy as _np
+        import pandas as _pd
+
+        key = (weights_path, _os.path.getmtime(weights_path))
+        model = _WORKER_WEIGHTS.get(key)
+        if model is None:
+            with open(weights_path) as fh:
+                obj = _json.load(fh)
+            model = (
+                _np.asarray(obj["weights"], dtype=_np.int64),
+                _np.asarray(obj["bias"], dtype=_np.int64),
+                list(obj["classes"]),
+            )
+            _WORKER_WEIGHTS.clear()  # one live artifact per worker
+            _WORKER_WEIGHTS[key] = model
+        w, b, classes = model
+        x = _np.vstack(feats.to_numpy()).astype(_np.int64)
+        scores = x @ w.T + b
+        best = scores.argmax(axis=1)
+        return _pd.DataFrame(
+            {
+                "label": [classes[i] for i in best],
+                "score": scores[_np.arange(len(best)), best],
+            }
+        )
+
+    return _predict
+
+
 def annotate_topic(df: DataFrame, text_col: str = "text") -> DataFrame:
     """df -> df with (topic_label, topic_score): featurize JVM-side,
     infer batch-wise in Python — the Spark NLP annotate() contract

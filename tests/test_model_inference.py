@@ -62,3 +62,32 @@ def test_featurization_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, "spark")], "doc_id long, text string")
     plan = extract_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_file_backed_weights_match_closure_path(spark, tmp_path):
+    """The executor-local-artifact variant must produce bit-identical
+    predictions to the closure-pickled path — same forward pass, only
+    the weight distribution mechanism differs."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.functions.model import (
+        model_predict,
+        model_predict_from_file,
+        save_weights,
+    )
+
+    path = save_weights(str(tmp_path / "model.json"))
+    df = spark.createDataFrame(
+        [
+            (1, "spark merge spark fast value"),
+            (2, "customer order order value the"),
+            (3, "slow error error scan"),
+        ],
+        "doc_id long, text string",
+    )
+    feat = extract_features(df)
+    a = feat.withColumn("p", model_predict()(F.col("features")))
+    b = feat.withColumn("p", model_predict_from_file(path)(F.col("features")))
+    rows_a = {(r.doc_id, r.p.label, r.p.score) for r in a.collect()}
+    rows_b = {(r.doc_id, r.p.label, r.p.score) for r in b.collect()}
+    assert rows_a == rows_b
