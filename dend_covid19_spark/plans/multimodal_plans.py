@@ -285,6 +285,44 @@ def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample_decoded",
+    oracle="""
+SELECT doc_id,
+       CAST(f AS INT) AS frame_no,
+       CAST(5 AS INT) AS w,
+       CAST(4 AS INT) AS h,
+       CAST(sum(ascii(substring(text,
+            CAST(1 + ((f * 20 + p) * octet_length(encode(text))) // 80 AS INT),
+            1))) AS BIGINT) AS y_sum
+FROM documents
+CROSS JOIN (SELECT unnest([0, 2]) AS f) fs
+CROSS JOIN (SELECT unnest(range(0, 20)) AS p) ps
+GROUP BY doc_id, f
+""",
+)
+def multimodal_frame_sample_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO frame sampling over genuinely DECODED frames — the third
+    media class off the byte-stub (multimodal_frame_sample's honest
+    upgrade): each document becomes a real YUV4MPEG2 (.y4m) stream —
+    ASCII stream header, per-frame FRAME markers, planar C444 YUV, a
+    format ffmpeg plays — and the decode stage parses the header
+    (geometry comes from the parsed W/H tokens, not assumptions), walks
+    the frame markers, slices the Y plane by parsed size, and emits
+    every 2nd frame's Y sum. U/V derive from Y, so reading the wrong
+    plane fails the oracle, which restates only byte arithmetic over
+    documents.text. See multimodal/y4m.py; corpus precondition
+    (non-empty ASCII) asserted in the encoder like the BMP/WAV rows.
+
+    Scale: two Arrow mapInPandas stages, partition-parallel,
+    shuffle-free; at 100 TB the encode stage is replaced by reading
+    real video bytes and the frame walk is unchanged."""
+    from ..multimodal.y4m import decode_y4m_frames, encode_y4m_payload
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_y4m_frames(encode_y4m_payload(docs))
+
+
+@query(
     "multimodal_decode_wav",
     oracle="""
 SELECT doc_id,
