@@ -361,7 +361,12 @@ def scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: delta compaction is one shuffle of the (small) batch;
     affected-user selection broadcasts; the re-chain window runs over
     |affected users' versions| rows only; the untouched majority
-    streams through one anti join."""
+    streams through one anti join. NOTE on the demo plan: because this
+    query must be self-contained, the standing history is itself BUILT
+    from events in-plan (each branch re-derives the daily-last window —
+    7 window nodes total); in production the history side is a parquet
+    scan and the apply adds exactly ONE window (the affected-user
+    re-chain) — the shape the incremental claim refers to."""
     cutoff = F.lit(_SCD2_APPLY_CUTOFF).cast("date")
     ev = load_table(spark, "events", sf_dir)
     pick = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
