@@ -11,10 +11,14 @@ schema handling, batch iteration, partition-preserving mapInPandas, and
 deterministic fallback features. Swap ``_decode_stub`` for a real decoder
 (PIL/librosa/ffmpeg) without touching the plan.
 
-The stub is RETIRED for one payload class: 24-bit BMP images are
-genuinely encoded and decoded byte-for-byte (header parse, stride,
-bottom-up rows, channel order) in ``multimodal/bmp.py`` — see the
-``multimodal_decode_bmp`` query.
+The stub is RETIRED for all three media classes: 24-bit BMP images
+(``multimodal/bmp.py``), RIFF/WAVE audio (``multimodal/wav.py``), and
+YUV4MPEG2 video (``multimodal/y4m.py``) are genuinely encoded and
+decoded byte-for-byte — see the ``multimodal_decode_bmp`` /
+``multimodal_decode_wav`` / ``multimodal_frame_sample_decoded`` /
+``multimodal_resize_decoded`` queries. What remains here is the
+metadata/dispatch/feature plumbing whose features are byte-level by
+design (no decode claimed).
 """
 
 from __future__ import annotations
@@ -29,9 +33,7 @@ META_SCHEMA = (
     "doc_id long, byte_len long, first_byte int, content_md5 string"
 )
 
-RESIZE_W = 8  # target "pixel" width of the resize stage
-FRAME_BYTES = 32  # bytes per synthetic "frame"
-FRAME_STRIDE = 4  # keep every 4th frame
+FRAME_BYTES = 32  # bytes per synthetic "frame" (modality dispatch)
 HIST_BINS = 16  # byte-histogram bins (byte >> 4)
 
 
@@ -90,58 +92,6 @@ def extract_binary_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(extract, META_SCHEMA)
-
-
-def resize_payload(df: DataFrame, width: int = RESIZE_W) -> DataFrame:
-    """'Resize' stage: nearest-neighbor downsample of the payload bytes to
-    a fixed ``width`` — the dimensional shape of an image resize (variable
-    input -> fixed output vector), with the pixel decode stubbed as raw
-    bytes. Swap the sampling line for PIL ``Image.resize`` when a real
-    decoder is available; the plan (Arrow batches in, fixed-width
-    array<int> out, no shuffle) is unchanged.
-    """
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for b in pdf["payload"]:
-                n = len(b)
-                out.append([b[(i * n) // width] for i in range(width)])
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixels": out})
-
-    return df.select("doc_id", "payload").mapInPandas(
-        resize, "doc_id long, pixels array<int>"
-    )
-
-
-def sample_frames(
-    df: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
-) -> DataFrame:
-    """Frame-sampling stage (video shape): split the payload into fixed
-    ``frame_bytes`` frames, keep every ``stride``-th, emit one row per
-    sampled frame with its digest. 1->N row fan-out inside mapInPandas —
-    the pattern a real video sampler (ffmpeg keyframe extraction) plugs
-    into. Payloads shorter than one frame emit no rows.
-    """
-    import hashlib
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, frame_nos, digests = [], [], []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                for f in range(0, len(b) // frame_bytes, stride):
-                    ids.append(doc_id)
-                    frame_nos.append(f)
-                    digests.append(
-                        hashlib.md5(b[f * frame_bytes : (f + 1) * frame_bytes]).hexdigest()
-                    )
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_no": frame_nos, "frame_md5": digests}
-            )
-
-    return df.select("doc_id", "payload").mapInPandas(
-        sample, "doc_id long, frame_no int, frame_md5 string"
-    )
 
 
 def dispatch_modalities(df: DataFrame) -> DataFrame:

@@ -90,8 +90,6 @@ PRIORITY = [
     "training_mixture_sample",
     # multimodal plumbing
     "multimodal_binary_meta",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     "multimodal_byte_histogram",
     # clustering / scale ops (components & kmeans both carry full
     # value-hash oracles since round 2: recursive-CTE closure / unrolled

@@ -11,15 +11,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..multimodal.binary_ops import (
     FRAME_BYTES,
-    FRAME_STRIDE,
     HIST_BINS,
-    RESIZE_W,
     attach_binary_payload,
     dispatch_modalities,
     extract_binary_meta,
     extract_byte_histogram,
-    resize_payload,
-    sample_frames,
 )
 from .registry import query
 
@@ -45,49 +41,6 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf_dir)
     return extract_binary_meta(attach_binary_payload(docs))
-
-
-@query(
-    "multimodal_resize",
-    oracle=f"""
-SELECT doc_id,
-       CAST(i AS INT) AS px_idx,
-       CAST(ascii(substring(text,
-            CAST(1 + (i * octet_length(encode(text))) // {RESIZE_W} AS INT), 1)) AS INT) AS pixel
-FROM documents CROSS JOIN (SELECT unnest(range(0, {RESIZE_W})) AS i) p
-""",
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-neighbor 'resize' of the payload to a fixed 8-wide vector
-    via mapInPandas (image-resize plumbing with the decoder stubbed as raw
-    bytes). ASCII corpus makes byte i == ascii(char i), so the whole
-    Arrow round-trip is value-checked in SQL. Surfaced one row per
-    (doc_id, px_idx) — registry rule: no array output columns."""
-    docs = load_table(spark, "documents", sf_dir)
-    return resize_payload(attach_binary_payload(docs)).select(
-        "doc_id", F.posexplode("pixels").alias("px_idx", "pixel")
-    )
-
-
-@query(
-    "multimodal_frame_sample",
-    oracle=f"""
-SELECT doc_id,
-       CAST(f AS INT) AS frame_no,
-       md5(substring(text, CAST(f * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
-FROM (
-    SELECT doc_id, text,
-           unnest(range(0, octet_length(encode(text)) // {FRAME_BYTES}, {FRAME_STRIDE})) AS f
-    FROM documents
-)
-""",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-shaped frame sampling: payload -> fixed 32-byte frames ->
-    every 4th frame's digest, one output row per sampled frame (1->N
-    fan-out inside mapInPandas). The md5-per-frame is SQL-checkable."""
-    docs = load_table(spark, "documents", sf_dir)
-    return sample_frames(attach_binary_payload(docs))
 
 
 @query(
@@ -171,7 +124,7 @@ HAVING count(*) >= 2
 )
 def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash dedup over binary payloads — the dedup stage the
-    multimodal family was missing: decode (stubbed) -> byte-profile
+    multimodal family was missing: payload bytes -> byte-profile
     feature -> average-hash SIGNATURE (bit b set iff profile bin b
     beats the mean bin mass — the aHash construction, numpy-computed
     per Arrow batch in extract_phash) -> EXACT-SIGNATURE clustering
@@ -264,9 +217,8 @@ CROSS JOIN (SELECT unnest(range(0, 2)) AS c) cs
 """,
 )
 def multimodal_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image RESIZE over genuinely DECODED pixels — upgrading
-    multimodal_resize (which nearest-neighbor-samples raw bytes through
-    a stub 'decoder') to the real thing: encode a true 5x4 BMP per
+    """Image RESIZE over genuinely DECODED pixels (r10 retired the
+    byte-stub resize row in favor of this): encode a true 5x4 BMP per
     document, parse it back (headers, stride, bottom-up rows, BGR), and
     nearest-neighbor-resize the parsed pixel grid to 2x2 — source pixel
     for output (r,c) is ((r*h)//2, (c*w)//2) of the DECODED image, gray
@@ -302,8 +254,8 @@ GROUP BY doc_id, f
 )
 def multimodal_frame_sample_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO frame sampling over genuinely DECODED frames — the third
-    media class off the byte-stub (multimodal_frame_sample's honest
-    upgrade): each document becomes a real YUV4MPEG2 (.y4m) stream —
+    media class with a real codec (the byte-stub frame-sample row is
+    retired): each document becomes a real YUV4MPEG2 (.y4m) stream —
     ASCII stream header, per-frame FRAME markers, planar C444 YUV, a
     format ffmpeg plays — and the decode stage parses the header
     (geometry comes from the parsed W/H tokens, not assumptions), walks
