@@ -177,6 +177,17 @@ def merge_upsert_conditional(
     steady state, so the join broadcasts it and the snapshot streams
     map-side — per-batch cost O(|snapshot|) scan, not a window over the
     union."""
+    if set(current.columns) != set(updates.columns):
+        # Schema drift must fail loudly: the total order is derived from
+        # current.columns, so a payload column present only in updates
+        # would silently drop out of the tiebreak and quietly
+        # reintroduce order-dependence for rows tying on every current
+        # column (ADVICE r10).
+        raise ValueError(
+            "merge_upsert_conditional requires identical column sets; "
+            f"only in current: {sorted(set(current.columns) - set(updates.columns))}, "
+            f"only in updates: {sorted(set(updates.columns) - set(current.columns))}"
+        )
     total = _merge_total_order(current.columns, key, order_cols)
     w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in total])
     latest = (

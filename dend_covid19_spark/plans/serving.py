@@ -251,6 +251,14 @@ def jdbc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = derby_url(os.path.join(scratch_dir(f"derby_{os.getpid()}"), "db"))
     write_jdbc_staged(spark, agg, url, "daily_events")
     bounds = agg.agg(F.min("cnt"), F.max("cnt")).first()
+    if bounds[0] is None:
+        # empty events table: min/max are null and the partitioned-read
+        # bound arithmetic below would raise a bare TypeError (ADVICE
+        # r10) — fail with the actual cause instead
+        raise ValueError(
+            f"jdbc_sink_roundtrip: events table at {sf_dir} produced an "
+            "empty aggregate; no partition bounds to read back with"
+        )
     return read_jdbc(
         spark,
         url,

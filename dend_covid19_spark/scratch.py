@@ -103,7 +103,17 @@ def _owner_pids(path: str) -> list[int] | None:
     trailing-pid name inference, else None (ownerless — age-gated)."""
     marker = os.path.join(path, _PID_MARKER)
     try:
+        # Shared flock pairs with the writer's exclusive flock in
+        # scratch_dir: without it a reader could observe the marker
+        # mid-rewrite (truncated, owner list empty) and fall through to
+        # the age gate while a live owner exists (ADVICE r10).
         with open(marker) as fh:
+            try:
+                import fcntl
+
+                fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
+            except OSError:
+                pass  # unlockable fs: keep the age-gate fallback
             pids = [int(line) for line in fh.read().split() if line.strip()]
         if pids:
             return pids

@@ -160,11 +160,13 @@ def http_get_json(
                 raise  # permanent: retrying burns quota for nothing
             last = exc
             retry_after = exc.headers.get("Retry-After")
-            wait = (
-                float(retry_after)
-                if retry_after
-                else backoff_s * (2**attempt)
-            )
+            # RFC 7231 allows Retry-After to be an HTTP-date, not just
+            # delta-seconds; fall back to exponential backoff rather
+            # than crashing the retry handler on a non-numeric value.
+            try:
+                wait = float(retry_after)
+            except (TypeError, ValueError):
+                wait = backoff_s * (2**attempt)
         except urllib.error.URLError as exc:
             last = exc
             wait = backoff_s * (2**attempt)

@@ -73,13 +73,23 @@ def write_jdbc_staged(
     max_connections: int = 4,
 ) -> None:
     """Two-phase warehouse load: write to ``<table>_stage``, then
-    promote with warehouse-side RENAME inside the same database — the
-    atomic-publish discipline a per-partition-transactional JDBC write
-    needs (a mid-job failure leaves only the staging table dirty;
-    readers of ``table`` never observe a half-load). On Derby the
-    promote is ``RENAME TABLE``; on Redshift/Postgres it would be a
-    transactional ``ALTER TABLE RENAME`` / ``BEGIN; DROP; ALTER;
-    COMMIT``."""
+    promote with a warehouse-side DROP+RENAME executed in ONE
+    transaction — the atomic-publish discipline a per-partition-
+    transactional JDBC write needs. A crash anywhere leaves either the
+    old published table (stage dirty, next run overwrites it) or the
+    new one; because Derby DDL is transactional and autocommit is off
+    for the promote, there is NO window where ``table`` is absent —
+    a crash between DROP and RENAME rolls the DROP back. Concurrent
+    readers serialize against the promote via Derby's table locks.
+    On Redshift/Postgres the same promote is ``BEGIN; DROP; ALTER
+    RENAME; COMMIT``. Re-running after a crash at ANY point converges:
+    the stage overwrite is idempotent and the promote is all-or-
+    nothing.
+
+    Only Derby's 'table/view does not exist' (SQLState 42X05 — the
+    first-load case) is swallowed on DROP; lock timeouts, permission
+    errors, and anything else propagate instead of surfacing later as
+    a confusing RENAME failure (ADVICE r10)."""
     stage = f"{table}_stage"
     write_jdbc(
         df, url, stage, mode="overwrite",
@@ -89,17 +99,43 @@ def write_jdbc_staged(
     jvm.java.lang.Class.forName(DERBY_DRIVER)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        conn.setAutoCommit(False)  # DROP+RENAME publish atomically
         stmt = conn.createStatement()
         try:
             try:
                 stmt.executeUpdate(f"DROP TABLE {table}")
-            except Exception:
-                pass  # first load: nothing to drop
+            except Exception as exc:
+                state = _sql_state(exc)
+                if state not in ("42X05", "42Y55"):
+                    conn.rollback()
+                    raise
+                # first load: nothing to drop (Derby statement-level
+                # rollback keeps the transaction usable)
             stmt.executeUpdate(f"RENAME TABLE {stage} TO {table}")
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
         finally:
             stmt.close()
     finally:
         conn.close()
+
+
+def _sql_state(exc: Exception) -> str | None:
+    """SQLState of a py4j-wrapped java.sql.SQLException (walking the
+    cause chain — py4j wraps the SQLException in a Py4JJavaError)."""
+    j = getattr(exc, "java_exception", None)
+    while j is not None:
+        try:
+            if hasattr(j, "getSQLState"):
+                state = j.getSQLState()
+                if state:
+                    return str(state)
+        except Exception:
+            return None
+        j = j.getCause() if hasattr(j, "getCause") else None
+    return None
 
 
 def read_jdbc(

@@ -273,3 +273,21 @@ def test_scd2_apply_delta_semantics(spark):
         "left_semi",
     )
     assert bad.count() == 0
+
+
+def test_conditional_merge_rejects_schema_drift(spark):
+    """Schema drift must raise, not silently weaken the tiebreak: a
+    payload column present only in `updates` would drop out of the
+    total order derived from current.columns (ADVICE r10)."""
+    import pytest
+
+    from dend_covid19_spark.plans.cdc import merge_upsert_conditional
+
+    cur = spark.createDataFrame([(1, 10, "a")], "id long, ts long, v string")
+    upd = spark.createDataFrame(
+        [(1, 10, "b", "extra")], "id long, ts long, v string, w string"
+    )
+    with pytest.raises(ValueError, match="identical column sets"):
+        merge_upsert_conditional(cur, upd, "id", ["ts"])
+    with pytest.raises(ValueError, match="only in current"):
+        merge_upsert_conditional(upd, cur, "id", ["ts"])
