@@ -39,28 +39,53 @@ from ..plans.registry import query
 
 MAX_ROUNDS = 10  # backstop; near-dup graphs converge in 2-4
 
+# Size gate for broadcasting the node-cardinality label table onto the
+# stationary edge partitions — the same Pregel-style optimization (and
+# the same threshold discipline) as plans/graph.PR_BROADCAST_MAX_NODES:
+# below the gate each round is broadcast-hash joins with ZERO edge
+# exchange; above it the co-partitioned shuffle form runs instead, with
+# edges hash-partitioned once and stationary thereafter.
+CC_BROADCAST_MAX_NODES = 50_000_000
+CC_SHUFFLE_PARTS = 32  # edge/label co-partitioning width, big branch
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(src, dst) undirected edges -> (node, component) with component =
-    min node id reachable. Iterates to exact fixpoint."""
+    min node id reachable. Iterates to exact fixpoint.
+
+    Per-round plan is size-gated on node count (one cheap job against
+    the already-materialized label init): small graphs broadcast the
+    label table and the per-round neighbor-min onto the stationary
+    checkpointed edges — no exchange at all inside a round, which is
+    also what keeps the round cost driver-overhead-bound at demo scale;
+    big graphs fall back to edges hash-partitioned on the probe key
+    once, labels shuffling each round (the only side that must move)."""
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
-    sym = sym.distinct().localCheckpoint()
+    sym = sym.distinct()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    small = labels.count() <= CC_BROADCAST_MAX_NODES
+    sym = (
+        sym.localCheckpoint()  # built once; never moves again
+        if small
+        else sym.repartition(CC_SHUFFLE_PARTS, "b").localCheckpoint()
+    )
     for _ in range(MAX_ROUNDS):
+        rhs = F.broadcast(labels) if small else labels
         neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(rhs, sym.b == rhs.node)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        nm = F.broadcast(neighbor_min) if small else neighbor_min
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            labels.join(nm, labels.node == nm.a, "left")
             .select(
                 "node",
                 F.least(

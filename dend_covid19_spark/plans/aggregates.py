@@ -1171,7 +1171,13 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", F.expr(h).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint()  # two consumers (point-query spine + final
+        # join) — materialize once instead of re-scanning events and
+        # re-aggregating per branch
+    )
     est = (
         ex.select("user_id")
         .crossJoin(F.broadcast(dd))
