@@ -118,7 +118,9 @@ def _duck_update(a: str, out_c: str, out_cl: str) -> str:
 {out_cl} AS (SELECT list(struct_pack(cid := cid, cvec := cvec) ORDER BY cid) AS cents FROM {out_c})"""
 
 
-def _duck_kmeans_oracle() -> str:
+def _duck_kmeans_ctes() -> str:
+    """The unrolled Lloyd trajectory as a reusable CTE chain; the final
+    assignment (vec_id, v, cluster, dist2) is ``a{ITERS+1}``."""
     parts = [
         """emb AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -133,8 +135,12 @@ def _duck_kmeans_oracle() -> str:
         parts.append(_duck_assign(f"cl{i}", f"a{i + 1}"))
         parts.append(_duck_update(f"a{i + 1}", f"c{i + 1}", f"cl{i + 1}"))
     parts.append(_duck_assign(f"cl{ITERS}", f"a{ITERS + 1}"))
+    return ",\n".join(parts)
+
+
+def _duck_kmeans_oracle() -> str:
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster, dist2 FROM a{ITERS + 1}"
+        "WITH " + _duck_kmeans_ctes() + f"\nSELECT vec_id, cluster, dist2 FROM a{ITERS + 1}"
     )
 
 
@@ -155,3 +161,116 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(ITERS):
         cents = _update(_assign(emb, cents))
     return _assign(emb, cents).select("vec_id", "cluster", "dist2")
+
+
+# --- SemDeDup: semantic dedup via cluster-then-prune ------------------------
+# Abbas et al. 2023 (SemDeDup): k-means the embedding space, then look
+# for near-identical vectors ONLY within a cluster — the pair space
+# shrinks from O(n^2) to sum over clusters of |c|^2, and k scales with
+# the corpus to bound |c|. The keep rule is deterministic: within a
+# cluster, a vector is pruned iff a LOWER-id vector lies within the
+# cosine threshold (keep-first, the same canonical-pick convention as
+# the text dedup family). The threshold sits at the far tail of the
+# within-cluster cosine distribution of this corpus (p999 ~ 0.39, max
+# ~ 0.60 at sf0.1; 0.45 prunes ~2% of vectors) so both verdicts are non-trivially populated; real
+# deployments use ~0.95+ against genuinely duplicated web text.
+SEMDEDUP_COS_T = "0.45"
+
+# dot / (|x| * |y|) with the norms computed ONCE per vector (attached
+# in `fin`), not per pair — same IEEE value and order as the inline
+# form, ~3x less lambda work across the |c|^2 pair space
+_PAIR_COS_SPARK = (
+    "round(aggregate(zip_with(x_v, y_v, (a, b) -> a * b), 0D,"
+    " (acc, p) -> acc + p) / (x_n * y_n), 6)"
+)
+
+_SEMDEDUP_ORACLE = (
+    "WITH "
+    + _duck_kmeans_ctes()
+    + f""",
+fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1}),
+pruned AS (
+    SELECT DISTINCT x.vec_id
+    FROM fin x JOIN fin y
+      ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+    WHERE round(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 6)
+          >= {SEMDEDUP_COS_T}
+)
+SELECT f.vec_id, CAST(f.cluster AS INT) AS cluster,
+       (p.vec_id IS NOT NULL) AS is_pruned
+FROM fin f LEFT JOIN pruned p ON p.vec_id = f.vec_id
+"""
+)
+
+
+@query("semdedup_cluster_prune", oracle=_SEMDEDUP_ORACLE)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: run the pinned Lloyd trajectory
+    to cluster the embedding space, then prune near-identical vectors
+    WITHIN clusters only — per cluster, drop any vector whose cosine to
+    a lower-id cluster-mate reaches SEMDEDUP_COS_T (keep-first). Emits
+    every vector with its cluster and prune verdict, so the hash pins
+    both the clustering trajectory and the prune decision.
+
+    This is the embedding-space analog of corpus_dedup_canonical's
+    find->verify->decide: k-means plays the LSH-band role (blocking),
+    within-cluster cosine the exact-verify role. Unlike
+    dedup_embedding_blocked (sign-bucket blocking, recall bounded by
+    bucket collisions of near-dups), cluster blocking follows the
+    learned density of the space — the reason SemDeDup scales to
+    web-corpus dedup.
+
+    Plan/scale: clustering cost is the kmeans row's (broadcast codebook,
+    no shuffle per assignment); the prune self-join shuffles on the
+    cluster key and is sum(|c|^2) bounded — k grows with the corpus to
+    cap |c| (the paper uses k ~ sqrt(n)); the verdict join is a
+    broadcast of the (small) pruned set. Cosine rounds to 6 dp through
+    one expression per engine, so the threshold compare is stable."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.persist()
+    seeds = emb.where(F.col("vec_id").isin(SEED_VEC_IDS)).collect()
+    cents = sorted(
+        (SEED_VEC_IDS.index(r.vec_id) + 1, [round(x, 6) for x in r.v]) for r in seeds
+    )
+    for _ in range(ITERS):
+        cents = _update(_assign(emb, cents))
+    fin = (
+        _assign(emb, cents)
+        .select(
+            "vec_id",
+            "v",
+            "cluster",
+            F.expr("sqrt(aggregate(v, 0D, (acc, a) -> acc + a * a))").alias("nrm"),
+        )
+        .localCheckpoint()
+    )
+    x = fin.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("x_v"),
+        F.col("nrm").alias("x_n"),
+        "cluster",
+    )
+    y = fin.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("y_v"),
+        F.col("nrm").alias("y_n"),
+        "cluster",
+    )
+    pruned = (
+        x.join(y, "cluster")
+        .where(F.col("y_id") < F.col("x_id"))
+        .where(F.expr(_PAIR_COS_SPARK) >= F.expr(SEMDEDUP_COS_T))
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        fin.join(F.broadcast(pruned), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce("_hit", F.lit(False)).alias("is_pruned"),
+        )
+    )

@@ -1475,3 +1475,97 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("syms_after"),
     )
+
+
+# --- statistical-LM fluency scoring (CCNet-shape quality filter) ------------
+# A corpus-trained bigram language model scoring each document's own
+# bigram stream — the model-based quality filter (CCNet/Gopher run a
+# small LM and keep low-perplexity docs; the statistics here are the
+# same, with the per-bigram conditional probability kept in exact
+# integer ppm so the score is engine-stable instead of a float logprob).
+LM_SCALE_PPM = 1_000_000
+
+
+@query(
+    "bigram_lm_doc_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uc AS (
+    SELECT token, count(*) AS c FROM (SELECT unnest(toks) AS token FROM tok)
+    GROUP BY token
+),
+occ AS (
+    SELECT doc_id, b['tok_a'] AS tok_a, b['tok_b'] AS tok_b
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(tok_a := toks[i], tok_b := toks[i+1]))) AS b
+        FROM tok
+    )
+),
+bgc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM occ GROUP BY 1, 2)
+SELECT o.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(bgc.c_ab * {LM_SCALE_PPM} // ca.c) AS BIGINT) AS sum_cond_ppm,
+       CAST(sum(bgc.c_ab * {LM_SCALE_PPM} // ca.c) // count(*) AS BIGINT)
+           AS avg_cond_ppm
+FROM occ o
+JOIN bgc ON bgc.tok_a = o.tok_a AND bgc.tok_b = o.tok_b
+JOIN uc ca ON ca.token = o.tok_a
+GROUP BY o.doc_id
+""",
+)
+def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a corpus-trained statistical LM:
+    per document, the mean conditional probability of its own adjacent-
+    token bigrams under the corpus bigram model — the CCNet-style
+    fluency filter (a real pipeline trains the LM on a trusted corpus
+    and keeps fluent docs; the plan is identical, only the training
+    table differs). Per-bigram p(b|a) = c_ab/c_a is held as exact
+    integer ppm (floor), summed and averaged in integer arithmetic, so
+    the score is bit-stable across engines and partitionings — no float
+    logprob accumulation order to drift.
+
+    Plan/scale: bigram occurrences explode map-side (one row per
+    adjacent pair); the bigram-count and unigram-count model tables
+    aggregate at vocabulary cardinality with map-side partials, then
+    join back onto the occurrence stream (AQE broadcasts them while
+    they fit — the production shape ships the trained model table to
+    executors); the final per-doc aggregate is one shuffle on doc_id.
+    Docs with fewer than two tokens have no bigrams and drop out, like
+    every length-floor quality gate."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.expr("split(text, ' ')").alias("toks"))
+    occ = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS tok_a,"
+                " element_at(toks, i + 1) AS tok_b)),"
+                " array())"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.tok_a", "b.tok_b")
+    uc = (
+        tok.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bgc = occ.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = uc.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    return (
+        occ.join(bgc, ["tok_a", "tok_b"])
+        .join(ca, "tok_a")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(f"CAST(sum(c_ab * {LM_SCALE_PPM} DIV c_a) AS BIGINT)").alias(
+                "sum_cond_ppm"
+            ),
+            F.expr(
+                f"CAST(sum(c_ab * {LM_SCALE_PPM} DIV c_a) DIV count(*) AS BIGINT)"
+            ).alias("avg_cond_ppm"),
+        )
+    )
