@@ -88,6 +88,10 @@ HEADLINE = [
     "http_source_market_backfill",
     "model_inference_annotator",
     "multimodal_decode_wav",
+    # round 11 additions: SemDeDup embedding-space prune, bigram-LM
+    # statistical quality scoring
+    "semdedup_cluster_prune",
+    "bigram_lm_doc_score",
 ]
 
 
