@@ -294,3 +294,81 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_hit", F.lit(False)).alias("is_pruned"),
         )
     )
+
+
+# Incremental SemDeDup: the append-only daily path. vec_id % mod == 0
+# plays the newly-arrived batch; the rest is the standing corpus whose
+# cluster assignments are the maintained index (exactly the
+# dedup_incremental_delta convention for the text family).
+SEMDEDUP_DELTA_MOD = 10
+
+_SEMDEDUP_DELTA_ORACLE = (
+    "WITH "
+    + _duck_kmeans_ctes()
+    + f""",
+fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1})
+SELECT d.vec_id AS delta_vec, c.vec_id AS corpus_vec,
+       CAST(d.cluster AS INT) AS cluster,
+       round(CAST(list_cosine_similarity(d.v, c.v) AS DOUBLE), 6) AS cosine
+FROM fin d JOIN fin c
+  ON d.cluster = c.cluster
+WHERE d.vec_id % {SEMDEDUP_DELTA_MOD} = 0
+  AND c.vec_id % {SEMDEDUP_DELTA_MOD} != 0
+  AND round(CAST(list_cosine_similarity(d.v, c.v) AS DOUBLE), 6)
+      >= {SEMDEDUP_COS_T}
+"""
+)
+
+
+@query("semdedup_incremental_delta", oracle=_SEMDEDUP_DELTA_ORACLE)
+def semdedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup — which newly-arrived vectors semantically
+    duplicate the standing corpus? The embedding-family twin of
+    dedup_incremental_delta: assign the delta batch to the maintained
+    codebook's clusters, then probe ONLY the standing corpus vectors of
+    the same cluster — work is O(|delta| * |cluster|), never O(n^2) or
+    even O(corpus), and the decision lands before the batch commits.
+    Emits the qualifying (delta, corpus) matches with their cluster and
+    cosine.
+
+    The codebook is the full-corpus trajectory here (and cached per
+    (app, sf, mtime) — train once, assign many); a production pipeline
+    retrains it on a schedule, not per batch — assignment against a
+    slightly-stale codebook is the standard serving approximation and
+    does not affect this row's verification, since the oracle uses the
+    same codebook.
+
+    Plan/scale: the delta side is batch-sized and BROADCAST onto the
+    cluster-keyed corpus probe (zero corpus shuffle); per-vector norms
+    precomputed; cosine rounds to 6 dp through one expression per
+    engine."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.persist()
+    cents = _trained_codebook(spark, emb, sf_dir)
+    fin = _assign(emb, cents).select(
+        "vec_id",
+        "v",
+        "cluster",
+        F.expr("sqrt(aggregate(v, 0D, (acc, a) -> acc + a * a))").alias("nrm"),
+    )
+    delta = fin.where(F.col("vec_id") % SEMDEDUP_DELTA_MOD == 0).select(
+        F.col("vec_id").alias("delta_vec"),
+        F.col("v").alias("x_v"),
+        F.col("nrm").alias("x_n"),
+        "cluster",
+    )
+    corpus = fin.where(F.col("vec_id") % SEMDEDUP_DELTA_MOD != 0).select(
+        F.col("vec_id").alias("corpus_vec"),
+        F.col("v").alias("y_v"),
+        F.col("nrm").alias("y_n"),
+        "cluster",
+    )
+    return (
+        F.broadcast(delta)
+        .join(corpus, "cluster")
+        .withColumn("cosine", F.expr(_PAIR_COS_SPARK))
+        .where(F.col("cosine") >= F.expr(SEMDEDUP_COS_T))
+        .select("delta_vec", "corpus_vec", F.col("cluster").cast("int"), "cosine")
+    )
