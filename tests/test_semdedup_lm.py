@@ -78,3 +78,49 @@ def test_bigram_lm_score_construction(spark):
     # and every observed bigram has c_ab >= 1 so the score is positive
     bad = out.where("avg_cond_ppm <= 0 OR avg_cond_ppm > 1000000")
     assert bad.count() == 0
+
+
+def test_semdedup_incremental_is_subset_of_full_pairs(spark):
+    """The incremental identity pin (the dedup_incremental_delta
+    discipline): the delta probe's matches must be EXACTLY the
+    delta-x-corpus subset of the full within-cluster qualifying pair
+    set — nothing extra, nothing missed."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_COS_T,
+        SEMDEDUP_DELTA_MOD,
+        _assign,
+        _trained_codebook,
+        semdedup_incremental_delta,
+    )
+
+    got = {
+        (r.delta_vec, r.corpus_vec)
+        for r in semdedup_incremental_delta(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _trained_codebook(spark, emb, SF_DIR)
+    fin = _assign(emb, cents).select("vec_id", "v", "cluster")
+    a = fin.select(F.col("vec_id").alias("x_id"), F.col("v").alias("x_v"), "cluster")
+    b = fin.select(F.col("vec_id").alias("y_id"), F.col("v").alias("y_v"), "cluster")
+    cos = (
+        "round(aggregate(zip_with(x_v, y_v, (p, q) -> p * q), 0D,"
+        " (acc, p) -> acc + p) / (sqrt(aggregate(x_v, 0D, (acc, p) -> acc + p * p))"
+        " * sqrt(aggregate(y_v, 0D, (acc, p) -> acc + p * p))), 6)"
+    )
+    want = {
+        (r.x_id, r.y_id)
+        for r in (
+            a.join(b, "cluster")
+            .where(F.col("x_id") % SEMDEDUP_DELTA_MOD == 0)
+            .where(F.col("y_id") % SEMDEDUP_DELTA_MOD != 0)
+            .where(F.expr(cos) >= F.expr(SEMDEDUP_COS_T))
+            .select("x_id", "y_id")
+            .collect()
+        )
+    }
+    assert got == want
