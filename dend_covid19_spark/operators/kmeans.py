@@ -299,8 +299,13 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental SemDeDup: the append-only daily path. vec_id % mod == 0
 # plays the newly-arrived batch; the rest is the standing corpus whose
 # cluster assignments are the maintained index (exactly the
-# dedup_incremental_delta convention for the text family).
+# dedup_incremental_delta convention for the text family). The delta
+# probe carries its own threshold, below the prune row's: delta-corpus
+# cosines top out lower than the global within-cluster tail on this
+# corpus (max 0.43 at sf0.001 / 0.50 at sf0.1), and a threshold with
+# zero matches at oracle scale would make the hash check vacuous.
 SEMDEDUP_DELTA_MOD = 10
+SEMDEDUP_DELTA_COS_T = "0.40"
 
 _SEMDEDUP_DELTA_ORACLE = (
     "WITH "
@@ -315,7 +320,7 @@ FROM fin d JOIN fin c
 WHERE d.vec_id % {SEMDEDUP_DELTA_MOD} = 0
   AND c.vec_id % {SEMDEDUP_DELTA_MOD} != 0
   AND round(CAST(list_cosine_similarity(d.v, c.v) AS DOUBLE), 6)
-      >= {SEMDEDUP_COS_T}
+      >= {SEMDEDUP_DELTA_COS_T}
 """
 )
 
@@ -369,6 +374,6 @@ def semdedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(delta)
         .join(corpus, "cluster")
         .withColumn("cosine", F.expr(_PAIR_COS_SPARK))
-        .where(F.col("cosine") >= F.expr(SEMDEDUP_COS_T))
+        .where(F.col("cosine") >= F.expr(SEMDEDUP_DELTA_COS_T))
         .select("delta_vec", "corpus_vec", F.col("cluster").cast("int"), "cosine")
     )

@@ -89,7 +89,7 @@ def test_semdedup_incremental_is_subset_of_full_pairs(spark):
 
     from dend_covid19_spark.catalog import load_table
     from dend_covid19_spark.operators.kmeans import (
-        SEMDEDUP_COS_T,
+        SEMDEDUP_DELTA_COS_T,
         SEMDEDUP_DELTA_MOD,
         _assign,
         _trained_codebook,
@@ -118,7 +118,7 @@ def test_semdedup_incremental_is_subset_of_full_pairs(spark):
             a.join(b, "cluster")
             .where(F.col("x_id") % SEMDEDUP_DELTA_MOD == 0)
             .where(F.col("y_id") % SEMDEDUP_DELTA_MOD != 0)
-            .where(F.expr(cos) >= F.expr(SEMDEDUP_COS_T))
+            .where(F.expr(cos) >= F.expr(SEMDEDUP_DELTA_COS_T))
             .select("x_id", "y_id")
             .collect()
         )
