@@ -1210,3 +1210,136 @@ def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_boundary_docs"),
         )
     )
+
+
+# --- DSIR importance resampling (hashed n-gram likelihood-ratio selection) --
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# estimate target and raw bag-of-hashed-ngrams distributions, weight
+# every raw document by its target/raw likelihood ratio, keep the top
+# slice. Per-bucket weights are the add-one-smoothed target/raw count
+# ratio held in exact integer ppm (the constant corpus-mass
+# normalization factor is dropped — it scales every bucket equally, so
+# per-occurrence scores and the selection ranking are unchanged), and
+# per-doc scores sum those integer weights over the doc's own feature
+# occurrences — a linear classifier over hashed n-gram features, which
+# is the estimator family the paper itself reduces to, kept log-free so
+# the score is engine-stable by construction.
+_PPM = _textops.LM_SCALE_PPM
+DSIR_BUCKETS = 512
+DSIR_TARGET_SOURCE = "src0"  # the trusted "target distribution" slice
+DSIR_TOP_K = 100
+
+
+def _dsir_occ_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) stream: word unigrams + adjacent bigrams
+    hashed into DSIR_BUCKETS via the engine-shared md5 hash32."""
+    uni = f"transform(toks, w -> {H.spark_hash32('w')} % {DSIR_BUCKETS})"
+    big = (
+        "IF(size(toks) >= 2, transform(sequence(1, size(toks) - 1), i -> "
+        + H.spark_hash32(
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1))"
+        )
+        + f" % {DSIR_BUCKETS}), array())"
+    )
+    return docs.select(
+        "doc_id", "source", F.expr("split(text, ' ')").alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(f"concat({uni}, {big})")).alias("bucket"),
+    )
+
+
+_DSIR_OCC_DUCK = f"""
+tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+occ AS (
+    SELECT doc_id, source, unnest(list_concat(
+        list_transform(toks, w -> {H.duck_hash32('w')} % {DSIR_BUCKETS}),
+        list_transform(range(1, len(toks)),
+                       i -> {H.duck_hash32("(toks[i] || ' ' || toks[i+1])")}
+                            % {DSIR_BUCKETS})
+    )) AS bucket
+    FROM tok
+)"""
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+WITH {_DSIR_OCC_DUCK},
+cq AS (SELECT bucket, count(*) AS c_q FROM occ GROUP BY bucket),
+cp AS (SELECT bucket, count(*) AS c_p FROM occ
+       WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket),
+w AS (
+    SELECT cq.bucket,
+           ((coalesce(cp.c_p, 0) + 1) * {_PPM}) // (cq.c_q + 1)
+               AS w_ppm
+    FROM cq LEFT JOIN cp USING (bucket)
+),
+sc AS (
+    SELECT o.doc_id, count(*) AS n_feats, sum(w.w_ppm) AS s
+    FROM occ o JOIN w USING (bucket)
+    GROUP BY o.doc_id
+)
+SELECT doc_id,
+       CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(s // n_feats AS BIGINT) AS dsir_score_ppm
+FROM sc
+ORDER BY dsir_score_ppm DESC, doc_id
+LIMIT {DSIR_TOP_K}
+""",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank the raw corpus by a
+    hashed-n-gram importance weight toward a trusted target slice
+    (source '{DSIR_TARGET_SOURCE}' plays the paper's Wikipedia/books
+    role) and keep the top DSIR_TOP_K documents. Features are word
+    unigrams + adjacent bigrams hashed into DSIR_BUCKETS dimensions —
+    vocabulary-free, so the "train the importance model" step is two
+    fixed-width count aggregates, not a dictionary build. Per-bucket
+    weight = add-one-smoothed (target_count / raw_count) in exact
+    integer ppm; per-doc score = mean bucket weight over the doc's own
+    feature occurrences (length-normalized, floor division — integer
+    end to end, so selection is deterministic across engines, retries,
+    and partitionings).
+
+    Plan/scale: the feature stream explodes map-side; both count tables
+    aggregate to at most DSIR_BUCKETS rows (map-side partials, then a
+    tiny shuffle), and the weight table — {DSIR_BUCKETS} rows — is
+    BROADCAST back onto the occurrence stream, so scoring 100 TB never
+    shuffles the corpus: one scan, one broadcast-join, one per-doc
+    aggregate. TakeOrdered handles the global top-k (per-partition
+    heaps, no full sort). At petabyte raw counts the ppm products
+    approach int64 — swap the weight table to DECIMAL(38,0) there; the
+    broadcast-scoring plan is unchanged."""
+    docs = load_table(spark, "documents", sf_dir)
+    occ = _dsir_occ_spark(docs)
+    cq = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_q"))
+    cp = (
+        occ.where(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_p"))
+    )
+    w = cq.join(cp, "bucket", "left").select(
+        "bucket",
+        F.expr(
+            f"((coalesce(c_p, 0) + 1) * {_PPM}) div (c_q + 1)"
+        ).alias("w_ppm"),
+    )
+    sc = (
+        occ.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_ppm").alias("s"),
+        )
+    )
+    return (
+        sc.select(
+            "doc_id",
+            F.col("n_feats").cast("bigint").alias("n_feats"),
+            F.expr("s div n_feats").cast("bigint").alias("dsir_score_ppm"),
+        )
+        .orderBy(F.desc("dsir_score_ppm"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
