@@ -1569,3 +1569,122 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cond_ppm"),
         )
     )
+
+
+# --- CCNet head/middle/tail perplexity buckets ------------------------------
+_CCNET_SCORE_DUCK = f"""
+tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+uc AS (
+    SELECT token, count(*) AS c FROM (SELECT unnest(toks) AS token FROM tok)
+    GROUP BY token
+),
+occ AS (
+    SELECT doc_id, lang, b['tok_a'] AS tok_a, b['tok_b'] AS tok_b
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(tok_a := toks[i], tok_b := toks[i+1]))) AS b
+        FROM tok
+    )
+),
+bgc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM occ GROUP BY 1, 2),
+doc_sc AS (
+    SELECT o.doc_id, o.lang,
+           CAST(sum(bgc.c_ab * {LM_SCALE_PPM} // ca.c) // count(*) AS BIGINT)
+               AS avg_cond_ppm
+    FROM occ o
+    JOIN bgc ON bgc.tok_a = o.tok_a AND bgc.tok_b = o.tok_b
+    JOIN uc ca ON ca.token = o.tok_a
+    GROUP BY o.doc_id, o.lang
+)"""
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH {_CCNET_SCORE_DUCK},
+b AS (
+    SELECT lang, avg_cond_ppm,
+           ntile(3) OVER (PARTITION BY lang
+                          ORDER BY avg_cond_ppm DESC, doc_id) AS tile
+    FROM doc_sc
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(avg_cond_ppm) AS BIGINT) AS min_score_ppm,
+       CAST(max(avg_cond_ppm) AS BIGINT) AS max_score_ppm
+FROM b
+GROUP BY 1, 2
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's defining output shape (Wenzek et al. 2020): split each
+    language's corpus into head/middle/tail terciles by statistical-LM
+    fluency, so downstream mixtures can oversample the head and drop or
+    down-weight the tail per language instead of applying one global
+    cutoff (which would starve low-resource languages — the same
+    fairness argument as quality_percentile_gate). Scoring reuses the
+    exact-integer bigram-LM mean conditional probability of
+    bigram_lm_doc_score (higher = more fluent = bucket 'head'); tercile
+    assignment is NTILE(3) over the per-language total order
+    (score DESC, doc_id), deterministic because the order is total.
+
+    Plan/scale: the LM model tables aggregate at vocabulary cardinality
+    and broadcast back onto the map-side bigram stream (see
+    bigram_lm_doc_score); the tercile window shuffles only the per-DOC
+    score table — corpus-cardinality rows of (lang, score), thousands
+    of times smaller than the token stream. At 100 TB you'd swap the
+    exact NTILE for approx-quantile cutoffs broadcast map-side (the
+    quality_percentile_gate_2pass pattern, documented there); the exact
+    window IS the audit twin."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.expr("split(text, ' ')").alias("toks")
+    )
+    occ = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS tok_a,"
+                " element_at(toks, i + 1) AS tok_b)),"
+                " array())"
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.tok_a", "b.tok_b")
+    uc = (
+        tok.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bgc = occ.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = uc.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    doc_sc = (
+        occ.join(bgc, ["tok_a", "tok_b"])
+        .join(ca, "tok_a")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                f"CAST(sum(c_ab * {LM_SCALE_PPM} DIV c_a) DIV count(*) AS BIGINT)"
+            ).alias("avg_cond_ppm")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_cond_ppm"), F.col("doc_id")
+    )
+    b = doc_sc.select("lang", "avg_cond_ppm", F.ntile(3).over(w).alias("tile"))
+    return b.groupBy(
+        "lang",
+        F.expr(
+            "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+            " ELSE 'tail' END"
+        ).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("avg_cond_ppm").cast("bigint").alias("min_score_ppm"),
+        F.max("avg_cond_ppm").cast("bigint").alias("max_score_ppm"),
+    )
