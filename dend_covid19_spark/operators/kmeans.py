@@ -377,3 +377,93 @@ def semdedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= F.expr(SEMDEDUP_DELTA_COS_T))
         .select("delta_vec", "corpus_vec", F.col("cluster").cast("int"), "cosine")
     )
+
+
+# --- cluster-balanced resampling (topic balancing over the codebook) --------
+# The embedding-space twin of token_mixture_weights: web-scale corpora
+# are topically skewed, so curation pipelines re-weight k-means clusters
+# toward equal mass before sampling (the cluster-balancing step in
+# DoReMi-style mixture tuning and in SemDeDup's own evaluation setup).
+# Downsample-only form: every cluster's keep-rate caps at 1.0 — a filter
+# pass never duplicates rows; upsampling is the dataloader's epoch
+# factor, not the engine's.
+BALANCE_SCALE_PPM = 1_000_000
+
+from ..functions import hashing as _H  # noqa: E402  (section-local import)
+
+_BALANCE_ORACLE = (
+    "WITH "
+    + _duck_kmeans_ctes()
+    + f""",
+fin AS (SELECT vec_id, cluster FROM a{ITERS + 1}),
+sz AS (SELECT cluster, count(*) AS n_vecs FROM fin GROUP BY cluster),
+tot AS (SELECT sum(n_vecs) AS total FROM sz),
+w AS (
+    SELECT sz.cluster, sz.n_vecs,
+           least({BALANCE_SCALE_PPM},
+                 (tot.total // {K}) * {BALANCE_SCALE_PPM} // sz.n_vecs)
+               AS weight_ppm
+    FROM sz, tot
+)
+SELECT w.cluster, CAST(w.n_vecs AS BIGINT) AS n_vecs,
+       CAST(w.weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(sum(CASE WHEN {_H.duck_hash32("CAST(vec_id AS VARCHAR)")} % {BALANCE_SCALE_PPM} < w.weight_ppm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM w JOIN fin ON fin.cluster = w.cluster
+GROUP BY w.cluster, w.n_vecs, w.weight_ppm
+"""
+)
+
+
+@query("cluster_balanced_sample", oracle=_BALANCE_ORACLE)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced downsampling over the trained codebook: assign
+    every embedding to its k-means cluster (the cached pinned Lloyd
+    trajectory), compute per-cluster keep-rates that level cluster mass
+    at the uniform target total/k (capped at 1.0 — downsample-only, in
+    exact integer ppm), then KEEP each vector iff its content hash
+    lands under its cluster's rate — the deterministic coin-flip every
+    sampling op in this repo uses (dataset_split_assign's md5 scheme),
+    so the sample is reproducible across engines, retries, and
+    partitionings. Emits per-cluster (size, keep-rate, kept-count), so
+    the hash pins the trajectory, the weight arithmetic, AND every
+    individual keep decision's aggregate.
+
+    Plan/scale: assignment is the broadcast-codebook argmin (no
+    shuffle); cluster sizes aggregate to k rows, the k-row weight table
+    broadcasts back onto the assignment stream, and the keep gate is a
+    codegen hash-compare — one scan, one k-row shuffle, one broadcast
+    join. The 100 TB shape is exactly this: no per-vector state leaves
+    the executors."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _trained_codebook(spark, emb, sf_dir)
+    fin = _assign(emb, cents).select("vec_id", "cluster")
+    sz = fin.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = sz.agg(F.sum("n_vecs").alias("total"))
+    w = sz.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n_vecs",
+        F.expr(
+            f"least({BALANCE_SCALE_PPM},"
+            f" (total div {K}) * {BALANCE_SCALE_PPM} div n_vecs)"
+        ).alias("weight_ppm"),
+    )
+    gate = F.expr(
+        f"({_H.spark_hash32('CAST(vec_id AS STRING)')})"
+        f" % {BALANCE_SCALE_PPM} < weight_ppm"
+    )
+    return (
+        fin.join(F.broadcast(w), "cluster")
+        .groupBy("cluster", "n_vecs", "weight_ppm")
+        .agg(
+            F.sum(F.when(gate, 1).otherwise(0)).cast("bigint").alias("n_kept")
+        )
+        .select(
+            "cluster",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("weight_ppm").cast("bigint").alias("weight_ppm"),
+            "n_kept",
+        )
+    )
