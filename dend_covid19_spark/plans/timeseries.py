@@ -1875,3 +1875,103 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- day-over-day distribution-drift monitor (total variation) --------------
+DRIFT_SCALE_PPM = 1_000_000
+DRIFT_ALERT_PPM = 60_000  # a type moving >6% of mix share is "moved"
+
+
+@query(
+    "events_type_drift_tv",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT day, sum(cnt) AS total FROM daily GROUP BY day),
+grid AS (
+    SELECT d.day, t.event_type
+    FROM (SELECT DISTINCT day FROM daily) d
+    CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+),
+frac AS (
+    SELECT g.day, g.event_type,
+           coalesce(dl.cnt, 0) * {DRIFT_SCALE_PPM} // tot.total AS p_ppm
+    FROM grid g
+    JOIN tot ON tot.day = g.day
+    LEFT JOIN daily dl ON dl.day = g.day AND dl.event_type = g.event_type
+),
+lagged AS (
+    SELECT day, event_type, p_ppm,
+           lag(p_ppm) OVER (PARTITION BY event_type ORDER BY day) AS q_ppm
+    FROM frac
+)
+SELECT day,
+       CAST(sum(abs(p_ppm - q_ppm)) // 2 AS BIGINT) AS tv_ppm,
+       CAST(sum(CASE WHEN abs(p_ppm - q_ppm) > {DRIFT_ALERT_PPM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_types_moved
+FROM lagged
+WHERE q_ppm IS NOT NULL
+GROUP BY day
+""",
+)
+def events_type_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift MONITOR: per day, the total-variation distance
+    between today's and yesterday's event-type mix — the pipeline-health
+    gate that catches a collector dropping a type, a bot flooding one,
+    or an upstream schema change skewing the mix, before the corrupted
+    day reaches training. Mix shares are exact integer ppm (floor) of
+    the day's total, the day-over-day delta is a lag window per type
+    over a DENSE day x type grid (a type absent today still drifts —
+    missing rows must read as share 0, not disappear), and
+    TV = sum(|p - q|) / 2 in pure integer arithmetic. Also counts types
+    whose share moved more than DRIFT_ALERT_PPM — the "which dimension
+    drifted" drill-down an alert needs. The first day has no
+    predecessor and drops, like every lag-based monitor.
+
+    Plan/scale: the daily mix aggregates map-side to |days| x |types|
+    rows — monitoring-cardinality, thousands of times smaller than the
+    event stream — so the grid cross-join, lag window, and final
+    per-day rollup all run on tiny tables; the 100 TB cost is exactly
+    the one scan + partial aggregation. The same plan reruns
+    incrementally on (yesterday, today) alone — the O(1) daily check."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("day").agg(F.sum("cnt").alias("total"))
+    grid = daily.select("day").distinct().crossJoin(
+        daily.select("event_type").distinct()
+    )
+    frac = (
+        grid.join(tot, "day")
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.expr(
+                f"coalesce(cnt, 0) * {DRIFT_SCALE_PPM} div total"
+            ).alias("p_ppm"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = frac.withColumn("q_ppm", F.lag("p_ppm").over(w))
+    return (
+        lagged.where(F.col("q_ppm").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.expr("CAST(sum(abs(p_ppm - q_ppm)) div 2 AS BIGINT)").alias(
+                "tv_ppm"
+            ),
+            F.sum(
+                F.when(
+                    F.abs(F.col("p_ppm") - F.col("q_ppm")) > DRIFT_ALERT_PPM,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_types_moved"),
+        )
+    )
