@@ -1411,3 +1411,110 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(n_found * 1000000 DIV n_candidates AS BIGINT) END"
         ).alias("precision_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal ensemble dedup: text LSH recall, embedding-cosine precision
+# ---------------------------------------------------------------------------
+
+CROSSMODAL_COS_T = "0.40"
+
+_CROSSMODAL_ORACLE = f"""
+WITH {_duck_minhash_cte()},
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT c.doc_a, c.doc_b,
+       CAST({_MINHASH_EST} AS DOUBLE) AS est_jaccard,
+       round(CAST(list_cosine_similarity(ea.v, eb.v) AS DOUBLE), 6) AS cosine,
+       (round(CAST(list_cosine_similarity(ea.v, eb.v) AS DOUBLE), 6)
+            >= {CROSSMODAL_COS_T}) AS confirmed
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+JOIN emb ea ON ea.vec_id = c.doc_a
+JOIN emb eb ON eb.vec_id = c.doc_b
+WHERE {_MINHASH_EST} >= 0.25
+"""
+
+
+@query("dedup_crossmodal_verify", oracle=_CROSSMODAL_ORACLE)
+def dedup_crossmodal_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE near-dup: text MinHash-LSH proposes candidate pairs
+    (high recall, cheap), the embedding space verifies them with exact
+    cosine (high precision, paid only on candidates) — the two-stage
+    production shape: no single signal decides deletion at 100 TB; a
+    surface-text match with low semantic cosine is a template/boilerplate
+    collision, not a duplicate. Emits both scores plus the confirmed
+    verdict at CROSSMODAL_COS_T, so the hash pins the LSH candidate set,
+    the signature estimate, AND every cosine verification.
+
+    Plan/scale: candidates come from the banded (band_id, band_key)
+    equi-join (data-size-linear, see dedup_minhash_lsh); the embedding
+    table joins in by id ONLY for candidate members — at web scale
+    that's a broadcast-or-shuffle hash join on the candidate-pair
+    cardinality, never an all-pairs vector pass. Per-pair cosine is one
+    codegen zip_with fold over the (bounded, pinned-dim) vectors."""
+    sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "sig")
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("x_v"),
+        F.col("nrm").alias("x_n"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("y_v"),
+        F.col("nrm").alias("y_n"),
+    )
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0,"
+            " (acc, v) -> acc + v)"
+        )
+        / F.lit(float(H.K))
+    )
+    cos = F.expr(
+        "round(aggregate(zip_with(x_v, y_v, (p, q) -> p * q), 0D,"
+        " (acc, p) -> acc + p) / (x_n * y_n), 6)"
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.25)
+        .join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn("cosine", cos)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "cosine",
+            (F.col("cosine") >= F.expr(CROSSMODAL_COS_T)).alias("confirmed"),
+        )
+    )
