@@ -89,9 +89,12 @@ HEADLINE = [
     "model_inference_annotator",
     "multimodal_decode_wav",
     # round 11 additions: SemDeDup embedding-space prune, bigram-LM
-    # statistical quality scoring
+    # statistical quality scoring, DSIR importance selection, the
+    # day-over-day distribution-drift monitor
     "semdedup_cluster_prune",
     "bigram_lm_doc_score",
+    "dsir_importance_select",
+    "events_type_drift_tv",
 ]
 
 
