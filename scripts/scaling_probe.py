@@ -347,6 +347,58 @@ def lsh_shape(spark, k: int):
     )
 
 
+def dsir_shape(spark, k: int):
+    """dsir_importance_select's plan over k x documents: hashed n-gram
+    feature fold -> fixed-width (DSIR_BUCKETS-row) model counts ->
+    broadcast weight table -> per-doc score -> top-k. Linear iff the
+    model table stays bucket-bounded as the corpus grows (it does by
+    construction — hashing-trick features have no vocabulary) and the
+    scoring join stays broadcast-side: the importance-resampling bound
+    at 100 TB. Replica text salts like lsh_shape so feature mass grows
+    linearly instead of colliding into the same doc profile."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.llm_pipeline import (
+        DSIR_TARGET_SOURCE,
+        DSIR_TOP_K,
+        _PPM,
+        _dsir_occ_spark,
+    )
+
+    parts = [
+        load_table(spark, "documents", SF_DIR).select(
+            (F.col("doc_id") + F.lit(i * KEY_SPAN)).alias("doc_id"),
+            F.col("source"),
+            F.regexp_replace(F.col("text"), " ", f" r{i} ").alias("text"),
+        )
+        for i in range(k)
+    ]
+    docs = reduce(lambda a, b: a.unionByName(b), parts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        _dsir_occ_spark(docs)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = tf.groupBy("bucket").agg(
+        F.expr(
+            f"((coalesce(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'"
+            f" THEN tf END), 0) + 1) * {_PPM}) div (sum(tf) + 1)"
+        ).alias("w_ppm")
+    )
+    sc = (
+        tf.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_feats"), F.expr("sum(tf * w_ppm)").alias("s"))
+    )
+    return (
+        sc.select("doc_id", F.expr("s div n_feats").alias("dsir_score_ppm"))
+        .orderBy(F.desc("dsir_score_ppm"), "doc_id")
+        .limit(DSIR_TOP_K)
+    )
+
+
 def model_inference_shape(spark, k: int):
     """model_inference_annotator's plan over k x documents: codegen
     token-count featurization -> one Arrow batch boundary -> numpy
@@ -442,6 +494,7 @@ def main() -> None:
         ("kcore_shuffle_shape", kcore_shuffle_shape),
         ("lpa_shape", lpa_shape),
         ("model_inference_shape", model_inference_shape),
+        ("dsir_shape", dsir_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}

@@ -286,6 +286,8 @@ _NESTED_LOOP_ALLOWED = {
     "bpe_merge_round2",          # one-row argmax merge-rule broadcast
     "bpe_merge_round4",          # same, one one-row rule broadcast per round
     "bpe_encode_corpus",         # four one-row learned rules broadcast into the apply
+    "cluster_balanced_sample",   # one-row corpus-total broadcast onto k cluster sizes
+    "events_type_drift_tv",      # |days| x |types| dense monitoring-grid cross join
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
