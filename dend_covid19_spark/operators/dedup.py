@@ -1518,3 +1518,111 @@ def dedup_crossmodal_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cosine") >= F.expr(CROSSMODAL_COS_T)).alias("confirmed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3   # k-gram length (tokens)
+WINNOW_W = 4   # window of consecutive k-gram hashes per fingerprint
+WINNOW_MAXDF = 50  # stop-fingerprint cap: shared by more docs = boilerplate
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hs AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - {WINNOW_K} + 2),
+               i -> {H.duck_hash32(
+                   f"array_to_string(toks[i:i+{WINNOW_K}-1], ' ')")}) AS hs
+    FROM tok WHERE len(toks) >= {WINNOW_K}
+),
+fp AS (
+    SELECT doc_id,
+           list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+               j -> list_aggregate(hs[j:j+{WINNOW_W}-1], 'min')) AS fps
+    FROM hs WHERE len(hs) >= {WINNOW_W}
+),
+fpd AS (
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(fps) AS fp FROM fp)
+),
+keep AS (
+    SELECT fp FROM fpd GROUP BY fp
+    HAVING count(*) BETWEEN 2 AND {WINNOW_MAXDF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpd a
+JOIN keep k ON k.fp = a.fp
+JOIN fpd b ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@query("dedup_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING clone detection (Schleimer et al. 2003 — the MOSS
+    fingerprinting algorithm): hash every POSITIONAL k-gram, slide a
+    w-wide window over the hash sequence, keep each window's minimum —
+    guaranteeing any shared run of >= w+k-1 tokens yields at least one
+    shared fingerprint, with expected density 2/(w+1) (the paper's
+    local-minima bound). Distinct from the MinHash family: winnowing
+    detects shared CONTIGUOUS passages (clones, quotations, boilerplate
+    reuse) rather than bag-of-shingles similarity, so it catches a
+    copied paragraph inside an otherwise-unrelated document that
+    Jaccard-style signatures dilute away. Pairs report how many
+    distinct fingerprints they share (>= WINNOW_MIN_SHARED).
+
+    Plan/scale: k-gram hashing and window minima are per-row codegen
+    higher-order functions (positional `slice`, no explode until the
+    compact fingerprint set); the pair join blocks on the FINGERPRINT
+    VALUE, and stop-fingerprints (doc frequency > WINNOW_MAXDF — the
+    boilerplate the cap exists for) are dropped BEFORE pairing, exactly
+    the prefix-filter discipline of dedup_prefix_filter_join, so every
+    block is <= WINNOW_MAXDF docs and pair generation is bounded per
+    fingerprint regardless of corpus size. Docs shorter than w+k-1
+    tokens have no complete window and drop out (the documented
+    coverage floor of the algorithm)."""
+    docs = load_table(spark, "documents", sf_dir)
+    kgram_hash = H.spark_hash32(
+        f"concat_ws(' ', slice(split(text, ' '), i, {WINNOW_K}))"
+    )
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            f"IF(size(split(text, ' ')) >= {WINNOW_K},"
+            f" transform(sequence(1, size(split(text, ' ')) - {WINNOW_K} + 1),"
+            f" i -> {kgram_hash}),"
+            " array())"
+        ).alias("hs"),
+    ).where(F.size("hs") >= WINNOW_W)
+    fpd = (
+        hs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+                    f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    keep = (
+        fpd.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, WINNOW_MAXDF))
+        .select("fp")
+    )
+    a = fpd.join(keep, "fp").select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpd.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
