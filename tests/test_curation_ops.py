@@ -130,3 +130,58 @@ def test_crossmodal_verify_matches_lsh_candidates(spark):
     t = float(CROSSMODAL_COS_T)
     for r in cm.collect():
         assert r.confirmed == (r.cosine >= t)
+
+
+def test_winnowing_invariants(spark):
+    from dend_covid19_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        dedup_winnowing_fingerprints,
+    )
+
+    rows = dedup_winnowing_fingerprints(spark, SF_DIR).collect()
+    assert rows, "no clone pairs found"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared >= WINNOW_MIN_SHARED
+
+
+def test_winnowing_guarantee_shared_run_yields_fingerprint(spark):
+    """The paper's coverage guarantee: two texts sharing a contiguous
+    run of >= w + k - 1 tokens share at least one winnowing
+    fingerprint. Checked on a synthetic pair whose only commonality is
+    exactly such a run."""
+    from dend_covid19_spark.functions import hashing as H
+    from dend_covid19_spark.operators.dedup import WINNOW_K, WINNOW_W
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {run} delta epsilon"),
+            (2, f"one two three four {run} five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    kgram_hash = H.spark_hash32(
+        f"concat_ws(' ', slice(split(text, ' '), i, {WINNOW_K}))"
+    )
+    from pyspark.sql import functions as F2
+
+    fps = df.select(
+        "doc_id",
+        F2.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {WINNOW_K} + 1),"
+            f" i -> {kgram_hash})"
+        ).alias("hs"),
+    ).select(
+        "doc_id",
+        F2.explode(
+            F2.expr(
+                f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+                f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+            )
+        ).alias("fp"),
+    )
+    a = fps.where("doc_id = 1").select(F2.col("fp").alias("fp_a"))
+    b = fps.where("doc_id = 2").select(F2.col("fp").alias("fp_b"))
+    shared = a.join(b, a.fp_a == b.fp_b).count()
+    assert shared >= 1
