@@ -1562,6 +1562,59 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, fp) distinct winnowing fingerprints.
+
+    Materialized once per (sf_dir, data mtime, pid) to parquet scratch —
+    the _minhash_sigs discipline: the fingerprint table feeds THREE plan
+    branches (the stop-fingerprint frequency aggregate and both sides of
+    the pair join), and it is exactly the artifact a production clone
+    detector maintains incrementally (MOSS keeps a fingerprint index,
+    not per-query re-hashing). Without it the positional k-gram md5
+    pipeline re-derives per branch (~3x the corpus hashing per run)."""
+    import hashlib
+    import os
+
+    from ..scratch import scratch_dir
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    token = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    scratch = scratch_dir(f"winnowfp_{token}_{os.getpid()}")
+    path = os.path.join(scratch, "fps")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = widen_scan(load_table(spark, "documents", sf_dir))
+        kgram_hash = H.spark_hash32(
+            f"concat_ws(' ', slice(split(text, ' '), i, {WINNOW_K}))"
+        )
+        hs = docs.select(
+            "doc_id",
+            F.expr(
+                f"IF(size(split(text, ' ')) >= {WINNOW_K},"
+                f" transform(sequence(1, size(split(text, ' ')) - {WINNOW_K} + 1),"
+                f" i -> {kgram_hash}),"
+                " array())"
+            ).alias("hs"),
+        ).where(F.size("hs") >= WINNOW_W)
+        (
+            hs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform("
+                        f"sequence(1, size(hs) - {WINNOW_W} + 1),"
+                        f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+                    )
+                ).alias("fp"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 @query("dedup_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
 def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WINNOWING clone detection (Schleimer et al. 2003 — the MOSS
@@ -1587,29 +1640,7 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens have no complete window and drop out (the documented
     coverage floor of the algorithm)."""
     docs = load_table(spark, "documents", sf_dir)
-    kgram_hash = H.spark_hash32(
-        f"concat_ws(' ', slice(split(text, ' '), i, {WINNOW_K}))"
-    )
-    hs = docs.select(
-        "doc_id",
-        F.expr(
-            f"IF(size(split(text, ' ')) >= {WINNOW_K},"
-            f" transform(sequence(1, size(split(text, ' ')) - {WINNOW_K} + 1),"
-            f" i -> {kgram_hash}),"
-            " array())"
-        ).alias("hs"),
-    ).where(F.size("hs") >= WINNOW_W)
-    fpd = (
-        hs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
-                    f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
-                )
-            ).alias("fp"),
-        )
-    )
+    fpd = _winnow_fps(spark, sf_dir)
     keep = (
         fpd.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
