@@ -228,6 +228,8 @@ def test_embedding_blocked_rows_bounded(spark):
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_incremental_batch",
+        "dedup_winnowing_fingerprints",
+        "dedup_crossmodal_verify",
         "ann_lsh_bucketed",
         "dedup_embedding_cosine",
         "dedup_embedding_blocked",
@@ -590,3 +592,16 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan
     assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan
+
+
+def test_dsir_scoring_broadcasts_model_table(spark):
+    """dsir_importance_select's scale contract: the (<= DSIR_BUCKETS)-row
+    weight table must reach the scoring join as a BroadcastExchange (the
+    corpus-side stream never shuffles for the join), and the global
+    top-k must plan as TakeOrderedAndProject (per-partition heaps), not
+    a full Sort."""
+    plan = formatted_plan(spark, "dsir_importance_select")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        f"model table not broadcast\n{plan}"
+    )
+    assert "TakeOrderedAndProject" in plan, f"top-k plans a full sort\n{plan}"
