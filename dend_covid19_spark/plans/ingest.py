@@ -1100,3 +1100,77 @@ def streaming_upsert_sink_executed(spark: SparkSession, sf_dir: str) -> DataFram
     )
     _STREAM_UPSERT_CACHE[key] = out
     return out
+
+
+# --- streaming drift monitor (executed) --------------------------------------
+
+_STREAM_DRIFT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _drift_oracle() -> str:
+    from .timeseries import DRIFT_TV_ORACLE
+
+    return DRIFT_TV_ORACLE
+
+
+@query("streaming_drift_monitor_executed", oracle=_drift_oracle())
+def streaming_drift_monitor_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift MONITOR in its production form, executed under the
+    value hash: events stream in four chronological micro-batches
+    (availableNow, maxFilesPerTrigger=1), a foreachBatch sink maintains
+    the per-(day, event_type) counts table incrementally with
+    deterministic-predecessor versioning (streaming/daily.py::
+    apply_counts_batch — additive folds are NOT replay-idempotent, so
+    exactly-once comes from version arithmetic: v{n} is always rebuilt
+    from v{n-1} and committed replays are skipped; the pytest drill
+    replays a batch and asserts no double-count), and the day-over-day
+    total-variation drift derives from the FINAL maintained snapshot via
+    the same arithmetic as the batch row (timeseries.py::
+    drift_tv_from_daily). The oracle is the batch row's SQL verbatim:
+    streamed-incremental == batch because per-(day, type) counts are
+    additive under any batching of the input — the identity the hash
+    pins.
+
+    Plan/scale: each micro-batch aggregates map-side to monitoring
+    cardinality before touching the snapshot; the fold joins two
+    |days| x |types| tables. This is the O(batch) daily-monitoring path
+    — the full-corpus recompute (events_type_drift_tv) is the audit
+    twin. Once-per-(session, scale) drain-and-cache discipline like the
+    other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_DRIFT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_DRIFT_CACHE if k[0] != key[0]]:
+        del _STREAM_DRIFT_CACHE[k]
+
+    from ..streaming.daily import run_counts_merge_available_now
+    from .timeseries import drift_tv_from_daily
+
+    token = abs(hash(("driftmon", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamdrift_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    store = os.path.join(scratch, "store")
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    lo, mid, hi = _UPSERT_SPLIT_DAYS
+    chunks = [
+        ev.where(d < lo),
+        ev.where((d >= lo) & (d < mid)),
+        ev.where((d >= mid) & (d < hi)),
+        ev.where(d >= hi),
+    ]
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+
+    final_path = run_counts_merge_available_now(
+        spark, src, store, os.path.join(scratch, "ckpt"), max_files_per_trigger=1
+    )
+    daily = spark.read.parquet(final_path)
+    out = drift_tv_from_daily(daily)
+    _STREAM_DRIFT_CACHE[key] = out
+    return out

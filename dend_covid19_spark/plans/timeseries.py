@@ -1882,9 +1882,7 @@ DRIFT_SCALE_PPM = 1_000_000
 DRIFT_ALERT_PPM = 60_000  # a type moving >6% of mix share is "moved"
 
 
-@query(
-    "events_type_drift_tv",
-    oracle=f"""
+DRIFT_TV_ORACLE = f"""
 WITH daily AS (
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
            count(*) AS cnt
@@ -1915,8 +1913,10 @@ SELECT day,
 FROM lagged
 WHERE q_ppm IS NOT NULL
 GROUP BY day
-""",
-)
+"""
+
+
+@query("events_type_drift_tv", oracle=DRIFT_TV_ORACLE)
 def events_type_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift MONITOR: per day, the total-variation distance
     between today's and yesterday's event-type mix — the pipeline-health
@@ -1941,6 +1941,15 @@ def events_type_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return drift_tv_from_daily(daily)
+
+
+def drift_tv_from_daily(daily: DataFrame) -> DataFrame:
+    """TV drift derivation over a (day, event_type, cnt) counts table —
+    shared by the batch row above and the streaming twin
+    (streaming_drift_monitor_executed), which maintains the SAME counts
+    table incrementally in a foreachBatch sink; both feed the same
+    oracle because the arithmetic below is the only consumer."""
     tot = daily.groupBy("day").agg(F.sum("cnt").alias("total"))
     grid = daily.select("day").distinct().crossJoin(
         daily.select("event_type").distinct()

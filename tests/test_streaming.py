@@ -417,3 +417,56 @@ def test_streaming_query_entries_repeat_stable(spark):
         first = {tuple(r) for r in fn(spark, SF_DIR).collect()}
         second = {tuple(r) for r in fn(spark, SF_DIR).collect()}
         assert first == second and first
+
+
+def test_counts_sink_replay_exactly_once(spark, tmp_path):
+    """The additive counts sink's exactly-once drill: additive folds are
+    not replay-idempotent, so the version arithmetic must absorb both
+    replay cases — (a) replay of a COMMITTED batch is skipped, (b) a
+    half-written (uncommitted) version is rebuilt from its deterministic
+    predecessor, never from itself."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.streaming.daily import apply_counts_batch
+
+    target = str(tmp_path / "counts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click"), (2, "2024-01-01 11:00:00", "view")],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1 = spark.createDataFrame(
+        [(3, "2024-01-02 10:00:00", "click")],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    apply_counts_batch(b0, 0, target)
+    p1 = apply_counts_batch(b1, 1, target)
+    snap = {
+        (str(r.day), r.event_type): r.cnt
+        for r in spark.read.parquet(p1).collect()
+    }
+    expected = {
+        ("2024-01-01", "click"): 1,
+        ("2024-01-01", "view"): 1,
+        ("2024-01-02", "click"): 1,
+    }
+    assert snap == expected
+
+    # (a) replay a committed batch: must be skipped, counts unchanged
+    apply_counts_batch(b1, 1, target)
+    snap2 = {
+        (str(r.day), r.event_type): r.cnt
+        for r in spark.read.parquet(p1).collect()
+    }
+    assert snap2 == expected
+
+    # (b) half-written version (no _SUCCESS): replay rebuilds v1 from v0
+    os.remove(os.path.join(p1, "_SUCCESS"))
+    p1b = apply_counts_batch(b1, 1, target)
+    snap3 = {
+        (str(r.day), r.event_type): r.cnt
+        for r in spark.read.parquet(p1b).collect()
+    }
+    assert snap3 == expected
