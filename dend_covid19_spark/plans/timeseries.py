@@ -1984,3 +1984,90 @@ def drift_tv_from_daily(daily: DataFrame) -> DataFrame:
             .alias("n_types_moved"),
         )
     )
+
+
+# --- ordered-sequence funnel (the MATCH_RECOGNIZE shape) ---------------------
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "funnel_stage_progression",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+v AS (
+    SELECT user_id, min(struct_pack(ts := ts, eid := event_id)) AS s1
+    FROM e WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS s2
+    FROM e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = '{FUNNEL_STAGES[1]}'
+      AND struct_pack(ts := e.ts, eid := e.event_id) > v.s1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS s3
+    FROM e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = '{FUNNEL_STAGES[2]}'
+      AND struct_pack(ts := e.ts, eid := e.event_id) > c.s2
+    GROUP BY e.user_id
+),
+stages AS (
+    SELECT u.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                WHEN v.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS stage
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+FROM stages GROUP BY stage
+""",
+)
+def funnel_stage_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SEQUENCE funnel — the MATCH_RECOGNIZE / funnel-mining
+    shape Spark has no native operator for: per user, how deep into the
+    view -> click -> purchase stage sequence did their event stream
+    progress, where each stage must occur strictly AFTER the event that
+    satisfied the previous one (a purchase before the first view does
+    not count — the property that separates sequence matching from the
+    bag-of-types subsequence checks plain joins express). Implemented as
+    a deterministic state-machine FOLD over each user's time-ordered
+    event sequence: sort_array over (ts, event_id, type) structs gives a
+    total order (event_id breaks ts ties), and one codegen `aggregate`
+    lambda advances the stage counter — the composition answer (a) of
+    the custom-operator ladder, no UDF. The oracle reaches the same
+    stages through a min-struct chain (first view, first click after it,
+    first purchase after that), which is the same semantics stated
+    relationally.
+
+    Output: users per deepest-stage-reached (0 = active but never
+    viewed), the conversion report every funnel analysis starts from.
+
+    Plan/scale: one shuffle on user_id, then per-user fold — state is
+    one int per user, events per user bound the array (the per-user
+    activity bound; a user with unbounded history would move this to
+    applyInPandasWithState, the streaming form). The final stage
+    histogram is a 4-row aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    cases = (
+        f"CASE WHEN st = 0 AND e.event_type = '{FUNNEL_STAGES[0]}' THEN 1"
+        f" WHEN st = 1 AND e.event_type = '{FUNNEL_STAGES[1]}' THEN 2"
+        f" WHEN st = 2 AND e.event_type = '{FUNNEL_STAGES[2]}' THEN 3"
+        " ELSE st END"
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    staged = seq.select(
+        "user_id",
+        F.expr(f"aggregate(seq, 0, (st, e) -> {cases})").alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
