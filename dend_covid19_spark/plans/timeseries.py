@@ -1988,6 +1988,9 @@ def drift_tv_from_daily(daily: DataFrame) -> DataFrame:
 
 # --- ordered-sequence funnel (the MATCH_RECOGNIZE shape) ---------------------
 FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_MIN = 1440  # each stage must land within 24h of the prior one
+# (probed 30min/6h/24h/72h against this corpus's event density: 24h is the
+# smallest window populating all three stages at every test SF)
 
 
 @query(
@@ -2003,6 +2006,7 @@ c AS (
     FROM e JOIN v ON v.user_id = e.user_id
     WHERE e.event_type = '{FUNNEL_STAGES[1]}'
       AND struct_pack(ts := e.ts, eid := e.event_id) > v.s1
+      AND e.ts <= v.s1['ts'] + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
     GROUP BY e.user_id
 ),
 p AS (
@@ -2010,6 +2014,7 @@ p AS (
     FROM e JOIN c ON c.user_id = e.user_id
     WHERE e.event_type = '{FUNNEL_STAGES[2]}'
       AND struct_pack(ts := e.ts, eid := e.event_id) > c.s2
+      AND e.ts <= c.s2['ts'] + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
     GROUP BY e.user_id
 ),
 stages AS (
@@ -2028,46 +2033,53 @@ FROM stages GROUP BY stage
 """,
 )
 def funnel_stage_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDERED-SEQUENCE funnel — the MATCH_RECOGNIZE / funnel-mining
-    shape Spark has no native operator for: per user, how deep into the
-    view -> click -> purchase stage sequence did their event stream
-    progress, where each stage must occur strictly AFTER the event that
-    satisfied the previous one (a purchase before the first view does
-    not count — the property that separates sequence matching from the
-    bag-of-types subsequence checks plain joins express). Implemented as
-    a deterministic state-machine FOLD over each user's time-ordered
-    event sequence: sort_array over (ts, event_id, type) structs gives a
-    total order (event_id breaks ts ties), and one codegen `aggregate`
-    lambda advances the stage counter — the composition answer (a) of
-    the custom-operator ladder, no UDF. The oracle reaches the same
-    stages through a min-struct chain (first view, first click after it,
-    first purchase after that), which is the same semantics stated
+    """ORDERED-SEQUENCE funnel with conversion windows — the
+    MATCH_RECOGNIZE / funnel-mining shape Spark has no native operator
+    for: per user, how deep into the view -> click -> purchase sequence
+    did the event stream progress, where each stage must occur strictly
+    AFTER the event that satisfied the previous one AND within
+    FUNNEL_WINDOW_MIN minutes of it (first-touch anchoring: the funnel
+    anchors on the user's first view; an expired window is never
+    revived — the property that separates sequence matching from the
+    bag-of-types checks plain joins express). Implemented as a
+    deterministic state-machine FOLD over each user's time-ordered event
+    sequence: sort_array over (ts, event_id, type) structs gives a total
+    order (event_id breaks ts ties), and one codegen `aggregate` lambda
+    carries (stage, stage_ts) — the composition answer (a) of the
+    custom-operator ladder, no UDF. The oracle reaches the same stages
+    through a min-struct chain (first view; first in-window click after
+    it; first in-window purchase after that) — the same semantics stated
     relationally.
 
     Output: users per deepest-stage-reached (0 = active but never
     viewed), the conversion report every funnel analysis starts from.
 
     Plan/scale: one shuffle on user_id, then per-user fold — state is
-    one int per user, events per user bound the array (the per-user
-    activity bound; a user with unbounded history would move this to
-    applyInPandasWithState, the streaming form). The final stage
-    histogram is a 4-row aggregate."""
+    one (int, timestamp) per user, events per user bound the array (a
+    user with unbounded history moves this to applyInPandasWithState,
+    the streaming form). The final stage histogram is a 4-row
+    aggregate."""
     ev = load_table(spark, "events", sf_dir)
-    cases = (
-        f"CASE WHEN st = 0 AND e.event_type = '{FUNNEL_STAGES[0]}' THEN 1"
-        f" WHEN st = 1 AND e.event_type = '{FUNNEL_STAGES[1]}' THEN 2"
-        f" WHEN st = 2 AND e.event_type = '{FUNNEL_STAGES[2]}' THEN 3"
-        " ELSE st END"
+    w = f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES"
+    fold = (
+        "aggregate(seq,"
+        " struct(0 AS st, CAST(NULL AS TIMESTAMP) AS sts),"
+        " (acc, e) -> CASE"
+        f" WHEN acc.st = 0 AND e.event_type = '{FUNNEL_STAGES[0]}'"
+        "  THEN struct(1 AS st, e.ts AS sts)"
+        f" WHEN acc.st = 1 AND e.event_type = '{FUNNEL_STAGES[1]}'"
+        f"  AND e.ts <= acc.sts + {w} THEN struct(2 AS st, e.ts AS sts)"
+        f" WHEN acc.st = 2 AND e.event_type = '{FUNNEL_STAGES[2]}'"
+        f"  AND e.ts <= acc.sts + {w} THEN struct(3 AS st, e.ts AS sts)"
+        " ELSE acc END,"
+        " acc -> acc.st)"
     )
     seq = ev.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type"))
         ).alias("seq")
     )
-    staged = seq.select(
-        "user_id",
-        F.expr(f"aggregate(seq, 0, (st, e) -> {cases})").alias("stage"),
-    )
+    staged = seq.select("user_id", F.expr(fold).alias("stage"))
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
