@@ -2060,6 +2060,14 @@ def funnel_stage_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming form). The final stage histogram is a 4-row
     aggregate."""
     ev = load_table(spark, "events", sf_dir)
+    return funnel_stages_over(ev)
+
+
+def funnel_stages_over(ev: DataFrame) -> DataFrame:
+    """The funnel fold over any (user_id, ts, event_id, event_type)
+    frame — factored so the semantics drills in tests/test_curation_ops
+    can feed constructed sequences (out-of-order purchases, expired
+    windows, ts ties) through the exact production expression."""
     w = f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES"
     fold = (
         "aggregate(seq,"

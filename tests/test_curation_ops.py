@@ -185,3 +185,46 @@ def test_winnowing_guarantee_shared_run_yields_fingerprint(spark):
     b = fps.where("doc_id = 2").select(F2.col("fp").alias("fp_b"))
     shared = a.join(b, a.fp_a == b.fp_b).count()
     assert shared >= 1
+
+
+def test_funnel_sequence_semantics(spark):
+    """Drills the properties that make the funnel a SEQUENCE operator:
+    (a) a purchase before the first view never counts; (b) an expired
+    conversion window is never revived by a later event; (c) ts ties
+    break on event_id so the fold is deterministic."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.plans.timeseries import (
+        FUNNEL_WINDOW_MIN,
+        funnel_stages_over,
+    )
+
+    m = FUNNEL_WINDOW_MIN
+    rows = [
+        # user 1: purchase BEFORE view -> stage stops at 2 (click in window)
+        (1, "2024-01-01 00:00:00", 10, "purchase"),
+        (1, "2024-01-01 01:00:00", 11, "view"),
+        (1, "2024-01-01 01:10:00", 12, "click"),
+        # user 2: full in-window chain -> 3
+        (2, "2024-01-01 00:00:00", 20, "view"),
+        (2, "2024-01-01 00:10:00", 21, "click"),
+        (2, "2024-01-01 00:20:00", 22, "purchase"),
+        # user 3: click arrives AFTER the window -> stuck at 1 forever
+        (3, "2024-01-01 00:00:00", 30, "view"),
+        (3, f"2024-01-0{1 + (m // 1440) + 1} 00:00:01", 31, "click"),
+        (3, f"2024-01-0{1 + (m // 1440) + 1} 00:00:02", 32, "purchase"),
+        # user 4: ts tie between view and click — event_id orders view
+        # first, so the click (same ts, higher id) counts -> 2
+        (4, "2024-01-01 00:00:00", 40, "view"),
+        (4, "2024-01-01 00:00:00", 41, "click"),
+        # user 5: never views -> 0
+        (5, "2024-01-01 00:00:00", 50, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.stage: r.n_users for r in funnel_stages_over(ev).collect()
+    }
+    # recompute expected per the documented semantics
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1}, got
