@@ -95,6 +95,8 @@ HEADLINE = [
     "bigram_lm_doc_score",
     "dsir_importance_select",
     "events_type_drift_tv",
+    "dedup_winnowing_fingerprints",
+    "funnel_stage_progression",
 ]
 
 
