@@ -290,6 +290,7 @@ _NESTED_LOOP_ALLOWED = {
     "bpe_encode_corpus",         # four one-row learned rules broadcast into the apply
     "cluster_balanced_sample",   # one-row corpus-total broadcast onto k cluster sizes
     "events_type_drift_tv",      # |days| x |types| dense monitoring-grid cross join
+    "streaming_drift_monitor_executed",  # same grid over the maintained counts snapshot
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
