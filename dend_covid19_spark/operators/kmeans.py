@@ -50,19 +50,28 @@ def _dist_scores(cents_expr: str, v: str = "v") -> str:
 
 
 def _assign(emb: DataFrame, cents_rows: list[tuple[int, list[float]]]) -> DataFrame:
-    """Append (cluster, dist2) via a broadcast literal codebook."""
-    cents_expr = (
-        "array("
-        + ", ".join(
-            f"struct({cid} AS cid, array({', '.join(f'{x!r}D' for x in vec)}) AS cvec)"
-            for cid, vec in cents_rows
-        )
-        + ")"
+    """Append (cluster, dist2) via a broadcast one-row codebook.
+
+    The codebook travels as DATA — a one-row array<struct<cid, cvec>>
+    DataFrame cross-broadcast onto the scan — not as literal SQL text.
+    Inlining k x d doubles as literals made Catalyst fold and janino
+    compile a ~25 KB expression tree per call, twice per iteration:
+    ~50 s of driver-side plan work for the 3-iteration trajectory
+    (the r11 cold-start finding). Same arithmetic, same 6 dp rounding,
+    same smaller-cid tie-break; the argmin still runs inside codegen."""
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in vec]) for cid, vec in cents_rows],)],
+        "cents array<struct<cid:int,cvec:array<double>>>",
     )
-    best = f"array_max({_dist_scores(cents_expr)})"
-    return emb.withColumn(
-        "cluster", F.expr(f"-({best}).negcid")
-    ).withColumn("dist2", F.expr(f"-({best}).negd"))
+    best = f"array_max({_dist_scores('cents')})"
+    return (
+        emb.join(F.broadcast(cents_df))
+        .withColumn("_best", F.expr(best))
+        .withColumn("cluster", F.expr("-_best.negcid"))
+        .withColumn("dist2", F.expr("-_best.negd"))
+        .drop("_best", "cents")
+    )
 
 
 def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:

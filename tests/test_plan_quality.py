@@ -289,6 +289,9 @@ _NESTED_LOOP_ALLOWED = {
     "bpe_merge_round4",          # same, one one-row rule broadcast per round
     "bpe_encode_corpus",         # four one-row learned rules broadcast into the apply
     "cluster_balanced_sample",   # one-row corpus-total broadcast onto k cluster sizes
+    "kmeans_clusters",           # one-row broadcast codebook (k x d doubles)
+    "semdedup_cluster_prune",    # same one-row codebook broadcast
+    "semdedup_incremental_delta",  # same, plus the batch-sized delta broadcast
     "events_type_drift_tv",      # |days| x |types| dense monitoring-grid cross join
     "streaming_drift_monitor_executed",  # same grid over the maintained counts snapshot
 }
