@@ -320,16 +320,25 @@ def _latest_rows() -> tuple[dict[str, tuple[int, bool, bool]], int, bool]:
     return last, max_rnd, beyond_r1
 
 
+# The newest CORRECTNESS round on disk when REPIN was declared (the r3
+# timestamp-unit regression): a repin's job is ONE fresh green row
+# after that fix, not a permanent slot claim.
+REPIN_DECLARED_ROUND = 3
+
+
 def active_repins() -> list[str]:
-    """REPIN names still awaiting a fresh driver row: latest recorded
-    round older than the newest report, or red there. Once the driver
-    re-records a name green in the newest round it expires from the pin
-    and rotates normally."""
-    last, max_rnd, _ = _latest_rows()
+    """REPIN names still awaiting a fresh post-fix driver row: no green
+    row recorded in any round after REPIN_DECLARED_ROUND, or red in the
+    latest row. Comparing against the NEWEST report instead (the pre-r11
+    behavior) re-armed every repin each round it happened not to be
+    re-checked — a treadmill that permanently taxed 8 of the 50 window
+    slots and starved the stale-green rotation (found r11: 8 r5-stale
+    names would have aged to 6 while long-expired repins re-ran)."""
+    last, _, _ = _latest_rows()
     out = []
     for n in REPIN:
         rec = last.get(n)
-        if rec is None or rec[0] < max_rnd or not rec[1]:
+        if rec is None or rec[0] <= REPIN_DECLARED_ROUND or not rec[1]:
             out.append(n)
     return out
 

@@ -49,10 +49,11 @@ def test_rotation_yields_slots_to_never_green_queries(monkeypatch):
     never-green name packs immediately after the pinned parity bar (so
     none can sit outside the window while a green name holds a slot);
     the result is a permutation of the registry."""
-    # Fabricated state: all REPIN names stale-green at round 4 under a
-    # round-5 report (= active repins); the non-repin RECHECK names have
-    # fresh round-5 greens (= expired rechecks).
-    rows = {n: (4, True, False) for n in plans.REPIN}
+    # Fabricated state: all REPIN names last green at the declaration
+    # round itself (= no post-fix row yet -> active repins); the
+    # non-repin RECHECK names have fresh round-5 greens (= expired
+    # rechecks).
+    rows = {n: (plans.REPIN_DECLARED_ROUND, True, False) for n in plans.REPIN}
     rows.update({n: (5, True, False) for n in plans.RECHECK if n not in plans.REPIN})
     _fabricate_rows(monkeypatch, rows, max_rnd=5)
     assert plans.active_rechecks() == []
@@ -60,7 +61,8 @@ def test_rotation_yields_slots_to_never_green_queries(monkeypatch):
     eff = plans._effective_priority(green=green, rotate=True)
     # The pinned head is the parity bar plus the ACTIVE re-pinned
     # regression set (repins hold their slots until the driver records a
-    # fresh green row in the newest round — then they self-expire).
+    # green row NEWER than the declaration round — then they self-expire
+    # for good; they no longer re-arm each round they go unchecked).
     pinned = plans.PRIORITY[:10] + [
         n for n in plans.REPIN if n in plans.registered_names()
     ]
@@ -79,7 +81,8 @@ def test_repin_recheck_double_membership_is_exclusive(monkeypatch):
     assert dual, "fixture expects at least one dual-declared name"
     target = dual[0]
     rows = {n: (5, True, False) for n in set(plans.REPIN) | set(plans.RECHECK)}
-    rows[target] = (4, True, False)  # stale green -> active repin AND recheck-eligible
+    # last green at the declaration round -> active repin AND recheck-eligible
+    rows[target] = (plans.REPIN_DECLARED_ROUND, True, False)
     _fabricate_rows(monkeypatch, rows, max_rnd=5)
     assert plans.active_repins() == [target]
     assert target not in plans.active_rechecks()  # repin subtracts it
