@@ -167,3 +167,45 @@ def decode_wav_resample(df: DataFrame) -> DataFrame:
         decode,
         "doc_id long, out_idx int, sample_rate int, n_samples int, resampled int",
     )
+
+
+FRAME = 4  # samples per analysis frame (N_SAMP = 8 -> 2 frames per doc)
+
+
+def decode_wav_features(df: DataFrame) -> DataFrame:
+    """Stage 2 (feature extraction): parse each WAV payload with the
+    same chunk-walking decoder, frame the DECODED samples into
+    FRAME-sample windows, and emit the classic integer-exact audio
+    features per frame — energy (sum of squared samples), zero-crossing
+    count (strict sign changes between consecutive samples), and peak
+    amplitude. All three are integer arithmetic over int16 levels, so
+    the values are engine-portable with no float accumulation."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ssq, zc, pk = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                _rate, samples = wav_decode(bytes(payload))
+                for f in range(len(samples) // FRAME):
+                    w = samples[FRAME * f : FRAME * (f + 1)]
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    ssq.append(sum(x * x for x in w))
+                    zc.append(
+                        sum(1 for i in range(1, FRAME) if w[i - 1] * w[i] < 0)
+                    )
+                    pk.append(max(abs(x) for x in w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "sum_sq": pd.Series(ssq, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int32"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        feats,
+        "doc_id long, frame_idx int, sum_sq long, zero_crossings int, peak int",
+    )

@@ -1125,6 +1125,67 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-anonymity: a released row is safe when at least K peers share its
+# quasi-identifier tuple. Banded balance + nation + segment are the
+# quasi-identifiers here (the classic zip/birth/sex triple of the
+# Sweeney attack, re-cast onto this schema); K=5 is the common release
+# bar.
+K_ANON_K = 5
+_QI_BAND = "CAST(floor(c_acctbal / 1000) AS INT)"
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH q AS (
+    SELECT c_nationkey, c_mktsegment, {_QI_BAND} AS bal_band FROM customer
+),
+cls AS (
+    SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS class_size
+    FROM q GROUP BY 1, 2, 3
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       count(*) AS n_classes,
+       CAST(class_size * count(*) AS BIGINT) AS n_customers,
+       (class_size < {K_ANON_K}) AS below_k
+FROM cls GROUP BY class_size
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit: group the table by its quasi-identifier
+    tuple (nation, market segment, banded account balance — the
+    linkable-attribute combination an attacker joins against public
+    records), then report the equivalence-class size distribution with
+    each size flagged below_k when it misses the K=5 bar. A release is
+    k-anonymous iff no below_k row exists; when one does, the histogram
+    says exactly how much generalization (coarser bands) or suppression
+    (dropping singleton classes) the release needs. Completes the
+    privacy family next to pii_detection_audit (what leaks verbatim)
+    and gdpr_erasure_audit (what must be deleted).
+
+    Plan/scale: two stacked key aggregates — rows -> class sizes ->
+    size histogram — both with map-side partials; the first shuffles on
+    the QI tuple (hash-uniform unless the population is, which is the
+    finding), the second on |distinct sizes| keys. Output is at most
+    |distinct class sizes| rows. No window, no join, no collect."""
+    c = load_table(spark, "customer", sf_dir)
+    cls = c.groupBy(
+        "c_nationkey", "c_mktsegment", F.expr(_QI_BAND).alias("bal_band")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        cls.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            F.col("class_size").cast("bigint").alias("class_size"),
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("bigint")
+            .alias("n_customers"),
+            (F.col("class_size") < K_ANON_K).alias("below_k"),
+        )
+    )
+
+
 # --- sequence packing (concat-then-chop batch prep) --------------------------
 
 PACK_BUDGET_TOKENS = 512

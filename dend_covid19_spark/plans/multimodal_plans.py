@@ -315,3 +315,58 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_wav_resample(encode_wav_payload(docs))
+
+
+# Per-sample level restated over documents.text (the decode_wav oracle's
+# arithmetic, kept as one reusable lambda body): sample p
+# nearest-neighbor-samples the UTF-8 bytes and maps to (b - 96) * 256.
+_WAV_SAMPLES_DUCK = (
+    "list_transform(range(0, 8), p -> (ascii(substring(text, "
+    "CAST(1 + (p * octet_length(encode(text))) // 8 AS INT), 1)) - 96) * 256)"
+)
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, {_WAV_SAMPLES_DUCK} AS sm FROM documents
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(sm[4*f+1]*sm[4*f+1] + sm[4*f+2]*sm[4*f+2]
+          + sm[4*f+3]*sm[4*f+3] + sm[4*f+4]*sm[4*f+4] AS BIGINT) AS sum_sq,
+       CAST((CASE WHEN sm[4*f+1]*sm[4*f+2] < 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN sm[4*f+2]*sm[4*f+3] < 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN sm[4*f+3]*sm[4*f+4] < 0 THEN 1 ELSE 0 END) AS INT)
+           AS zero_crossings,
+       CAST(greatest(abs(sm[4*f+1]), abs(sm[4*f+2]),
+                     abs(sm[4*f+3]), abs(sm[4*f+4])) AS INT) AS peak
+FROM s CROSS JOIN (SELECT unnest(range(0, 2)) AS f) fs
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over genuinely decoded samples — the
+    stage after decode in a multimodal curation pipeline (energy gating,
+    silence trimming, clipping detection all read these): encode each
+    document as a real RIFF/WAVE file (the multimodal_decode_wav
+    encoder, odd LIST chunk and all), chunk-walk-parse it back, frame
+    the decoded int16 samples into 4-sample windows, and emit per-frame
+    energy (sum of squares), zero-crossing count, and peak amplitude.
+    All integer arithmetic over the decoded levels — engine-portable
+    with no float accumulation. The oracle restates only sample
+    arithmetic over documents.text, so Spark matches solely by decoding
+    the bytes it wrote AND framing them correctly (an off-by-one frame
+    boundary or unsigned unpack diverges).
+
+    CORPUS PRECONDITION: non-empty ASCII-only text (asserted in the
+    encoder, same as the decode rows).
+
+    Scale: two Arrow mapInPandas stages, partition-parallel, no
+    shuffle; at 100 TB the encoder is replaced by reading real audio
+    bytes and the framing/feature math is unchanged — this is the
+    embarrassingly-parallel per-object shape feature extraction always
+    takes."""
+    from ..multimodal.wav import decode_wav_features, encode_wav_payload
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_wav_features(encode_wav_payload(docs))

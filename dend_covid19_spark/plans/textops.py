@@ -856,6 +856,153 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ExactSubstr span MERGE (the removal decision) --------------------------
+# dedup_ngram_spans reports which 4-gram POSITIONS are cross-document
+# duplicated; this operator finishes the Lee et al. pipeline by merging
+# those positions into MAXIMAL duplicated token spans and sizing the
+# removal: ExactSubstr cuts every duplicated span of >= some token
+# length (50 in the paper; smaller here so the fixture corpus populates
+# both verdicts). Two positions merge when their 4-gram token intervals
+# OVERLAP (start gap <= SPAN_NGRAM - 1); adjacent-but-disjoint intervals
+# stay separate spans, matching interval-merge semantics.
+
+SPAN_REMOVE_MIN = 8  # tokens: spans at least this long get cut
+
+
+@query(
+    "dedup_span_merge",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+t2 AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= {SPAN_NGRAM}),
+g AS (
+    SELECT doc_id, i,
+           CAST(('0x' || substring(md5(array_to_string(toks[i:i+{SPAN_NGRAM - 1}], ' ')), 1, 8)) AS BIGINT) AS gh
+    FROM t2, unnest(range(1, len(toks) - {SPAN_NGRAM - 2})) t(i)
+),
+f AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT g.doc_id, g.i FROM g JOIN f USING (gh)),
+flagged AS (
+    SELECT doc_id, i,
+           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                     > {SPAN_NGRAM - 1} THEN 1 ELSE 0 END AS brk
+    FROM dup
+),
+grp AS (
+    SELECT doc_id, i,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id, span_id,
+           max(i) - min(i) + {SPAN_NGRAM} AS span_tokens
+    FROM grp GROUP BY doc_id, span_id
+),
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t2)
+SELECT s.doc_id, n.n_tokens,
+       count(*) AS n_spans,
+       CAST(max(s.span_tokens) AS BIGINT) AS longest_span_tokens,
+       CAST(coalesce(sum(CASE WHEN s.span_tokens >= {SPAN_REMOVE_MIN}
+                         THEN s.span_tokens END), 0) AS BIGINT) AS removable_tokens,
+       CAST(coalesce(sum(CASE WHEN s.span_tokens >= {SPAN_REMOVE_MIN}
+                         THEN s.span_tokens END), 0) * 1000000
+            // n.n_tokens AS BIGINT) AS removable_ppm
+FROM spans s JOIN n ON n.doc_id = s.doc_id
+GROUP BY s.doc_id, n.n_tokens
+""",
+)
+def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span merge — the REMOVAL decision Lee et al.'s
+    training-data dedup actually executes: take the cross-document
+    duplicated 4-gram positions (dedup_ngram_spans' signal), merge
+    overlapping token intervals into maximal duplicated spans per
+    document, and size the cut — span count, longest span, and how many
+    tokens the >= SPAN_REMOVE_MIN policy would delete (exact integer
+    ppm of the document). dedup_ngram_spans answers "how duplicated is
+    this doc"; this answers "what exactly would we cut, and how much".
+
+    Pipeline: per-position gram hashes -> corpus document-frequency
+    filter (>= 2 docs) -> per-doc gaps-and-islands merge: a position
+    starts a new span iff its gap to the previous duplicated position
+    exceeds SPAN_NGRAM - 1 (token intervals no longer overlap), via
+    lag + running-sum windows PARTITIONED BY doc — the distributed
+    interval-merge idiom, never a global window.
+
+    Scale: identical shuffle shape to dedup_ngram_spans (hash-uniform
+    gram key for the frequency filter) plus one doc-keyed window whose
+    partition is a single document's duplicated positions — bounded by
+    document length, the same per-doc cardinality every operator here
+    already carries. The merge is exactly what the suffix-array
+    implementation emits; n-gram anchoring only quantizes span
+    boundaries to the 4-gram grid."""
+    from pyspark.sql import Window
+
+    from ..functions import hashing as H
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.expr(f"size(toks) >= {SPAN_NGRAM}")
+    )
+    gram_hash = H.spark_hash32(f"concat_ws(' ', slice(toks, i, {SPAN_NGRAM}))")
+    g = tok.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(1, size(toks) - {SPAN_NGRAM - 1}), "
+            f"i -> struct(i AS i, {gram_hash} AS gh)))"
+        ).alias("p"),
+    ).select("doc_id", "p.i", "p.gh").localCheckpoint()
+    f = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gh")
+    )
+    dup = g.join(f, "gh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("i") - F.lag("i").over(w) > SPAN_NGRAM - 1, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    grp = flagged.withColumn(
+        "span_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "span_id").agg(
+        (F.max("i") - F.min("i") + SPAN_NGRAM).alias("span_tokens")
+    )
+    n = tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    removable = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("span_tokens") >= SPAN_REMOVE_MIN, F.col("span_tokens")
+            )
+        ),
+        F.lit(0),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").cast("bigint").alias("longest_span_tokens"),
+            removable.cast("bigint").alias("removable_tokens"),
+        )
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "longest_span_tokens",
+            "removable_tokens",
+            F.expr(
+                "CAST(removable_tokens * 1000000 DIV n_tokens AS BIGINT)"
+            ).alias("removable_ppm"),
+        )
+    )
+
+
 # --- hashing-trick featurization --------------------------------------------
 
 FEATURE_HASH_DIMS = 64

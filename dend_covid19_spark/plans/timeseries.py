@@ -1584,6 +1584,84 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-type weekly seasonal index (decomposition step) --------------------
+
+
+@query(
+    "seasonal_dow_index_by_type",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, CAST(sum(cnt) AS BIGINT) AS type_total,
+           count(DISTINCT day) AS type_days
+    FROM daily GROUP BY 1
+),
+bd AS (
+    SELECT event_type,
+           CAST(CASE WHEN dayofweek(day) = 0 THEN 1
+                ELSE dayofweek(day) + 1 END AS BIGINT) AS dow,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           count(DISTINCT day) AS n_days
+    FROM daily GROUP BY 1, 2
+)
+SELECT bd.event_type, bd.dow, bd.n_events,
+       CAST(bd.n_days AS BIGINT) AS n_days,
+       CAST(bd.n_events * t.type_days * 1000000
+            // (bd.n_days * t.type_total) AS BIGINT) AS seasonal_ppm
+FROM bd JOIN tot t USING (event_type)
+""",
+)
+def seasonal_dow_index_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type weekly SEASONAL INDEX — the classical-decomposition
+    statistic events_dow_hour_profile does not give: for each event
+    type, the ratio of that type's mean daily volume on each day-of-week
+    to its own overall mean daily volume, in exact integer ppm
+    (1,000,000 = no seasonality). The profile row answers "where is
+    global traffic"; this answers "is purchase a weekend-heavy TYPE" —
+    the multiplicative seasonal factor a forecaster divides out before
+    trend fitting, computed per series.
+
+    Exactness: daily counts are integers; both means enter one fused
+    integer expression n_events * type_days * 1e6 // (n_days *
+    type_total), so no float ratio ever materializes. Day-of-week uses
+    Spark's 1=Sunday..7 convention with the oracle remapping DuckDB's
+    0=Sunday..6 (the events_dow_hour_profile trap, handled the same
+    way).
+
+    Plan/scale: one shuffle to per-(type, day) partials, then two
+    type-cardinality rollups joined on event_type — the small side is
+    |types| rows and broadcasts. No window, no collect; at 100 TB the
+    per-day partial aggregate is the only data-volume pass."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("type_total"),
+        F.countDistinct("day").alias("type_days"),
+    )
+    bd = daily.groupBy(
+        "event_type", F.dayofweek("day").cast("bigint").alias("dow")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    return bd.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(n_events * type_days * 1000000"
+            " DIV (n_days * type_total) AS BIGINT)"
+        ).alias("seasonal_ppm"),
+    )
+
+
 # --- order inter-arrival gaps -----------------------------------------------
 
 
