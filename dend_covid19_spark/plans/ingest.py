@@ -787,6 +787,140 @@ def streaming_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFr
     return out
 
 
+# --- watermark late-data DROP accounting (executed) --------------------------
+
+_STREAM_LATE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+LATE_WATERMARK = "5 days"
+LATE_REPLAY_LAST_DAY = "2024-01-10"  # days 1..10 re-delivered late
+
+
+@query(
+    "streaming_late_drop_executed",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 5 DAY AS w FROM events)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+FROM events, wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1
+""",
+)
+def streaming_late_drop_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP executed live under the value hash — the
+    streaming-family row the single-file drains can't exercise (their
+    one data micro-batch means nothing can arrive behind an advanced
+    watermark). Three source files force three micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered), because Spark's late filter
+    runs one batch BEHIND the displayed watermark (measured here:
+    batch N filters input with the watermark committed entering batch
+    N-1, so a replay in the very next batch after the corpus still
+    MERGES — numRowsDroppedByWatermark 0 — before eviction emits at
+    that batch's end):
+
+      batch 0 — the full corpus; its stats set the watermark to
+        max(ts) - 5 days (~Jan 25).
+      batch 1 — a clock tick: a re-delivery of the max-ts event(s)
+        only. It merges into the stream-head window, which lies beyond
+        the final watermark and is therefore never emitted — invisible
+        in append output, but it advances the query one batch so the
+        Jan-25 watermark becomes the ACTIVE input filter.
+      batch 2 — the late replay: every day-1..10 event re-delivered
+        weeks behind the watermark. Their windows were evicted at the
+        end of batch 1, and the now-active filter DROPS every row
+        (this run's numRowsDroppedByWatermark accounts for them).
+
+    The oracle counts each event ONCE from the events table, restricted
+    to windows the final watermark closed. A hash match therefore
+    proves BOTH late-data semantics at once: the replays were dropped
+    (else days 1-10 double-count), and append mode emitted exactly the
+    watermark-closed windows (else days 25+ appear, or the clock tick
+    surfaces). Margins are hours wide on every comparison — no midnight
+    tie decides the result.
+
+    Plan/scale: the aggregation state is one row per (day window) —
+    bounded by the watermark horizon, not stream history; a dropped
+    late row costs one filter, which is the point: replay storms at
+    100 TB hit the watermark gate, not the state store. Same
+    once-per-(session, scale) drain-and-cache discipline as the other
+    streaming rows."""
+    from ..streaming.daily import read_events_stream
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_LATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_LATE_CACHE if k[0] != key[0]]:
+        del _STREAM_LATE_CACHE[k]
+
+    token = abs(hash(("latedrop", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamlate_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    f1 = os.path.join(src, "a_events.parquet")
+    if not os.path.exists(f1):
+        try:
+            os.link(os.path.join(sf_dir, "events.parquet"), f1)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(os.path.join(sf_dir, "events.parquet"), f1)
+    f2 = os.path.join(src, "b_tick.parquet")
+    f3 = os.path.join(src, "c_replay.parquet")
+    if not (os.path.exists(f2) and os.path.exists(f3)):
+        import glob
+        import shutil
+
+        ev = load_table(spark, "events", sf_dir)
+
+        def _stage(df, dest, name):
+            stage = os.path.join(scratch, name)
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            shutil.move(part, dest)
+
+        # clock tick: the max-ts event(s) — beyond the final watermark,
+        # never emitted, exists only to activate the input filter
+        mx = ev.agg(F.max("ts").alias("m"))
+        _stage(ev.join(F.broadcast(mx), ev.ts == F.col("m")).drop("m"), f2, "tick")
+        _stage(
+            ev.where(F.to_date("ts") <= F.lit(LATE_REPLAY_LAST_DAY).cast("date")),
+            f3,
+            "replay",
+        )
+    # The file source admits oldest-modification-time first; pin the
+    # order explicitly: corpus, then tick, then the late replay.
+    now = __import__("time").time()
+    os.utime(f1, (now - 1000, now - 1000))
+    os.utime(f2, (now - 500, now - 500))
+    os.utime(f3, (now, now))
+
+    sink = f"stream_late_sink_{token}"
+    events = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        events.withWatermark("ts", LATE_WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(F.to_date("w.start").alias("day"), "n_events", "value_sum")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).select("day", "n_events", "value_sum")
+    _STREAM_LATE_CACHE[key] = out
+    return out
+
+
 # --- custom stateful operator (applyInPandasWithState) executed -------------
 
 _STREAM_STATEFUL_CACHE: dict[tuple[str, str], DataFrame] = {}

@@ -109,6 +109,97 @@ def test_seasonal_index_oracle_parity(spark, duck):
     )
 
 
+def test_streaming_late_drop_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.ingest import streaming_late_drop_executed
+
+    assert_matches_oracle(
+        streaming_late_drop_executed(spark, SF_DIR),
+        duck,
+        get_spec("streaming_late_drop_executed").oracle,
+        "streaming_late_drop_executed",
+    )
+
+
+def test_streaming_late_drop_metric_proves_the_drop(spark, tmp_path):
+    """Re-run the three-batch choreography with a live query handle and
+    assert the replay was dropped BY THE WATERMARK (stateful-operator
+    metric), not merely absent — plus the one-batch filter lag that
+    motivates the clock-tick batch."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.ingest import LATE_REPLAY_LAST_DAY
+    from dend_covid19_spark.streaming.daily import read_events_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    f1 = os.path.join(src, "a_events.parquet")
+    os.link(os.path.join(SF_DIR, "events.parquet"), f1)
+    ev = load_table(spark, "events", SF_DIR)
+
+    def stage(df, dest, name):
+        d = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = glob.glob(os.path.join(d, "part-*.parquet"))
+        shutil.move(part, dest)
+
+    mx = ev.agg(F.max("ts").alias("m"))
+    f2 = os.path.join(src, "b_tick.parquet")
+    stage(ev.join(F.broadcast(mx), ev.ts == F.col("m")).drop("m"), f2, "tick")
+    f3 = os.path.join(src, "c_replay.parquet")
+    stage(
+        ev.where(F.to_date("ts") <= F.lit(LATE_REPLAY_LAST_DAY).cast("date")),
+        f3,
+        "replay",
+    )
+    now = _t.time()
+    os.utime(f1, (now - 1000,) * 2)
+    os.utime(f2, (now - 500,) * 2)
+    os.utime(f3, (now,) * 2)
+
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "5 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.to_date("w.start").alias("day"), "n_events")
+        .writeStream.format("memory")
+        .queryName("late_drop_metric_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_batch = {
+        p.batchId: (p.stateOperators or [{}])[0]
+        for p in (q.recentProgress or [])
+        if p.numInputRows
+    }
+    assert set(by_batch) >= {0, 1, 2}, sorted(by_batch)
+    # the filter lag: the tick batch drops nothing...
+    assert (by_batch[1].get("numRowsDroppedByWatermark") or 0) == 0
+    # ...and the replay batch drops everything it carries (counted at
+    # the stateful operator, post partial-agg) and updates no state
+    assert (by_batch[2].get("numRowsDroppedByWatermark") or 0) > 0
+    assert (by_batch[2].get("numRowsUpdated") or 0) == 0
+    # emitted content equals the batch truth for watermark-closed days
+    got = {
+        r.day.isoformat(): r.n_events
+        for r in spark.table("late_drop_metric_probe").collect()
+    }
+    truth = {
+        r.day.isoformat(): r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got and all(truth[d] == n for d, n in got.items())
+
+
 def test_seasonal_index_accounts_for_every_event(spark):
     from dend_covid19_spark.catalog import load_table
 
