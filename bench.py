@@ -97,6 +97,13 @@ HEADLINE = [
     "events_type_drift_tv",
     "dedup_winnowing_fingerprints",
     "funnel_stage_progression",
+    # round 11, second half: ExactSubstr span merge (the removal
+    # decision), k-anonymity release audit, audio feature extraction
+    # over decoded WAV, per-type weekly seasonal index
+    "dedup_span_merge",
+    "k_anonymity_audit",
+    "multimodal_audio_features",
+    "seasonal_dow_index_by_type",
 ]
 
 

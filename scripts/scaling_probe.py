@@ -347,6 +347,71 @@ def lsh_shape(spark, k: int):
     )
 
 
+def span_merge_shape(spark, k: int):
+    """dedup_span_merge's plan over k x documents: per-position 4-gram
+    hashes -> corpus doc-frequency filter -> credit-back join -> per-doc
+    gaps-and-islands windows -> span aggregate. Linear iff the gram key
+    stays hash-uniform under growth AND the merge windows stay bounded
+    by single-document length (they partition by doc_id — corpus growth
+    adds partitions, never widens one). Replica texts are salted like
+    lsh_shape (an r{i} token between every word) so duplicated-span
+    structure is preserved within a replica while cross-replica matches
+    — real quadratic duplicate growth, not plan degradation — can't
+    form."""
+    from pyspark.sql import Window
+
+    from dend_covid19_spark.functions import hashing as H
+    from dend_covid19_spark.plans.textops import SPAN_NGRAM
+
+    parts = [
+        load_table(spark, "documents", SF_DIR).select(
+            (F.col("doc_id") + F.lit(i * KEY_SPAN)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " ", f" r{i} ").alias("text"),
+        )
+        for i in range(k)
+    ]
+    docs = reduce(lambda a, b: a.unionByName(b), parts).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.expr(f"size(toks) >= {SPAN_NGRAM}")
+    )
+    gram_hash = H.spark_hash32(f"concat_ws(' ', slice(toks, i, {SPAN_NGRAM}))")
+    g = (
+        tok.select(
+            "doc_id",
+            F.expr(
+                f"explode(transform(sequence(1, size(toks) - {SPAN_NGRAM - 1}), "
+                f"i -> struct(i AS i, {gram_hash} AS gh)))"
+            ).alias("p"),
+        )
+        .select("doc_id", "p.i", "p.gh")
+        .localCheckpoint()
+    )
+    f = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("gh")
+    )
+    dup = g.join(f, "gh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = dup.withColumn(
+        "brk",
+        F.when(F.col("i") - F.lag("i").over(w) > SPAN_NGRAM - 1, 1).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "span_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "span_id").agg(
+        (F.max("i") - F.min("i") + SPAN_NGRAM).alias("span_tokens")
+    )
+    return spans.groupBy().agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").alias("total_span_tokens"),
+    )
+
+
 def dsir_shape(spark, k: int):
     """dsir_importance_select's plan over k x documents: hashed n-gram
     feature fold -> fixed-width (DSIR_BUCKETS-row) model counts ->
@@ -495,6 +560,7 @@ def main() -> None:
         ("lpa_shape", lpa_shape),
         ("model_inference_shape", model_inference_shape),
         ("dsir_shape", dsir_shape),
+        ("span_merge_shape", span_merge_shape),
     ):
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
