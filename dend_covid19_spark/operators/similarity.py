@@ -320,6 +320,138 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN recall audit: the eval harness a production ANN deployment ships
+# with — measure the bucketed index's recall@k against the exact top-k
+# for a PANEL of query vectors, not one. Recall is the number every
+# index-tuning decision (bits, nprobe, codebook size) is judged by;
+# text-dedup already has this discipline (dedup_lsh_recall_audit), this
+# is the embedding-family twin.
+RECALL_QUERY_IDS = [0, 5, 10, 15, 20]
+RECALL_K = 10
+
+_SPARK_COS_Q = _SPARK_COS  # (v, qv) cosine reused per panel row
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           {_DUCK_BUCKET.format(col="embedding")} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+    FROM b WHERE vec_id IN ({", ".join(map(str, RECALL_QUERY_IDS))})
+),
+cos AS (
+    SELECT q.query_id, e.vec_id, e.bucket, q.qbucket,
+           round(CAST(list_cosine_similarity(e.v, q.qv) AS DOUBLE), 6) AS cosine
+    FROM b e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS r
+        FROM cos
+    ) WHERE r <= {RECALL_K}
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS r
+        FROM cos WHERE bucket = qbucket
+    ) WHERE r <= {RECALL_K}
+),
+nb AS (
+    SELECT query_id, count(*) AS n_candidates
+    FROM cos WHERE bucket = qbucket GROUP BY query_id
+),
+hits AS (
+    SELECT t.query_id, count(*) AS n_hits
+    FROM truth t JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+    GROUP BY t.query_id
+)
+SELECT nb.query_id,
+       CAST(nb.n_candidates AS BIGINT) AS n_candidates,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(hits.n_hits, 0) * 1000000 // {RECALL_K} AS BIGINT)
+           AS recall_ppm
+FROM nb LEFT JOIN hits ON hits.query_id = nb.query_id
+""",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k (k = RECALL_K) of the sign-LSH bucketed index against
+    the exact brute-force top-k, over a fixed panel of query vectors —
+    the eval every ANN deployment runs before (and after) touching its
+    index parameters, here under the value hash: per query, the
+    bucket's candidate count, how many exact top-k neighbors the bucket
+    retrieved, and recall in exact integer ppm. The text-dedup family
+    already carries this discipline (dedup_lsh_recall_audit); this is
+    its embedding twin, closing find->verify->AUDIT for the similarity
+    family.
+
+    Determinism: cosines round to 6 dp through one expression per
+    engine before ranking; ranks are row_number over the (cosine DESC,
+    vec_id) total order, so the top-k sets are identical across engines
+    and partitionings.
+
+    Plan/scale: the query PANEL (|panel| rows) cross-broadcasts onto
+    one corpus scan — O(|panel| * n * d) inside codegen, the exact-truth
+    side every recall eval must pay once; ranking windows partition by
+    query_id (|panel| bounded partitions of corpus size — at 10^9
+    vectors the exact side moves to a per-query TakeOrdered loop or a
+    sampled panel, the standard recall-eval downscaling). The candidate
+    side reuses the same scan; hits join on (query_id, vec_id) —
+    panel-bounded cardinality."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = emb.withColumn("bucket", F.expr(_SPARK_BUCKET.format(col="v")))
+    q = b.where(F.col("vec_id").isin(RECALL_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = (
+        b.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(_SPARK_COS_Q))
+        .select("query_id", "vec_id", "bucket", "qbucket", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (
+        cos.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    in_bucket = cos.where(F.col("bucket") == F.col("qbucket"))
+    cand = (
+        in_bucket.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    nb = in_bucket.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    hits = truth.join(cand, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return nb.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(
+            f"CAST(coalesce(n_hits, 0) * 1000000 DIV {RECALL_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
 # kNN graph: blocked many-to-many top-k — every vector's k nearest
 # neighbors, not one query's. 4 sign bits (16 blocks) keep blocks dense
 # enough at test SF that most vectors have >= K_NN in-block neighbors;

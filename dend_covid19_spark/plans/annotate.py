@@ -160,3 +160,134 @@ def model_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+# Cohen's kappa between the two corpus gates: agreement corrected for
+# chance. The evaluation every classifier swap needs ("the new model
+# gate mostly agrees with the heuristic it replaces — kappa 0.4, and
+# here is exactly where they differ"). Exact integer ppm end to end:
+# po and pe are ratios of integer confusion counts, and kappa's
+# signed division routes through non-negative floor divisions only, so
+# Spark's DIV (truncate toward zero) and DuckDB's // (floor) cannot
+# disagree.
+
+
+def _kappa_oracle() -> str:
+    from ..functions.model import duck_model_cte
+    from .textops import _duck_hits
+
+    return f"""
+WITH {duck_model_cte()},
+tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+h AS (
+    SELECT doc_id,
+           (n_chars >= 50
+            AND (CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+                * (0.5 + CAST({_duck_hits("en")} AS DOUBLE) / len(toks)) >= 0.6)
+               AS heur_keep
+    FROM tok
+),
+j AS (
+    SELECT (m.topic_score >= {MODEL_GATE_MIN_SCORE}) AS model_keep, h.heur_keep
+    FROM mpred m JOIN h USING (doc_id)
+),
+c AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN model_keep AND heur_keep THEN 1 ELSE 0 END) AS ka,
+           sum(CASE WHEN model_keep AND NOT heur_keep THEN 1 ELSE 0 END) AS kb,
+           sum(CASE WHEN NOT model_keep AND heur_keep THEN 1 ELSE 0 END) AS kc,
+           sum(CASE WHEN NOT model_keep AND NOT heur_keep THEN 1 ELSE 0 END) AS kd
+    FROM j
+),
+k AS (
+    SELECT n, ka, kb, kc, kd,
+           n * (ka + kd) AS po_num,
+           (ka + kb) * (ka + kc) + (kc + kd) * (kb + kd) AS pe_num
+    FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(ka AS BIGINT) AS n_both_keep,
+       CAST(kb AS BIGINT) AS n_model_only,
+       CAST(kc AS BIGINT) AS n_heur_only,
+       CAST(kd AS BIGINT) AS n_both_drop,
+       CAST((ka + kd) * 1000000 // n AS BIGINT) AS po_ppm,
+       CAST(pe_num * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN n * n = pe_num THEN 0
+                 WHEN po_num >= pe_num
+                 THEN (po_num - pe_num) * 1000000 // (n * n - pe_num)
+                 ELSE -((pe_num - po_num) * 1000000 // (n * n - pe_num))
+            END AS BIGINT) AS kappa_ppm
+FROM k
+"""
+
+
+@query("classifier_agreement_kappa", oracle=_kappa_oracle())
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the MODEL corpus gate (inference score >=
+    MODEL_GATE_MIN_SCORE) and the HEURISTIC gate (corpus_quality_filter's
+    length + stopword-density predicate) — chance-corrected agreement
+    plus the full 2x2 confusion, the report a team reads before swapping
+    a heuristic filter for a learned one. One row: confusion counts,
+    observed/expected agreement, and kappa, all in exact integer ppm
+    (the signed kappa division is routed through non-negative floor
+    divisions so Spark DIV and DuckDB // agree; n*n*1e6 fits BIGINT to
+    ~3e6 docs — production lifts to DECIMAL(38,0), same expressions).
+
+    Plan/scale: the model side is the shuffle-free Arrow inference
+    stage; the heuristic side is codegen predicates on the same scan;
+    one doc_id join and a single global 5-counter aggregate whose
+    map-side partials reduce everything before the 1-row exchange."""
+    from ..functions.model import annotate_topic
+    from .textops import _spark_hits
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "n_chars"
+    )
+    model = annotate_topic(docs).select(
+        "doc_id",
+        (F.col("topic_score") >= MODEL_GATE_MIN_SCORE).alias("model_keep"),
+    )
+    m = docs.select(
+        "doc_id", "n_chars", F.expr("split(text, ' ')").alias("toks")
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.expr(_spark_hits("en")).alias("stop_hits"),
+    )
+    score = F.when(F.col("n_tokens").between(20, 200), F.lit(1.0)).otherwise(
+        0.5
+    ) * (F.lit(0.5) + F.col("stop_hits").cast("double") / F.col("n_tokens"))
+    heur = m.select(
+        "doc_id", ((F.col("n_chars") >= 50) & (score >= 0.6)).alias("heur_keep")
+    )
+    c = (
+        model.join(heur, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("model_keep") & F.col("heur_keep"), 1).otherwise(0)).alias("ka"),
+            F.sum(F.when(F.col("model_keep") & ~F.col("heur_keep"), 1).otherwise(0)).alias("kb"),
+            F.sum(F.when(~F.col("model_keep") & F.col("heur_keep"), 1).otherwise(0)).alias("kc"),
+            F.sum(F.when(~F.col("model_keep") & ~F.col("heur_keep"), 1).otherwise(0)).alias("kd"),
+        )
+        .withColumn("po_num", F.expr("n * (ka + kd)"))
+        .withColumn(
+            "pe_num", F.expr("(ka + kb) * (ka + kc) + (kc + kd) * (kb + kd)")
+        )
+    )
+    return c.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("ka").cast("bigint").alias("n_both_keep"),
+        F.col("kb").cast("bigint").alias("n_model_only"),
+        F.col("kc").cast("bigint").alias("n_heur_only"),
+        F.col("kd").cast("bigint").alias("n_both_drop"),
+        F.expr("CAST((ka + kd) * 1000000 DIV n AS BIGINT)").alias("po_ppm"),
+        F.expr("CAST(pe_num * 1000000 DIV (n * n) AS BIGINT)").alias("pe_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n * n = pe_num THEN 0"
+            " WHEN po_num >= pe_num"
+            " THEN (po_num - pe_num) * 1000000 DIV (n * n - pe_num)"
+            " ELSE -((pe_num - po_num) * 1000000 DIV (n * n - pe_num))"
+            " END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

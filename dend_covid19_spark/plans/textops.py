@@ -664,6 +664,104 @@ def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- OOV-rate curve over candidate vocabulary sizes -------------------------
+# The other direction of vocabulary sizing: GIVEN candidate vocab sizes
+# (hardware-friendly powers of two), what <unk> rate does each buy?
+# vocab_coverage_classes asks "how big for 90% coverage"; this asks
+# "what coverage at 64/256/1024" — the table a tokenizer ablation puts
+# next to its loss curves.
+
+OOV_VOCAB_SIZES = [64, 256, 1024]
+
+
+@query(
+    "vocab_oov_rate_curve",
+    oracle=f"""
+WITH wc AS (
+    SELECT w AS word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+               count(*) AS n_types FROM wc),
+top AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS r
+    FROM wc
+    ORDER BY cnt DESC, word
+    LIMIT {max(OOV_VOCAB_SIZES)}
+),
+sizes AS (SELECT unnest([{", ".join(map(str, OOV_VOCAB_SIZES))}]) AS vocab_size)
+SELECT s.vocab_size,
+       CAST(coalesce(sum(CASE WHEN t.r <= s.vocab_size THEN t.cnt END), 0)
+            AS BIGINT) AS covered_occurrences,
+       tot.total AS total_occurrences,
+       CAST((tot.total
+             - coalesce(sum(CASE WHEN t.r <= s.vocab_size THEN t.cnt END), 0))
+            * 1000000 // tot.total AS BIGINT) AS oov_ppm
+FROM sizes s CROSS JOIN tot LEFT JOIN top t ON t.r <= s.vocab_size
+GROUP BY s.vocab_size, tot.total
+""",
+)
+def vocab_oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV (<unk>) rate at candidate vocabulary sizes: keep the top-N
+    words by corpus frequency (ties to the lexicographically smaller
+    word — a total order, so the vocab is engine- and
+    partitioning-stable) and report the occurrence share that falls
+    outside each N, in exact integer ppm. Complements
+    vocab_coverage_classes (coverage -> size) with the inverse curve
+    (size -> coverage) a tokenizer ablation reads.
+
+    Plan/scale: one vocabulary-cardinality count shuffle, then
+    TakeOrdered pulls only max(sizes) rows (per-partition heaps, no
+    global sort of the vocab), and the rank window runs over that
+    bounded 1024-row spine — the only unpartitioned window, allowlisted
+    with the other constant-bounded spines. The curve itself is
+    |sizes| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = wc.agg(
+        F.sum("cnt").cast("bigint").alias("total_occurrences"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    top = (
+        wc.orderBy(F.desc("cnt"), "word")
+        .limit(max(OOV_VOCAB_SIZES))
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), "word")),
+        )
+    )
+    sizes = spark.createDataFrame(
+        [(n,) for n in OOV_VOCAB_SIZES], "vocab_size int"
+    )
+    covered = F.coalesce(
+        F.sum(F.when(F.col("r") <= F.col("vocab_size"), F.col("cnt"))), F.lit(0)
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(top), F.col("r") <= F.col("vocab_size"), "left"
+        )
+        .groupBy("vocab_size", "total_occurrences")
+        .agg(covered.cast("bigint").alias("covered_occurrences"))
+        .select(
+            "vocab_size",
+            "covered_occurrences",
+            "total_occurrences",
+            F.expr(
+                "CAST((total_occurrences - covered_occurrences) * 1000000"
+                " DIV total_occurrences AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+    )
+
+
 # --- frequency-class vocabulary truncation ----------------------------------
 
 VOCAB_COVERAGE_PCT = 90

@@ -258,6 +258,7 @@ _NESTED_LOOP_ALLOWED = {
     "ann_threshold_search",      # scalar query-vector broadcast
     "ann_topk_bruteforce",       # scalar query-vector broadcast
     "ann_ivf_topk",              # one-row collect_list codebook broadcast
+    "ann_recall_audit",          # 5-row query-panel broadcast (exact-truth side)
     "q11_important_parts",       # one-row threshold broadcast
     "q15_top_supplier",          # one-row max-revenue broadcast
     "q22_dormant_customers",     # one-row mean-balance broadcast
@@ -275,6 +276,8 @@ _NESTED_LOOP_ALLOWED = {
     "orders_price_histogram",    # one-row min/max-bounds broadcast
     "rolling_distinct_users_7d", # one-row max-day-bound broadcast
     "vocab_coverage_classes",    # one-row token-total broadcast
+    "vocab_oov_rate_curve",      # 3-row sizes x one-row totals broadcasts
+    "classifier_agreement_kappa",  # one-row confusion-counts scalar chain
     "zorder_layout_orders",      # one-row dimension-bounds broadcast
     "chisq_brand_region",        # one-row grand-total broadcast
     "referential_integrity_check",  # one-row per-table row-count broadcasts
@@ -305,6 +308,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "timeseries_interpolate_linear",  # ~|days| rows, post-aggregate spine
     "date_spine_daily_purchases",     # ~|days| rows, generated spine
     "vocab_coverage_classes",         # count-of-counts rows: O(sqrt(tokens))
+    "vocab_oov_rate_curve",           # rank over the TakeOrdered 1024-row spine
     "events_cumulative_users",        # ~|days| rows, post-aggregate spine
 }
 

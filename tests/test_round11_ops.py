@@ -215,3 +215,62 @@ def test_seasonal_index_accounts_for_every_event(spark):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert per_type == truth
+
+
+def test_ann_recall_audit_oracle_parity(spark, duck):
+    from dend_covid19_spark.operators.similarity import ann_recall_audit
+
+    assert_matches_oracle(
+        ann_recall_audit(spark, SF_DIR),
+        duck,
+        get_spec("ann_recall_audit").oracle,
+        "ann_recall_audit",
+    )
+
+
+def test_ann_recall_audit_invariants(spark):
+    from dend_covid19_spark.operators.similarity import (
+        RECALL_K,
+        RECALL_QUERY_IDS,
+        ann_recall_audit,
+    )
+
+    rows = ann_recall_audit(spark, SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(RECALL_QUERY_IDS)
+    for r in rows:
+        assert 0 <= r.n_hits <= min(RECALL_K, r.n_candidates), r
+        assert r.recall_ppm == r.n_hits * 1_000_000 // RECALL_K, r
+
+
+def test_kappa_confusion_partitions_and_recompute(spark):
+    from dend_covid19_spark.plans.annotate import classifier_agreement_kappa
+
+    (r,) = classifier_agreement_kappa(spark, SF_DIR).collect()
+    a, b, c, d, n = r.n_both_keep, r.n_model_only, r.n_heur_only, r.n_both_drop, r.n_docs
+    assert a + b + c + d == n
+    assert r.po_ppm == (a + d) * 1_000_000 // n
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    assert r.pe_ppm == pe_num * 1_000_000 // (n * n)
+    po_num = n * (a + d)
+    if n * n == pe_num:
+        assert r.kappa_ppm == 0
+    elif po_num >= pe_num:
+        assert r.kappa_ppm == (po_num - pe_num) * 1_000_000 // (n * n - pe_num)
+    else:
+        assert r.kappa_ppm == -((pe_num - po_num) * 1_000_000 // (n * n - pe_num))
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+
+
+def test_oov_curve_monotone(spark):
+    from dend_covid19_spark.plans.textops import vocab_oov_rate_curve
+
+    rows = sorted(
+        vocab_oov_rate_curve(spark, SF_DIR).collect(), key=lambda r: r.vocab_size
+    )
+    assert [r.vocab_size for r in rows] == [64, 256, 1024]
+    for r in rows:
+        assert 0 <= r.covered_occurrences <= r.total_occurrences
+    # a bigger vocabulary never covers less
+    assert all(
+        rows[i].oov_ppm >= rows[i + 1].oov_ppm for i in range(len(rows) - 1)
+    )
