@@ -33,6 +33,7 @@ from ..operators import (  # noqa: F401
     kmeans,
     pca,
     scale,
+    markov,
     similarity,
 )
 from .registry import (  # noqa: F401

@@ -274,3 +274,53 @@ def test_oov_curve_monotone(spark):
     assert all(
         rows[i].oov_ppm >= rows[i + 1].oov_ppm for i in range(len(rows) - 1)
     )
+
+
+def test_markov_attribution_oracle_parity(spark, duck):
+    from dend_covid19_spark.operators.markov import attribution_markov_removal
+
+    assert_matches_oracle(
+        attribution_markov_removal(spark, SF_DIR),
+        duck,
+        get_spec("attribution_markov_removal").oracle,
+        "attribution_markov_removal",
+    )
+
+
+def test_markov_attribution_invariants(spark):
+    from dend_covid19_spark.operators.markov import (
+        CHANNELS,
+        attribution_markov_removal,
+    )
+
+    rows = attribution_markov_removal(spark, SF_DIR).collect()
+    assert {r.channel for r in rows} == set(CHANNELS)
+    base = rows[0].base_conv_ppb
+    for r in rows:
+        assert r.base_conv_ppb == base  # one shared baseline
+        # removing a channel can only destroy conversions
+        assert 0 <= r.removed_conv_ppb <= base, r
+        assert r.removal_effect_ppb == base - r.removed_conv_ppb
+    # shares are a floor-divided partition of 1e6
+    total = sum(r.attribution_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_markov_absorption_closed_forms():
+    """The integer value iteration against hand-solvable chains."""
+    from dend_covid19_spark.operators.markov import PPB, _absorption_ppb
+
+    # deterministic two-hop conversion: START -> A -> CONV
+    t = [("START", "A", 1), ("A", "CONV", 1)]
+    assert _absorption_ppb(t, None) == PPB
+    assert _absorption_ppb(t, "A") == 0
+    # fair split at START: half the mass converts
+    t2 = [("START", "A", 1), ("START", "NULL", 1), ("A", "CONV", 1)]
+    assert _absorption_ppb(t2, None) == PPB // 2
+    # self-loop: A loops to itself half the time, converts otherwise —
+    # absorption -> 1 but the 16-step iteration underestimates by
+    # exactly the un-absorbed 2^-16 tail (floor arithmetic)
+    t3 = [("START", "A", 1), ("A", "A", 1), ("A", "CONV", 1)]
+    got = _absorption_ppb(t3, None)
+    # un-absorbed 2^-16 tail plus per-step floor losses
+    assert PPB - got <= PPB // 2**14 and got < PPB
