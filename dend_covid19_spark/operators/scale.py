@@ -520,3 +520,84 @@ def agg_skew_aqe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).cast("double").alias("value_sum"),
         F.countDistinct("k").alias("n_keys"),
     )
+
+
+# --- rendezvous (HRW) resharding audit ---------------------------------------
+# Elastic data placement: when the shard count grows N -> N+1, how many
+# rows move, and where? Rendezvous hashing (Thaler & Ravishankar 1998 —
+# the HRW scheme consistent-hashing rings approximate) guarantees the
+# ONLY movement is into the new shard, expected 1/(N+1) of rows — the
+# property that makes resharding a copy of one shard's worth of data
+# instead of a full reshuffle. The audit pins that guarantee under the
+# value hash: every (old, new) flow with old <> new must land on the
+# new shard id.
+
+RESHARD_N_OLD = 8  # shards before the expansion; after = N_OLD + 1
+
+
+def _hrw_shard(n_shards: int, col: str) -> str:
+    """Spark SQL: argmax over shards of the md5-derived (hash, -shard)
+    pair — ties break to the smaller shard id; portable arithmetic."""
+    return (
+        f"(array_max(transform(sequence(0, {n_shards - 1}), s -> struct("
+        f"CAST(conv(substring(md5(concat(CAST({col} AS STRING), '#', "
+        f"CAST(s AS STRING))), 1, 8), 16, 10) AS BIGINT) AS h, "
+        f"-s AS negs)))).negs * -1"
+    )
+
+
+def _hrw_shard_duck(n_shards: int, col: str) -> str:
+    return (
+        f"-((list_aggregate(list_transform(range(0, {n_shards}), s -> struct_pack("
+        f"h := CAST(('0x' || substring(md5(CAST({col} AS VARCHAR) || '#' || "
+        f"CAST(s AS VARCHAR)), 1, 8)) AS BIGINT), "
+        f"negs := -s)), 'max')).negs)"
+    )
+
+
+@query(
+    "reshard_rendezvous_audit",
+    oracle=f"""
+WITH a AS (
+    SELECT doc_id,
+           {_hrw_shard_duck(RESHARD_N_OLD, "doc_id")} AS shard_old,
+           {_hrw_shard_duck(RESHARD_N_OLD + 1, "doc_id")} AS shard_new
+    FROM documents
+)
+SELECT CAST(shard_old AS INT) AS shard_old,
+       CAST(shard_new AS INT) AS shard_new,
+       (shard_old <> shard_new) AS moved,
+       count(*) AS n_docs
+FROM a GROUP BY 1, 2, 3
+""",
+)
+def reshard_rendezvous_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash resharding audit: assign every document a shard
+    under N=RESHARD_N_OLD and N+1 via highest-random-weight hashing
+    (per shard, an md5-derived weight; the row lives on the argmax
+    shard, ties to the smaller id), and report the (old, new) flow
+    matrix with a moved flag. HRW's minimal-disruption guarantee —
+    rows only ever move INTO the new shard — is checkable right in the
+    output (every moved flow has shard_new = N), and is what makes
+    scale-out a one-shard copy instead of a full reshuffle; the pytest
+    pins it plus the ~1/(N+1) expected movement share.
+
+    Plan/scale: the double assignment is one codegen argmax over
+    N+1 hash evaluations per row at the scan — no shuffle until the
+    flow-matrix aggregate (<= (N+1)^2 groups, map-side partials). The
+    same expression IS the production router: consistent placement
+    with zero coordination state beyond the shard count."""
+    docs = load_table(spark, "documents", sf_dir)
+    a = docs.select(
+        "doc_id",
+        F.expr(_hrw_shard(RESHARD_N_OLD, "doc_id")).alias("shard_old"),
+        F.expr(_hrw_shard(RESHARD_N_OLD + 1, "doc_id")).alias("shard_new"),
+    )
+    return (
+        a.groupBy(
+            F.col("shard_old").cast("int").alias("shard_old"),
+            F.col("shard_new").cast("int").alias("shard_new"),
+            (F.col("shard_old") != F.col("shard_new")).alias("moved"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -291,3 +291,85 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+def _calibration_oracle() -> str:
+    from ..functions.model import duck_model_cte
+    from .textops import _duck_hits
+
+    return f"""
+WITH {duck_model_cte()},
+tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+h AS (
+    SELECT doc_id,
+           (n_chars >= 50
+            AND (CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+                * (0.5 + CAST({_duck_hits("en")} AS DOUBLE) / len(toks)) >= 0.6)
+               AS heur_keep
+    FROM tok
+)
+SELECT CAST(m.topic_score AS BIGINT) AS topic_score,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN h.heur_keep THEN 1 END), 0) AS BIGINT)
+           AS n_heur_keep,
+       CAST(coalesce(sum(CASE WHEN h.heur_keep THEN 1 END), 0) * 1000000
+            // count(*) AS BIGINT) AS heur_keep_ppm
+FROM mpred m JOIN h USING (doc_id)
+GROUP BY m.topic_score
+"""
+
+
+@query("model_calibration_by_score", oracle=_calibration_oracle())
+def model_calibration_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-resolved reliability table — the calibration view behind
+    classifier_agreement_kappa's single number: for each model score
+    value, how many documents land there and what fraction the
+    heuristic gate would keep, in exact integer ppm. A well-calibrated
+    score shows keep-rate rising with score; a flat curve says the
+    model's score adds no information over the heuristic — the plot an
+    ML-ops review reads before trusting MODEL_GATE_MIN_SCORE. Scores
+    are small integers (the linear model's integer logits), so the
+    score itself is the bin — no quantile binning needed.
+
+    Plan/scale: the Arrow inference stage and the codegen heuristic
+    predicates share one scan; a doc_id join, then one aggregate onto
+    |distinct scores| groups with map-side partials."""
+    from ..functions.model import annotate_topic
+    from .textops import _spark_hits
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "n_chars"
+    )
+    model = annotate_topic(docs).select("doc_id", "topic_score")
+    m = docs.select(
+        "doc_id", "n_chars", F.expr("split(text, ' ')").alias("toks")
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.expr(_spark_hits("en")).alias("stop_hits"),
+    )
+    score = F.when(F.col("n_tokens").between(20, 200), F.lit(1.0)).otherwise(
+        0.5
+    ) * (F.lit(0.5) + F.col("stop_hits").cast("double") / F.col("n_tokens"))
+    heur = m.select(
+        "doc_id", ((F.col("n_chars") >= 50) & (score >= 0.6)).alias("heur_keep")
+    )
+    return (
+        model.join(heur, "doc_id")
+        .groupBy(F.col("topic_score").cast("bigint").alias("topic_score"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.when(F.col("heur_keep"), 1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_heur_keep"),
+        )
+        .select(
+            "topic_score",
+            "n_docs",
+            "n_heur_keep",
+            F.expr(
+                "CAST(n_heur_keep * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("heur_keep_ppm"),
+        )
+    )

@@ -324,3 +324,38 @@ def test_markov_absorption_closed_forms():
     got = _absorption_ppb(t3, None)
     # un-absorbed 2^-16 tail plus per-step floor losses
     assert PPB - got <= PPB // 2**14 and got < PPB
+
+
+def test_reshard_rendezvous_minimal_disruption(spark):
+    """HRW's guarantee: rows only move INTO the new shard, and the
+    movement share is near 1/(N+1)."""
+    from dend_covid19_spark.operators.scale import (
+        RESHARD_N_OLD,
+        reshard_rendezvous_audit,
+    )
+
+    rows = reshard_rendezvous_audit(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    moved = sum(r.n_docs for r in rows if r.moved)
+    for r in rows:
+        assert 0 <= r.shard_old < RESHARD_N_OLD
+        assert 0 <= r.shard_new <= RESHARD_N_OLD
+        if r.moved:
+            assert r.shard_new == RESHARD_N_OLD, r  # only into the new shard
+        else:
+            assert r.shard_old == r.shard_new
+    # expected 1/(N+1) of rows move; allow wide slack at fixture size
+    assert 0 < moved < total
+    assert abs(moved / total - 1 / (RESHARD_N_OLD + 1)) < 0.08
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.annotate import model_calibration_by_score
+
+    rows = model_calibration_by_score(spark, SF_DIR).collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_heur_keep <= r.n_docs
+        assert r.heur_keep_ppm == r.n_heur_keep * 1_000_000 // r.n_docs
