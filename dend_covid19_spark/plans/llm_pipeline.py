@@ -1413,3 +1413,78 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score_ppm"), "doc_id")
         .limit(DSIR_TOP_K)
     )
+
+
+# Temporal split with an embargo gap: the leakage-safe way to split
+# time-ordered data (hash splits like dataset_split_assign leak
+# temporally correlated rows across the boundary; finance calls the gap
+# "purging/embargo", forecasting calls it a blackout window).
+SPLIT_TRAIN_END = "2024-01-18"  # train: day <= this
+SPLIT_TEST_START = "2024-01-22"  # test: day > this; between = embargo
+
+
+@query(
+    "temporal_split_embargo",
+    oracle=f"""
+WITH lab AS (
+    SELECT user_id,
+           CASE WHEN CAST(date_trunc('day', ts) AS DATE) <= DATE '{SPLIT_TRAIN_END}'
+                     THEN 'train'
+                WHEN CAST(date_trunc('day', ts) AS DATE) > DATE '{SPLIT_TEST_START}'
+                     THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM events
+),
+test_users AS (SELECT DISTINCT user_id FROM lab WHERE split = 'test')
+SELECT l.split,
+       count(*) AS n_events,
+       count(DISTINCT l.user_id) AS n_users,
+       CAST(count(DISTINCT CASE WHEN tu.user_id IS NOT NULL
+                            THEN l.user_id END) AS BIGINT)
+           AS n_users_also_in_test
+FROM lab l LEFT JOIN test_users tu ON tu.user_id = l.user_id
+GROUP BY l.split
+""",
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/embargo/test split with a leakage audit: rows
+    split by event DAY with a purge window between train and test (the
+    embargo that keeps temporally-correlated rows from straddling the
+    boundary — the failure mode hash splits like dataset_split_assign
+    can't see), plus per split the count of users who ALSO appear in
+    test. That last column is the identity-leakage number: any user
+    present in both train and test means user-level features fit on
+    test users' history — the thing an embargo alone does not fix and
+    every temporal-validation review asks about.
+
+    Plan/scale: the split label is a map-side expression; the test-user
+    set is split-cardinality-bounded (distinct users in test) and
+    broadcasts back onto one aggregate — one scan, one user-distinct
+    shuffle, three output rows."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", F.to_date("ts").alias("day"))
+    lab = ev.select(
+        "user_id",
+        F.when(F.col("day") <= F.lit(SPLIT_TRAIN_END).cast("date"), "train")
+        .when(F.col("day") > F.lit(SPLIT_TEST_START).cast("date"), "test")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    test_users = (
+        lab.where(F.col("split") == "test")
+        .select("user_id")
+        .distinct()
+        .withColumn("_in_test", F.lit(1))
+    )
+    return (
+        lab.join(F.broadcast(test_users), "user_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("_in_test").isNotNull(), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("n_users_also_in_test"),
+        )
+    )

@@ -359,3 +359,17 @@ def test_calibration_bins_partition_the_corpus(spark):
     for r in rows:
         assert 0 <= r.n_heur_keep <= r.n_docs
         assert r.heur_keep_ppm == r.n_heur_keep * 1_000_000 // r.n_docs
+
+
+def test_temporal_split_embargo_partitions_and_leakage(spark):
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.llm_pipeline import temporal_split_embargo
+
+    rows = {r.split: r for r in temporal_split_embargo(spark, SF_DIR).collect()}
+    assert set(rows) == {"train", "embargo", "test"}
+    n_events = load_table(spark, "events", SF_DIR).count()
+    assert sum(r.n_events for r in rows.values()) == n_events
+    # test's self-overlap is total; the others' overlap is the leakage
+    assert rows["test"].n_users_also_in_test == rows["test"].n_users
+    for r in rows.values():
+        assert 0 <= r.n_users_also_in_test <= r.n_users
