@@ -104,6 +104,10 @@ HEADLINE = [
     "k_anonymity_audit",
     "multimodal_audio_features",
     "seasonal_dow_index_by_type",
+    # round 11, close: Markov removal-effect attribution (integer
+    # absorption iteration) and the ANN recall@k eval harness
+    "attribution_markov_removal",
+    "ann_recall_audit",
 ]
 
 
