@@ -898,24 +898,37 @@ def streaming_late_drop_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_late_sink_{token}"
     events = read_events_stream(spark, src, max_files_per_trigger=1)
-    q = (
-        events.withWatermark("ts", LATE_WATERMARK)
-        .groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("value_sum"),
+    # The state-store partition count freezes at the session's shuffle
+    # width when the checkpoint is created — 200 under the driver's
+    # vanilla session — and this drain pays it for THREE data batches
+    # plus finalization over ~30 day-window groups. Scope it down for
+    # the stream start and restore (the ingest_overwrite_idempotent
+    # conf discipline); production picks state width from key
+    # cardinality, not the batch-join default.
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        q = (
+            events.withWatermark("ts", LATE_WATERMARK)
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .select(F.to_date("w.start").alias("day"), "n_events", "value_sum")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .select(F.to_date("w.start").alias("day"), "n_events", "value_sum")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old_parts)
     out = spark.table(sink).select("day", "n_events", "value_sum")
     _STREAM_LATE_CACHE[key] = out
     return out
