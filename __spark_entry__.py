@@ -51,6 +51,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
+                # Self-configure the engine's intended shuffle width on
+                # the driver's vanilla session (like the UTC pin): the
+                # 200-partition SQL default costs pure task overhead at
+                # driver scale — worst for the executed-streaming rows,
+                # whose state stores freeze at this width per micro-
+                # batch. Every result is partitioning-independent by
+                # design (fuzz-tested), so this changes wall-clock only.
+                from dend_covid19_spark.session import DEFAULT_SHUFFLE_PARTITIONS
+
+                if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions",
+                        str(DEFAULT_SHUFFLE_PARTITIONS),
+                    )
             except Exception:
                 pass
             return fn(spark, sf_dir)
