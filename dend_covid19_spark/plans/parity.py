@@ -44,13 +44,31 @@ def dsum(col: Column | str, scale: int = 2, out_round: int = 2) -> Column:
     return F.round(F.sum(c.cast(f"decimal(18,{scale})")), out_round).cast("double")
 
 
-def davg(col: Column | str, scale: int = 2, out_round: int = 4) -> Column:
-    """Exact-sum-based average, rounded; division done in double."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1)),
-        out_round,
+def davg(col: str, scale: int = 2, out_round: int = 4) -> Column:
+    """Exact round-half-away-from-zero average via integer arithmetic.
+
+    The previous form (sum cast to double, divide, round in double) was
+    engine-dependent at exact half-way quotients — fuzz seed 53 hit one:
+    an avg_disc of exactly 0.05625 rounded 0.0563 in Spark (which
+    HALF_UPs the double's shortest decimal repr) but 0.0562 in DuckDB
+    (which rounds the binary value 0.056249999...). Same class as the
+    dsum and frame-average lessons (SURVEY §10 items 2-3), now applied
+    to the group average: with a = the exact sum in 10^-scale integer
+    units and n = count, round-half-up(a·10^r / (n·10^scale)) computes
+    as (2N + D) DIV (2D) in BIGINT, negatives mirrored (half-away-from-
+    zero — matching both engines' decimal rounding). The only remaining
+    double op divides an exact integer by 10^r — bit-identical
+    everywhere. BIGINT bound: |sum|·10^(scale+r) < 2^63; lift to
+    DECIMAL(38,0) beyond that."""
+    p_in, p_out = 10**scale, 10**out_round
+    a = f"CAST(sum(CAST({col} AS DECIMAL(18,{scale}))) * {p_in} AS BIGINT)"
+    n_expr = f"(count(*) * {p_in})"
+    num = f"({a} * {p_out})"
+    scaled = (
+        f"CASE WHEN {num} >= 0 THEN (2 * {num} + {n_expr}) DIV (2 * {n_expr}) "
+        f"ELSE -((2 * -{num} + {n_expr}) DIV (2 * {n_expr})) END"
     )
+    return F.expr(f"CAST({scaled} AS DOUBLE) / {p_out}")
 
 
 def _sql_dsum(expr: str, scale: int = 2, out_round: int = 2) -> str:
@@ -59,10 +77,17 @@ def _sql_dsum(expr: str, scale: int = 2, out_round: int = 2) -> str:
 
 
 def _sql_davg(expr: str, scale: int = 2, out_round: int = 4) -> str:
-    return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
-        f" / count(*), {out_round})"
+    """DuckDB twin of davg: the identical integer rounding, // for DIV
+    (both truncate on the non-negative operands the CASE guarantees)."""
+    p_in, p_out = 10**scale, 10**out_round
+    a = f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) * {p_in} AS BIGINT)"
+    n_expr = f"(count(*) * {p_in})"
+    num = f"({a} * {p_out})"
+    scaled = (
+        f"CASE WHEN {num} >= 0 THEN (2 * {num} + {n_expr}) // (2 * {n_expr}) "
+        f"ELSE -((2 * -{num} + {n_expr}) // (2 * {n_expr})) END"
     )
+    return f"CAST({scaled} AS DOUBLE) / {p_out}"
 
 
 # ---------------------------------------------------------------------------
