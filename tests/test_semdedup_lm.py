@@ -103,7 +103,9 @@ def test_semdedup_incremental_is_subset_of_full_pairs(spark):
     emb = load_table(spark, "embeddings", SF_DIR).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = _trained_codebook(spark, emb, SF_DIR)
+    from dend_covid19_spark.operators.kmeans import SEMDEDUP_SEED_IDS
+
+    cents = _trained_codebook(spark, emb, SF_DIR, SEMDEDUP_SEED_IDS)
     fin = _assign(emb, cents).select("vec_id", "v", "cluster")
     a = fin.select(F.col("vec_id").alias("x_id"), F.col("v").alias("x_v"), "cluster")
     b = fin.select(F.col("vec_id").alias("y_id"), F.col("v").alias("y_v"), "cluster")
