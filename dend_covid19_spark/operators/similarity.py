@@ -566,7 +566,8 @@ WITH ex AS (
     FROM ex JOIN st USING (pos)
 )
 SELECT vec_id, label,
-       round(CAST(sum(CAST(e AS DECIMAL(18,12))) AS DOUBLE) / 64, 6) AS mean_abs_err,
+       CAST((2 * CAST(sum(CAST(e AS DECIMAL(18,12))) * 1000000000000 AS BIGINT)
+             + 64 * 1000000) // (2 * 64 * 1000000) AS DOUBLE) / 1000000 AS mean_abs_err,
        round(max(e), 6) AS max_abs_err
 FROM err
 GROUP BY vec_id, label
@@ -601,8 +602,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", F.expr(f"abs(x - ({_DEQUANT.format(x='x', lo='lo', hi='hi')}))")
     )
     return err.groupBy("vec_id", "label").agg(
-        F.round(
-            F.sum(F.col("e").cast("decimal(18,12)")).cast("double") / 64, 6
+        # round-half-up(picounits / (64 * 1e6), 6) in pure integers —
+        # the davg lesson applied to the /d mean: |e| is non-negative,
+        # sums stay ~3e12 in 1e-12 units, far inside BIGINT.
+        F.expr(
+            "CAST((2 * CAST(sum(CAST(e AS DECIMAL(18,12))) * 1000000000000"
+            " AS BIGINT) + 64 * 1000000) DIV (2 * 64 * 1000000) AS DOUBLE)"
+            " / 1000000"
         ).alias("mean_abs_err"),
         F.round(F.max("e"), 6).alias("max_abs_err"),
     )

@@ -877,7 +877,8 @@ SELECT e.event_type, q.p05, q.p95,
        count(*) AS n,
        round(sum(CAST(least(greatest(e.value, q.p05), q.p95) AS DECIMAL(18,2))), 2)::DOUBLE
            AS winsorized_total,
-       round(CAST(round(sum(CAST(least(greatest(e.value, q.p05), q.p95) AS DECIMAL(18,2))), 2) AS DOUBLE) / count(*), 4)
+       CAST((2 * CAST(round(sum(CAST(least(greatest(e.value, q.p05), q.p95) AS DECIMAL(18,2))), 2) * 100 AS BIGINT) * 10000
+             + 100 * count(*)) // (2 * 100 * count(*)) AS DOUBLE) / 10000
            AS winsorized_avg
 FROM events e JOIN q ON q.event_type = e.event_type
 GROUP BY e.event_type, q.p05, q.p95
@@ -928,8 +929,13 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("wv"), 2).cast("double").alias("winsorized_total"),
+            # round-half-up(cents / (100 n), 4) in pure integers — the
+            # davg lesson (fuzz seed 53): rounding the double quotient
+            # is engine-dependent at exact half-way averages. Values
+            # are clamped >= 0 here, so no negative branch is needed.
             F.expr(
-                "round(CAST(round(sum(wv), 2) AS DOUBLE) / count(1), 4)"
+                "CAST((2 * CAST(round(sum(wv), 2) * 100 AS BIGINT) * 10000"
+                " + 100 * count(1)) DIV (2 * 100 * count(1)) AS DOUBLE) / 10000"
             ).alias("winsorized_avg"),
         )
     )

@@ -428,8 +428,8 @@ WITH part_avg AS (
                AS qty_threshold
     FROM lineitem GROUP BY l_partkey
 )
-SELECT round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-             / 7.0, 4) AS avg_yearly
+SELECT CAST((2 * CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT) * 10000
+             + 700) // 1400 AS DOUBLE) / 10000 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN part_avg USING (l_partkey)
@@ -464,9 +464,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(dsum("l_extendedprice", scale=2) / F.lit(7.0), 4).alias(
-                "avg_yearly"
-            )
+            # round-half-up(cents / 700, 4) in pure integers — the davg
+            # lesson: rounding the double quotient is engine-dependent
+            # at exact half-way values. Revenue is non-negative.
+            F.expr(
+                "CAST((2 * CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)"
+                " * 100 AS BIGINT) * 10000 + 700) DIV 1400 AS DOUBLE) / 10000"
+            ).alias("avg_yearly")
         )
     )
 
