@@ -373,3 +373,37 @@ def test_temporal_split_embargo_partitions_and_leakage(spark):
     assert rows["test"].n_users_also_in_test == rows["test"].n_users
     for r in rows.values():
         assert 0 <= r.n_users_also_in_test <= r.n_users
+
+
+def test_davg_integer_rounding_matches_decimal_half_up(spark, duck):
+    """The (2N + D) DIV (2D) formula against Python's exact decimal
+    ROUND_HALF_UP, driven through BOTH engines on adversarial literal
+    rows — including the seed-53 killer (avg of exactly 0.05625)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dend_covid19_spark.plans.parity import _sql_davg, davg
+
+    cases = [
+        [Decimal("0.05"), Decimal("0.06"), Decimal("0.06"), Decimal("0.06")
+         ] * 4,                                   # avg = 0.0575
+        [Decimal("0.05"), Decimal("0.06")] * 8,   # avg = 0.055
+        [Decimal("0.09")] * 160,                  # n=160: the q1 shape
+        [Decimal("0.01"), Decimal("0.10"), Decimal("0.06")],
+        [Decimal("-1.23"), Decimal("4.56"), Decimal("-7.89")],
+        [Decimal("-0.05"), Decimal("-0.06")] * 8, # negative half-way
+    ]
+    # seed-53 reproduction: 9/160 = 0.05625 exactly
+    cases.append([Decimal("9.00")] + [Decimal("0.00")] * 159)
+    for vals in cases:
+        want = (sum(vals) / len(vals)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+        sdf = spark.createDataFrame([(str(v),) for v in vals], "value string")
+        got_spark = sdf.agg(
+            davg("CAST(value AS DOUBLE)").alias("a")
+        ).first().a
+        lits = ", ".join(f"({v})" for v in vals)
+        got_duck = duck.execute(
+            f"SELECT {_sql_davg('value')} AS a FROM (VALUES {lits}) t(value)"
+        ).fetchone()[0]
+        assert got_spark == got_duck == float(want), (vals[:4], got_spark, got_duck, want)
