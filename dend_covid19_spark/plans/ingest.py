@@ -934,6 +934,157 @@ def streaming_late_drop_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- UPDATE / COMPLETE output modes (executed) -------------------------------
+# The drains above cover append mode and foreachBatch sinks; these two
+# rows close the output-mode matrix. A deterministic two-batch
+# choreography (events split at a day boundary, maxFilesPerTrigger=1,
+# mtime-ordered) makes each mode's EMISSION CONTRACT the thing under
+# the value hash:
+#   update   — a batch emits exactly the keys it changed, so the sink
+#              accumulates prefix counts for batch-1 types plus final
+#              totals for types batch 2 touched;
+#   complete — every batch re-emits the full aggregate and the memory
+#              sink REPLACES its contents, so only the final totals
+#              survive (an append-semantics bug would double rows).
+
+MODE_SPLIT_DAY = "2024-01-15"  # batch 1: day <= this; batch 2: the rest
+
+_STREAM_MODE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _two_batch_src(spark: SparkSession, sf_dir: str, scratch: str) -> str:
+    """Source dir with the events table split into two mtime-ordered
+    parquet files at MODE_SPLIT_DAY — one micro-batch each under
+    maxFilesPerTrigger=1."""
+    import glob
+    import shutil
+    import time as _t
+
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    f1 = os.path.join(src, "a_early.parquet")
+    f2 = os.path.join(src, "b_late.parquet")
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        ev = load_table(spark, "events", sf_dir)
+
+        def stage(df, dest, name):
+            d = os.path.join(scratch, name)
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            (part,) = glob.glob(os.path.join(d, "part-*.parquet"))
+            shutil.move(part, dest)
+
+        split = F.lit(MODE_SPLIT_DAY).cast("date")
+        stage(ev.where(F.to_date("ts") <= split), f1, "early")
+        stage(ev.where(F.to_date("ts") > split), f2, "late")
+    now = _t.time()
+    os.utime(f1, (now - 1000,) * 2)
+    os.utime(f2, (now,) * 2)
+    return src
+
+
+def _drain_mode(
+    spark: SparkSession, sf_dir: str, mode: str
+) -> DataFrame:
+    """Run the per-type count aggregate through a two-batch stream in
+    the given output mode and return the memory sink's final contents."""
+    key = (spark.sparkContext.applicationId, sf_dir, mode)
+    cached = _STREAM_MODE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_MODE_CACHE if k[0] != key[0]]:
+        del _STREAM_MODE_CACHE[k]
+
+    from ..streaming.daily import read_events_stream
+
+    token = abs(hash((mode, os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streammode_{mode}_{token}")
+    src = _two_batch_src(spark, sf_dir, scratch)
+    sink = f"stream_{mode}_sink_{token}"
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")  # the late-drop state-width discipline
+        q = (
+            read_events_stream(spark, src, max_files_per_trigger=1)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    out = spark.table(sink).select("event_type", "n_events")
+    _STREAM_MODE_CACHE[key] = out
+    return out
+
+
+@query(
+    "streaming_update_mode_executed",
+    oracle=f"""
+WITH early AS (
+    SELECT event_type, count(*) AS n_events FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '{MODE_SPLIT_DAY}'
+    GROUP BY 1
+),
+total AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+late_types AS (
+    SELECT DISTINCT event_type FROM events
+    WHERE CAST(date_trunc('day', ts) AS DATE) > DATE '{MODE_SPLIT_DAY}'
+)
+SELECT event_type, n_events FROM early
+UNION ALL
+SELECT t.event_type, t.n_events FROM total t JOIN late_types USING (event_type)
+""",
+)
+def streaming_update_mode_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode executed under the value hash: a running
+    per-type count over two micro-batches emits, per batch, exactly the
+    keys that batch CHANGED — so the memory sink's final contents are
+    the batch-1 prefix counts (for types the early file carries) plus
+    the final totals (for types the late file touched), and nothing
+    else. The oracle states both emission sets in SQL; a mode bug in
+    either direction (re-emitting unchanged keys, or emitting only
+    final state) changes the row multiset and fails the hash. No
+    watermark: a running total's state is key-cardinality-bounded here;
+    production puts windows + watermarks in front (the tumbling rows),
+    this row isolates the MODE contract.
+
+    Plan/scale: state is |types| rows; the sink accumulates one row per
+    (batch, changed key). Same once-per-(session, sf, mode) drain cache
+    and state-width scoping as the other executed rows."""
+    return _drain_mode(spark, sf_dir, "update")
+
+
+@query(
+    "streaming_complete_mode_executed",
+    oracle="""
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+""",
+)
+def streaming_complete_mode_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode executed under the value hash: every batch
+    re-emits the FULL aggregate and the memory sink REPLACES its
+    contents, so after the two-batch drain exactly the final totals
+    survive — the oracle is the plain batch aggregate. The mode
+    semantics are what's checked: if the sink appended instead of
+    replacing (or a batch emitted a partial aggregate), the multiset
+    gains prefix rows and the hash fails. Complete mode is the
+    dashboard-refresh shape — viable only while the aggregate stays
+    small, which |event types| is; the update row is the incremental
+    alternative when it isn't.
+
+    Plan/scale: identical two-batch choreography and caching as the
+    update row; the re-emission cost of complete mode is |keys| per
+    batch, the reason production bounds it to monitoring-cardinality
+    aggregates."""
+    return _drain_mode(spark, sf_dir, "complete")
+
+
 # --- custom stateful operator (applyInPandasWithState) executed -------------
 
 _STREAM_STATEFUL_CACHE: dict[tuple[str, str], DataFrame] = {}

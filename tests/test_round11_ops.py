@@ -407,3 +407,35 @@ def test_davg_integer_rounding_matches_decimal_half_up(spark, duck):
             f"SELECT {_sql_davg('value')} AS a FROM (VALUES {lits}) t(value)"
         ).fetchone()[0]
         assert got_spark == got_duck == float(want), (vals[:4], got_spark, got_duck, want)
+
+
+def test_streaming_mode_rows_emission_sets(spark, duck):
+    """update emits per-batch changed keys; complete's sink holds only
+    the final re-emission — both pinned against the batch truth."""
+    from dend_covid19_spark.plans.ingest import (
+        MODE_SPLIT_DAY,
+        streaming_complete_mode_executed,
+        streaming_update_mode_executed,
+    )
+
+    assert_matches_oracle(
+        streaming_update_mode_executed(spark, SF_DIR),
+        duck,
+        get_spec("streaming_update_mode_executed").oracle,
+        "streaming_update_mode_executed",
+    )
+    assert_matches_oracle(
+        streaming_complete_mode_executed(spark, SF_DIR),
+        duck,
+        get_spec("streaming_complete_mode_executed").oracle,
+        "streaming_complete_mode_executed",
+    )
+    from dend_covid19_spark.catalog import load_table
+
+    ev = load_table(spark, "events", SF_DIR)
+    split = F.lit(MODE_SPLIT_DAY).cast("date")
+    n_early = ev.where(F.to_date("ts") <= split).select("event_type").distinct().count()
+    n_late = ev.where(F.to_date("ts") > split).select("event_type").distinct().count()
+    n_all = ev.select("event_type").distinct().count()
+    assert streaming_update_mode_executed(spark, SF_DIR).count() == n_early + n_late
+    assert streaming_complete_mode_executed(spark, SF_DIR).count() == n_all
