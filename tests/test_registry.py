@@ -49,13 +49,21 @@ def test_rotation_yields_slots_to_never_green_queries(monkeypatch):
     never-green name packs immediately after the pinned parity bar (so
     none can sit outside the window while a green name holds a slot);
     the result is a permutation of the registry."""
-    # Fabricated state: all REPIN names last green at the declaration
-    # round itself (= no post-fix row yet -> active repins); the
-    # non-repin RECHECK names have fresh round-5 greens (= expired
-    # rechecks).
-    rows = {n: (plans.REPIN_DECLARED_ROUND, True, False) for n in plans.REPIN}
-    rows.update({n: (5, True, False) for n in plans.RECHECK if n not in plans.REPIN})
-    _fabricate_rows(monkeypatch, rows, max_rnd=5)
+    # Fabricated state: all REPIN names last green at their own
+    # declaration round (= no post-fix row yet -> active repins); the
+    # non-repin RECHECK names have greens one round NEWER than their own
+    # declaration (= expired rechecks). Declaration rounds are per-name
+    # since round 12 (the r11 advice).
+    rows = {n: (decl, True, False) for n, decl in plans.REPIN.items()}
+    rows.update(
+        {
+            n: (decl + 1, True, False)
+            for n, decl in plans.RECHECK.items()
+            if n not in plans.REPIN
+        }
+    )
+    max_rnd = max(r for r, _, _ in rows.values())
+    _fabricate_rows(monkeypatch, rows, max_rnd=max_rnd)
     assert plans.active_rechecks() == []
     green = set(plans.PRIORITY[10:])  # everything beyond the bar went green
     eff = plans._effective_priority(green=green, rotate=True)
@@ -80,10 +88,20 @@ def test_repin_recheck_double_membership_is_exclusive(monkeypatch):
     dual = [n for n in plans.REPIN if n in plans.RECHECK]
     assert dual, "fixture expects at least one dual-declared name"
     target = dual[0]
-    rows = {n: (5, True, False) for n in set(plans.REPIN) | set(plans.RECHECK)}
-    # last green at the declaration round -> active repin AND recheck-eligible
-    rows[target] = (plans.REPIN_DECLARED_ROUND, True, False)
-    _fabricate_rows(monkeypatch, rows, max_rnd=5)
+    # every name fresh-green one round past its declaration (expired) ...
+    rows = {n: (decl + 1, True, False) for n, decl in plans.REPIN.items()}
+    rows.update(
+        {
+            n: (decl + 1, True, False)
+            for n, decl in plans.RECHECK.items()
+            if n not in plans.REPIN
+        }
+    )
+    # ... except the target: last green AT its declaration round ->
+    # active repin AND recheck-eligible
+    rows[target] = (plans.REPIN[target], True, False)
+    max_rnd = max(r for r, _, _ in rows.values())
+    _fabricate_rows(monkeypatch, rows, max_rnd=max_rnd)
     assert plans.active_repins() == [target]
     assert target not in plans.active_rechecks()  # repin subtracts it
     eff = plans._effective_priority(green=set(plans.PRIORITY[10:]), rotate=True)
@@ -115,6 +133,34 @@ def test_unknown_priority_name_fails_at_read():
     assert "flagship_daily_join" in plans.all_queries()
 
 
+def test_late_declared_recheck_activates_despite_older_green(monkeypatch):
+    """The r11 advice's failure mode: under a single module-wide
+    declaration constant, a recheck declared in a LATER round (e.g. the
+    r12 davg set, declared at 11) would be treated as already satisfied
+    by any green row newer than the old constant (4) and never activate.
+    Per-name declaration rounds fix that: a green row OLDER than the
+    name's own declaration round keeps the recheck active."""
+    late = [(n, d) for n, d in plans.RECHECK.items() if d >= 11 and n not in plans.REPIN]
+    assert late, "fixture expects the r12 davg rechecks to be declared at round >= 11"
+    name, decl = late[0]
+    rows = {n: (d + 1, True, False) for n, d in plans.REPIN.items()}
+    rows.update(
+        {
+            n: (d + 1, True, False)
+            for n, d in plans.RECHECK.items()
+            if n not in plans.REPIN
+        }
+    )
+    rows[name] = (decl - 2, True, False)  # green, but PRE-declaration (r9 < r11)
+    max_rnd = max(r for r, _, _ in rows.values())
+    _fabricate_rows(monkeypatch, rows, max_rnd=max_rnd)
+    assert name in plans.active_rechecks()
+    # and a post-declaration green expires it
+    rows[name] = (decl + 1, True, False)
+    _fabricate_rows(monkeypatch, rows, max_rnd=max_rnd)
+    assert name not in plans.active_rechecks()
+
+
 def test_bench_headline_names_are_registered():
     """bench.py's HEADLINE list must reference real registry names — a
     typo here would make the driver's bench crash at round time."""
@@ -130,13 +176,19 @@ def test_recheck_names_queue_behind_never_green(monkeypatch):
     re-requested — changed implementations / regression families) must
     sit AFTER every never-green query and before the ordinary green
     rotation, and must self-expire once a newer report records them."""
-    # Fabricated state: all REPIN names fresh-green in the newest round
-    # (= repins expired); the non-repin RECHECK names still carry only
-    # their declaration-round green (= active rechecks).
-    decl = plans.RECHECK_DECLARED_ROUND
-    rows = {n: (decl + 1, True, False) for n in plans.REPIN}
-    rows.update({n: (decl, True, False) for n in plans.RECHECK if n not in plans.REPIN})
-    _fabricate_rows(monkeypatch, rows, max_rnd=decl + 1)
+    # Fabricated state: all REPIN names fresh-green past their own
+    # declaration round (= repins expired); the non-repin RECHECK names
+    # still carry only their declaration-round green (= active rechecks).
+    rows = {n: (decl + 1, True, False) for n, decl in plans.REPIN.items()}
+    rows.update(
+        {
+            n: (decl, True, False)
+            for n, decl in plans.RECHECK.items()
+            if n not in plans.REPIN
+        }
+    )
+    max_rnd = max(r for r, _, _ in rows.values())
+    _fabricate_rows(monkeypatch, rows, max_rnd=max_rnd)
     assert plans.active_repins() == []
     green = set(plans.PRIORITY[10:]) | set(plans.RECHECK)
     eff = plans._effective_priority(green=green, rotate=True)
@@ -148,7 +200,8 @@ def test_recheck_names_queue_behind_never_green(monkeypatch):
     assert eff[start : start + len(rechecks)] == rechecks
 
     # simulated next round: every recheck name green in a report NEWER
-    # than the declaration round -> the whole list expires
-    fresh = {n: (decl + 1, True, False) for n in plans.RECHECK}
-    _fabricate_rows(monkeypatch, fresh, max_rnd=decl + 1)
+    # than its own declaration round -> the whole list expires
+    fresh = {n: (decl + 1, True, False) for n, decl in plans.RECHECK.items()}
+    max_rnd = max(r for r, _, _ in fresh.values())
+    _fabricate_rows(monkeypatch, fresh, max_rnd=max_rnd)
     assert plans.active_rechecks() == []
