@@ -74,19 +74,33 @@ def _assign(emb: DataFrame, cents_rows: list[tuple[int, list[float]]]) -> DataFr
     )
 
 
+# Per-(cluster, pos) centroid mean, rounded to 6 dp as INTEGERS: with
+# a = the exact coordinate sum in 1e-9 units (the decimal(18,9) casts
+# make the sum exact) and d = count * 1000, the 6 dp mean is the
+# round-half-away-from-zero quotient (2|a| + d) DIV (2d), sign-mirrored.
+# The previous round(double quotient, 6) was the same engine-dependent
+# half-way class the round-11 davg fix closed (fuzz seed 53): Spark
+# HALF_UPs the shortest decimal repr while DuckDB rounds the binary
+# value — audited here per the r11 advice. BIGINT bound: |sum| * 1e9
+# stays far under 2^63 for unit-scale embedding coordinates.
+_A_NANOS = "CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS BIGINT)"
+_D_COUNT = "(count(*) * 1000)"
+_MEAN6_SPARK = (
+    f"CAST(CASE WHEN {_A_NANOS} >= 0 "
+    f"THEN (2 * {_A_NANOS} + {_D_COUNT}) DIV (2 * {_D_COUNT}) "
+    f"ELSE -((2 * -{_A_NANOS} + {_D_COUNT}) DIV (2 * {_D_COUNT})) END "
+    f"AS DOUBLE) / 1000000"
+)
+
+
 def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
-    """New codebook: decimal-exact per-(cluster, pos) means, rounded 6dp,
-    collected as k x d (tiny) to the driver."""
+    """New codebook: decimal-exact per-(cluster, pos) means, rounded 6dp
+    through the integer half-away-from-zero formula, collected as k x d
+    (tiny) to the driver."""
     rows = (
         assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(
-            F.round(
-                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m")
-        )
+        .agg(F.expr(_MEAN6_SPARK).alias("m"))
         .groupBy("cluster")
         .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("cvec"))
         .collect()
@@ -115,11 +129,22 @@ def _duck_assign(prev_cl: str, out: str) -> str:
 )"""
 
 
+# DuckDB twin of _MEAN6_SPARK: identical integer rounding, // for DIV
+# (both truncate on the non-negative operands the CASE guarantees).
+_DUCK_A = "CAST(sum(CAST(v[CAST(pos + 1 AS INT)] AS DECIMAL(18,9))) * 1000000000 AS BIGINT)"
+_DUCK_D = "(count(*) * 1000)"
+_MEAN6_DUCK = (
+    f"CAST(CASE WHEN {_DUCK_A} >= 0 "
+    f"THEN (2 * {_DUCK_A} + {_DUCK_D}) // (2 * {_DUCK_D}) "
+    f"ELSE -((2 * -{_DUCK_A} + {_DUCK_D}) // (2 * {_DUCK_D})) END "
+    f"AS DOUBLE) / 1000000"
+)
+
+
 def _duck_update(a: str, out_c: str, out_cl: str) -> str:
     return f"""u_{out_c} AS (
     SELECT cluster AS cid, pos,
-           round(CAST(sum(CAST(v[CAST(pos + 1 AS INT)] AS DECIMAL(18,9))) AS DOUBLE)
-                 / count(*), 6) AS m
+           {_MEAN6_DUCK} AS m
     FROM {a} CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
     GROUP BY cluster, pos
 ),

@@ -274,6 +274,15 @@ RECHECK: dict[str, int] = {
     "agg_stats_by_nation": 11,
     "q17_small_qty_revenue": 11,
     "embedding_quantize_int8": 11,
+    # r12, admission reason (a): the kmeans centroid means now round
+    # half-away-from-zero as integers (operators/kmeans.py _MEAN6_SPARK
+    # / _MEAN6_DUCK — the r11 advice's remaining quotient site), which
+    # changes the emitted Lloyd-trajectory arithmetic of every codebook
+    # consumer after their r11 green rows.
+    "kmeans_clusters": 11,
+    "semdedup_cluster_prune": 11,
+    "semdedup_incremental_delta": 11,
+    "cluster_balanced_sample": 11,
 }
 
 

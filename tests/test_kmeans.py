@@ -1,16 +1,36 @@
 """Exact-trajectory parity for the distributed k-means: a local numpy
 implementation mirroring the operator's arithmetic (6dp rounding of
-distances and centroids, smaller-cid tie-break, decimal-exact means must
-agree with float64 sums after rounding) must produce IDENTICAL
+distances, integer half-away-from-zero centroid means over exact 1e-9
+coordinate sums, smaller-cid tie-break) must produce IDENTICAL
 assignments — catching any nondeterminism in the Spark trajectory."""
 
 from __future__ import annotations
+
+from decimal import ROUND_HALF_EVEN, Decimal
 
 import numpy as np
 import pyarrow.parquet as pq
 
 from dend_covid19_spark.operators.kmeans import ITERS, SEED_VEC_IDS, kmeans_clusters
 from tests.conftest import SF_DIR
+
+
+def _mean6(col: np.ndarray) -> float:
+    """Mirror of _MEAN6_SPARK: each coordinate casts to decimal(18,9)
+    (nearest 9 dp decimal — a double can never sit exactly half-way
+    between two, so the tie mode is immaterial), sums exactly in 1e-9
+    integer units, then rounds the mean half-away-from-zero to 6 dp as
+    (2|a| + d) DIV (2d) with d = n * 1000."""
+    a = sum(
+        int(
+            Decimal(float(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_EVEN)
+            .scaleb(9)
+        )
+        for x in col
+    )
+    d = len(col) * 1000
+    m6 = (2 * a + d) // (2 * d) if a >= 0 else -((2 * -a + d) // (2 * d))
+    return m6 / 1e6
 
 
 def _reference(sf_dir: str) -> dict[int, int]:
@@ -32,7 +52,7 @@ def _reference(sf_dir: str) -> dict[int, int]:
     for _ in range(ITERS):
         labels = assign(cents)
         cents = {
-            c: np.round(X[labels == c].sum(axis=0) / (labels == c).sum(), 6)
+            c: np.array([_mean6(X[labels == c][:, j]) for j in range(X.shape[1])])
             for c in sorted(set(labels))
         }
     labels = assign(cents)

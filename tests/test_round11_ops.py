@@ -137,7 +137,10 @@ def test_streaming_late_drop_metric_proves_the_drop(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
     f1 = os.path.join(src, "a_events.parquet")
-    os.link(os.path.join(SF_DIR, "events.parquet"), f1)
+    try:  # hardlink is cheapest, but pytest tmp may sit on another fs
+        os.link(os.path.join(SF_DIR, "events.parquet"), f1)
+    except OSError:  # EXDEV/EPERM — mirror the plan code's fallback
+        shutil.copyfile(os.path.join(SF_DIR, "events.parquet"), f1)
     ev = load_table(spark, "events", SF_DIR)
 
     def stage(df, dest, name):
@@ -373,6 +376,67 @@ def test_temporal_split_embargo_partitions_and_leakage(spark):
     assert rows["test"].n_users_also_in_test == rows["test"].n_users
     for r in rows.values():
         assert 0 <= r.n_users_also_in_test <= r.n_users
+
+
+# Oracle parity for the five round-11 rows that previously carried only
+# invariant tests (r11 advice): their DuckDB-specific oracle idioms
+# (struct max via list_aggregate, '0x' hex casts) were exercised only by
+# the external driver sweep until now.
+
+
+def test_reshard_rendezvous_oracle_parity(spark, duck):
+    from dend_covid19_spark.operators.scale import reshard_rendezvous_audit
+
+    assert_matches_oracle(
+        reshard_rendezvous_audit(spark, SF_DIR),
+        duck,
+        get_spec("reshard_rendezvous_audit").oracle,
+        "reshard_rendezvous_audit",
+    )
+
+
+def test_oov_curve_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.textops import vocab_oov_rate_curve
+
+    assert_matches_oracle(
+        vocab_oov_rate_curve(spark, SF_DIR),
+        duck,
+        get_spec("vocab_oov_rate_curve").oracle,
+        "vocab_oov_rate_curve",
+    )
+
+
+def test_kappa_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.annotate import classifier_agreement_kappa
+
+    assert_matches_oracle(
+        classifier_agreement_kappa(spark, SF_DIR),
+        duck,
+        get_spec("classifier_agreement_kappa").oracle,
+        "classifier_agreement_kappa",
+    )
+
+
+def test_calibration_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.annotate import model_calibration_by_score
+
+    assert_matches_oracle(
+        model_calibration_by_score(spark, SF_DIR),
+        duck,
+        get_spec("model_calibration_by_score").oracle,
+        "model_calibration_by_score",
+    )
+
+
+def test_temporal_split_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.llm_pipeline import temporal_split_embargo
+
+    assert_matches_oracle(
+        temporal_split_embargo(spark, SF_DIR),
+        duck,
+        get_spec("temporal_split_embargo").oracle,
+        "temporal_split_embargo",
+    )
 
 
 def test_davg_integer_rounding_matches_decimal_half_up(spark, duck):
