@@ -770,16 +770,30 @@ def streaming_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFr
 
     sink = f"stream_attr_sink_{token}"
     events = read_events_stream(spark, src)
-    q = (
-        attribution_stream(events)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The join's state-store width freezes at the session's shuffle
+    # width when the checkpoint is created — 200 under a vanilla
+    # session — and a stream-stream join keeps per-partition state on
+    # BOTH sides, so this drain paid ~400 state-store instances for a
+    # user-cardinality key space. Scope it down for the stream start
+    # and restore (the late-drop row's discipline, r11 verdict item 3);
+    # production sizes state width from key cardinality, not the
+    # batch-join default.
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        q = (
+            attribution_stream(events)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old_parts)
     out = spark.table(sink).select(
         "view_id", "purchase_id", "user_id", "seconds_to_purchase"
     )
@@ -1375,14 +1389,27 @@ def streaming_upsert_sink_executed(spark: SparkSession, sf_dir: str) -> DataFram
             chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
         )
 
-    first_path = run_conditional_upsert_available_now(
-        spark, src, store, os.path.join(scratch, "ckpt1"), max_files_per_trigger=1
-    )
-    first = spark.read.parquet(first_path)
-    # the full-backfill retry: fresh checkpoint, same input, same store
-    final_path = run_conditional_upsert_available_now(
-        spark, src, store, os.path.join(scratch, "ckpt2"), max_files_per_trigger=1
-    )
+    # The per-batch MERGE compaction + full-outer join inside
+    # foreachBatch shuffle at the session width (200 on a vanilla
+    # session) — pure task overhead for four small batches over a
+    # user-cardinality key, paid TWICE (drain + re-drain). Scope it
+    # down and restore (the late-drop row's discipline, r11 verdict
+    # item 3). The upsert is stateless streaming (foreachBatch), so
+    # nothing freezes into the checkpoint — this is batch-side width.
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        first_path = run_conditional_upsert_available_now(
+            spark, src, store, os.path.join(scratch, "ckpt1"), max_files_per_trigger=1
+        )
+        first = spark.read.parquet(first_path)
+        # the full-backfill retry: fresh checkpoint, same input, same store
+        final_path = run_conditional_upsert_available_now(
+            spark, src, store, os.path.join(scratch, "ckpt2"), max_files_per_trigger=1
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
     assert final_path != first_path, "re-drain must write new versions"
     final = read_snapshot(spark, store)
     diff = (
