@@ -2136,7 +2136,11 @@ def funnel_stage_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (int, timestamp) per user, events per user bound the array (a
     user with unbounded history moves this to applyInPandasWithState,
     the streaming form). The final stage histogram is a 4-row
-    aggregate."""
+    aggregate. Probed r12 (scripts/scaling_probe.py x1->x8 at sf0.1):
+    exponent 1.175 balanced; 1.281 under hot-user skew with ONE user
+    holding ~10% of the whole corpus (funnel_skew_shape) — the
+    collect_list bound holds far past realistic per-user history, so
+    the streaming escape hatch stays documentation."""
     ev = load_table(spark, "events", sf_dir)
     return funnel_stages_over(ev)
 

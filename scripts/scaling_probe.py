@@ -541,11 +541,53 @@ def lpa_shape(spark, k: int):
     return _lpa_propagate(e)
 
 
+def funnel_shape(spark, k: int):
+    """funnel_stage_progression's shape: shuffle on user_id, per-user
+    sort_array + codegen state-machine fold, 4-row histogram. Replicas
+    offset user_id so user count grows with k while per-user history
+    stays constant — the balanced case; see funnel_skew_shape for the
+    documented bound (max events per user)."""
+    from dend_covid19_spark.plans.timeseries import funnel_stages_over
+
+    ev = replicate(
+        load_table(spark, "events", SF_DIR).select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        k,
+        ("user_id", "event_id"),
+    )
+    return funnel_stages_over(ev)
+
+
+def funnel_skew_shape(spark, k: int):
+    """The funnel's documented scale bound driven directly: ~10% of ALL
+    replicas' events collapse onto ONE hot user, so that user's history
+    grows k x 10% of the corpus while everyone else stays constant —
+    the collect_list + fold per-user cost under hot-key skew. If this
+    exponent misbehaves, the applyInPandasWithState streaming form in
+    the funnel docstring is the escape hatch."""
+    from dend_covid19_spark.plans.timeseries import funnel_stages_over
+
+    ev = replicate(
+        load_table(spark, "events", SF_DIR).select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        k,
+        ("user_id", "event_id"),
+    )
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(1)).otherwise(F.col("user_id")),
+    )
+    return funnel_stages_over(hot)
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     load_table(spark, "lineitem", SF_DIR).count()  # warm file listing
 
+    only = set(sys.argv[1:])  # optional shape-name filter
     results: dict[str, dict[str, float]] = {}
     for name, builder in (
         ("q1_shape", q1_shape),
@@ -561,7 +603,11 @@ def main() -> None:
         ("model_inference_shape", model_inference_shape),
         ("dsir_shape", dsir_shape),
         ("span_merge_shape", span_merge_shape),
+        ("funnel_shape", funnel_shape),
+        ("funnel_skew_shape", funnel_skew_shape),
     ):
+        if only and name not in only:
+            continue
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
         for k in MULTIPLIERS:
