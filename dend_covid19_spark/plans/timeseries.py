@@ -2173,3 +2173,129 @@ def funnel_stages_over(ev: DataFrame) -> DataFrame:
     return staged.groupBy("stage").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# --- CUSUM changepoint detection (round 12) ----------------------------------
+# Sequential drift detection over the daily event volume: the two-sided
+# CUSUM statistic (Page 1954) accumulates deviations beyond a slack of
+# one noise unit and flags when either side crosses the decision
+# threshold — the classic pipeline-health monitor for LEVEL SHIFTS,
+# complementing events_type_drift_tv (distribution mix) and
+# events_anomaly_zscore (single-day spikes). All integer: mu is the
+# round-half-up daily mean, the noise unit is isqrt(mu) (Poisson-scale
+# daily noise), slack k = 1 unit, threshold h = 4 units. On this corpus
+# no day flags at any SF — there is no level shift, and the hash pins
+# the full S+/S- trajectories; the detection path is proven by a
+# constructed-shift drill in tests/test_round12_ops.py through the same
+# factored fold.
+CUSUM_SLACK_UNITS = 1
+CUSUM_H_UNITS = 4
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1
+),
+st AS (
+    SELECT (2 * sum(n) + count(*)) // (2 * count(*)) AS mu,
+           count(*) AS nd
+    FROM daily
+),
+st2 AS (
+    SELECT mu, nd,
+           CAST(floor(sqrt(CAST(mu AS DOUBLE))) AS BIGINT) AS sig
+    FROM st
+),
+days AS (
+    SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM daily
+),
+fold AS (
+    SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sm
+    UNION ALL
+    SELECT d.rn,
+           greatest(CAST(0 AS BIGINT),
+                    f.sp + (d.n - s.mu - {CUSUM_SLACK_UNITS} * s.sig)),
+           greatest(CAST(0 AS BIGINT),
+                    f.sm + (s.mu - d.n - {CUSUM_SLACK_UNITS} * s.sig))
+    FROM fold f JOIN days d ON d.rn = f.rn + 1, st2 s
+)
+SELECT d.day, CAST(d.n AS BIGINT) AS n_events,
+       f.sp AS cusum_pos, f.sm AS cusum_neg,
+       (f.sp > {CUSUM_H_UNITS} * s.sig OR f.sm > {CUSUM_H_UNITS} * s.sig)
+           AS flagged
+FROM fold f JOIN days d ON d.rn = f.rn, st2 s
+""",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided integer CUSUM over daily event counts: per day the
+    running S+ / S- statistics (deviation beyond a one-noise-unit slack,
+    floored at zero) and the flag for crossing the 4-unit decision
+    threshold. The sequential recurrence Spark has no native operator
+    for — implemented as one codegen `aggregate` fold over the
+    sort_array'd daily spine (the funnel/markov discipline), with the
+    DuckDB twin unrolling the identical recurrence as a recursive CTE.
+    Zero float in the state: mu rounds half-up as integers and the
+    noise unit is floor(sqrt(mu)) — sqrt of an exact small integer is
+    one correctly-rounded IEEE op, identical on both engines.
+
+    Plan/scale: the corpus aggregates map-side to the ~30-row daily
+    spine; the fold is driver-free and runs over that bounded array in
+    one task — at 100 TB the spine is still |days| rows, which is the
+    point: sequential state never touches row-cardinality data. A
+    constructed level-shift drill proves the flag path fires
+    (tests/test_round12_ops.py)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    st = daily.agg(
+        F.expr("(2 * sum(n) + count(*)) DIV (2 * count(*))").alias("mu"),
+    ).select(
+        "mu",
+        F.expr("CAST(floor(sqrt(CAST(mu AS DOUBLE))) AS BIGINT)").alias("sig"),
+    )
+    return cusum_over_daily(daily, st)
+
+
+def cusum_over_daily(daily: DataFrame, st: DataFrame) -> DataFrame:
+    """The CUSUM fold over any (day, n) spine with a broadcast (mu, sig)
+    stats row — factored so the constructed-changepoint drill can feed
+    a synthetic level shift through the exact production expression."""
+    k, h = CUSUM_SLACK_UNITS, CUSUM_H_UNITS
+    empty = (
+        "slice(array(named_struct("
+        "'day', DATE '1970-01-01', 'n_events', 0L,"
+        " 'cusum_pos', 0L, 'cusum_neg', 0L)), 1, 0)"
+    )
+    fold = (
+        "aggregate(seq,"
+        f" struct(0L AS sp, 0L AS sm, {empty} AS out),"
+        " (acc, e) -> named_struct("
+        f"   'sp', greatest(0L, acc.sp + (e.n - mu - {k} * sig)),"
+        f"   'sm', greatest(0L, acc.sm + (mu - e.n - {k} * sig)),"
+        "   'out', acc.out || array(named_struct("
+        "       'day', e.day, 'n_events', e.n,"
+        f"      'cusum_pos', greatest(0L, acc.sp + (e.n - mu - {k} * sig)),"
+        f"      'cusum_neg', greatest(0L, acc.sm + (mu - e.n - {k} * sig))))),"
+        " acc -> acc.out)"
+    )
+    seq = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("seq")
+    )
+    return (
+        seq.crossJoin(F.broadcast(st))
+        .select(F.explode(F.expr(fold)).alias("r"), "sig")
+        .select(
+            "r.day",
+            "r.n_events",
+            "r.cusum_pos",
+            "r.cusum_neg",
+            (
+                (F.col("r.cusum_pos") > h * F.col("sig"))
+                | (F.col("r.cusum_neg") > h * F.col("sig"))
+            ).alias("flagged"),
+        )
+    )
