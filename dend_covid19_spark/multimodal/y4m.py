@@ -158,3 +158,39 @@ def decode_y4m_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         decode, "doc_id long, frame_no int, w int, h int, y_sum bigint"
     )
+
+
+def decode_y4m_scene_cuts(df: DataFrame, cut_min_delta: int) -> DataFrame:
+    """Per consecutive decoded frame pair, the sum of absolute Y-plane
+    pixel differences (the classic scene-cut detector signal) and the
+    cut flag — all values derive from the PARSED stream: header
+    geometry, FRAME-marker walk, Y-plane slices."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fno, ws, hs, deltas = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["y4m"]):
+                w, h, frames = y4m_decode(bytes(payload))
+                for f in range(len(frames) - 1):
+                    a, b = frames[f], frames[f + 1]
+                    ids.append(doc_id)
+                    fno.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    deltas.append(sum(abs(x - y) for x, y in zip(b, a)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.Series(fno, dtype="int32"),
+                    "w": pd.Series(ws, dtype="int32"),
+                    "h": pd.Series(hs, dtype="int32"),
+                    "frame_delta": pd.Series(deltas, dtype="int64"),
+                }
+            )
+
+    out = df.mapInPandas(
+        decode, "doc_id long, frame_no int, w int, h int, frame_delta bigint"
+    )
+    from pyspark.sql import functions as F
+
+    return out.withColumn("is_cut", F.col("frame_delta") > cut_min_delta)

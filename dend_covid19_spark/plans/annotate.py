@@ -373,3 +373,174 @@ def model_calibration_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heur_keep_ppm"),
         )
     )
+
+
+# --- three-signal quality ensemble (round 12) --------------------------------
+# Production corpus filtering rarely trusts ONE signal: the standard
+# posture is an ensemble — a cheap heuristic gate, a learned classifier
+# gate, and a statistical-LM fluency gate — with majority vote deciding
+# the keep (the same no-single-signal-deletes discipline as
+# dedup_crossmodal_verify). This row composes the repo's three existing
+# gates verbatim and surfaces the full 2x2x2 agreement lattice, so the
+# hash pins every individual gate AND the vote arithmetic.
+LM_GATE_MIN_PPM = 33_000  # fluency floor: near the corpus median at sf0.1
+
+
+def _ensemble_oracle() -> str:
+    from ..functions.model import duck_model_cte
+    from .textops import LM_SCALE_PPM, _duck_hits
+
+    return f"""
+WITH {duck_model_cte()},
+tok AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+h AS (
+    SELECT doc_id,
+           (n_chars >= 50
+            AND (CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END)
+                * (0.5 + CAST({_duck_hits("en")} AS DOUBLE) / len(toks)) >= 0.6)
+               AS heur_keep
+    FROM tok
+),
+uc AS (
+    SELECT token, count(*) AS c FROM (SELECT unnest(toks) AS token FROM tok)
+    GROUP BY token
+),
+occ AS (
+    SELECT doc_id, b['tok_a'] AS tok_a, b['tok_b'] AS tok_b
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> struct_pack(tok_a := toks[i], tok_b := toks[i+1]))) AS b
+        FROM tok
+    )
+),
+bgc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM occ GROUP BY 1, 2),
+lm AS (
+    SELECT o.doc_id,
+           CAST(sum(bgc.c_ab * {LM_SCALE_PPM} // ca.c) // count(*) AS BIGINT)
+               AS avg_cond_ppm
+    FROM occ o
+    JOIN bgc ON bgc.tok_a = o.tok_a AND bgc.tok_b = o.tok_b
+    JOIN uc ca ON ca.token = o.tok_a
+    GROUP BY o.doc_id
+),
+j AS (
+    SELECT (m.topic_score >= {MODEL_GATE_MIN_SCORE}) AS model_keep,
+           h.heur_keep,
+           coalesce(lm.avg_cond_ppm >= {LM_GATE_MIN_PPM}, FALSE) AS lm_keep
+    FROM mpred m
+    JOIN h USING (doc_id)
+    LEFT JOIN lm USING (doc_id)
+)
+SELECT heur_keep, model_keep, lm_keep,
+       CAST(CASE WHEN heur_keep THEN 1 ELSE 0 END
+            + CASE WHEN model_keep THEN 1 ELSE 0 END
+            + CASE WHEN lm_keep THEN 1 ELSE 0 END AS INT) AS n_votes,
+       (CASE WHEN heur_keep THEN 1 ELSE 0 END
+        + CASE WHEN model_keep THEN 1 ELSE 0 END
+        + CASE WHEN lm_keep THEN 1 ELSE 0 END) >= 2 AS kept_majority,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM j
+GROUP BY heur_keep, model_keep, lm_keep
+"""
+
+
+@query("quality_ensemble_vote", oracle=_ensemble_oracle())
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality ensemble over the repo's three corpus
+    gates — heuristic (corpus_quality_filter's length + stopword
+    predicate), learned (model inference score >= MODEL_GATE_MIN_SCORE),
+    and statistical-LM fluency (bigram mean conditional probability >=
+    LM_GATE_MIN_PPM; a doc too short to have bigrams votes drop) —
+    emitting the full 2x2x2 agreement lattice with vote counts and the
+    majority keep decision. The no-single-signal-decides posture of a
+    production curation stack, in one hash-pinned row set; kappa
+    (classifier_agreement_kappa) reports pairwise agreement, this row
+    the three-way decision surface.
+
+    Plan/scale: the model side is the shuffle-free Arrow inference
+    stage; the heuristic side is codegen predicates on the same scan;
+    the LM side explodes bigrams map-side, joins the vocabulary-
+    cardinality model tables (AQE-broadcast), and aggregates once on
+    doc_id — then one doc_id join chain and an 8-group aggregate whose
+    map-side partials reduce everything before the exchange."""
+    from ..functions.model import annotate_topic
+    from .textops import LM_SCALE_PPM, _spark_hits
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "n_chars"
+    )
+    model = annotate_topic(docs).select(
+        "doc_id",
+        (F.col("topic_score") >= MODEL_GATE_MIN_SCORE).alias("model_keep"),
+    )
+    tok = docs.select(
+        "doc_id", "n_chars", F.expr("split(text, ' ')").alias("toks")
+    )
+    m = tok.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.expr(_spark_hits("en")).alias("stop_hits"),
+    )
+    score = F.when(F.col("n_tokens").between(20, 200), F.lit(1.0)).otherwise(
+        0.5
+    ) * (F.lit(0.5) + F.col("stop_hits").cast("double") / F.col("n_tokens"))
+    heur = m.select(
+        "doc_id", ((F.col("n_chars") >= 50) & (score >= 0.6)).alias("heur_keep")
+    )
+    occ = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS tok_a,"
+                " element_at(toks, i + 1) AS tok_b)),"
+                " array())"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.tok_a", "b.tok_b")
+    uc = (
+        tok.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bgc = occ.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = uc.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))
+    lm = (
+        occ.join(bgc, ["tok_a", "tok_b"])
+        .join(ca, "tok_a")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"CAST(sum(c_ab * {LM_SCALE_PPM} DIV c_a) DIV count(*) AS BIGINT)"
+            ).alias("avg_cond_ppm")
+        )
+    )
+    j = (
+        model.join(heur, "doc_id")
+        .join(lm, "doc_id", "left")
+        .select(
+            "heur_keep",
+            "model_keep",
+            F.coalesce(
+                F.col("avg_cond_ppm") >= LM_GATE_MIN_PPM, F.lit(False)
+            ).alias("lm_keep"),
+        )
+    )
+    votes = F.expr(
+        "CAST(IF(heur_keep, 1, 0) + IF(model_keep, 1, 0) + IF(lm_keep, 1, 0) AS INT)"
+    )
+    return (
+        j.groupBy("heur_keep", "model_keep", "lm_keep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "heur_keep",
+            "model_keep",
+            "lm_keep",
+            votes.alias("n_votes"),
+            (votes >= 2).alias("kept_majority"),
+            "n_docs",
+        )
+    )

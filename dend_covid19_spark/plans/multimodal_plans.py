@@ -370,3 +370,59 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return decode_wav_features(encode_wav_payload(docs))
+
+
+# --- scene-cut detection over decoded video (round 12) -----------------------
+# The video-curation primitive LLM multimodal pipelines run before
+# frame sampling: consecutive-frame Y-plane absolute difference (the
+# classic cut detector), so sampling can align to shot boundaries
+# instead of a blind stride. Threshold sits at the corpus median delta
+# (~550 at every SF) so both verdicts stay populated.
+CUT_MIN_DELTA = 550
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents
+),
+px AS (
+    SELECT doc_id, f, p,
+           ascii(substring(text, CAST(1 + ((f * 20 + p) * L) // 80 AS INT), 1))
+               AS y0,
+           ascii(substring(text, CAST(1 + (((f + 1) * 20 + p) * L) // 80 AS INT), 1))
+               AS y1
+    FROM d
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS f) fs
+    CROSS JOIN (SELECT unnest(range(0, 20)) AS p) ps
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_no,
+       CAST(5 AS INT) AS w,
+       CAST(4 AS INT) AS h,
+       CAST(sum(abs(y1 - y0)) AS BIGINT) AS frame_delta,
+       sum(abs(y1 - y0)) > {CUT_MIN_DELTA} AS is_cut
+FROM px
+GROUP BY doc_id, f
+""",
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over genuinely decoded video: each document's
+    real YUV4MPEG2 stream (the frame-sample row's codec) decodes frame
+    by frame, and every consecutive pair emits the Y-plane
+    sum-of-absolute-differences plus the cut flag at CUT_MIN_DELTA —
+    the shot-boundary signal multimodal curation uses to align frame
+    sampling and dedup to content changes. The oracle restates only
+    byte arithmetic over documents.text, so header parsing, the
+    FRAME-marker walk, plane slicing AND the pairwise delta must all be
+    right for the hash to land.
+
+    Plan/scale: two Arrow mapInPandas stages (encode stands in for
+    reading real video bytes at 100 TB; the decode/delta walk is
+    unchanged), partition-parallel, shuffle-free — per-video state is
+    two frames, never the whole stream."""
+    from ..multimodal.y4m import decode_y4m_scene_cuts, encode_y4m_payload
+
+    docs = load_table(spark, "documents", sf_dir)
+    return decode_y4m_scene_cuts(encode_y4m_payload(docs), CUT_MIN_DELTA)

@@ -204,6 +204,90 @@ def test_cusum_detects_constructed_level_shift(spark):
     assert all(flags[first:]), "flag dropped while the shift persisted"
 
 
+def test_ensemble_vote_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.annotate import quality_ensemble_vote
+
+    assert_matches_oracle(
+        quality_ensemble_vote(spark, SF_DIR),
+        duck,
+        get_spec("quality_ensemble_vote").oracle,
+        "quality_ensemble_vote",
+    )
+
+
+def test_ensemble_vote_lattice_partitions_corpus(spark):
+    """The 2x2x2 lattice partitions the corpus; vote counts and the
+    majority flag are pure functions of the three gate booleans; the
+    ensemble is non-degenerate (both majority verdicts populated)."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.annotate import quality_ensemble_vote
+
+    rows = quality_ensemble_vote(spark, SF_DIR).collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert len({(r.heur_keep, r.model_keep, r.lm_keep) for r in rows}) == len(rows)
+    for r in rows:
+        votes = int(r.heur_keep) + int(r.model_keep) + int(r.lm_keep)
+        assert r.n_votes == votes
+        assert r.kept_majority == (votes >= 2)
+    verdicts = {r.kept_majority for r in rows}
+    assert verdicts == {True, False}
+
+
+def test_scene_cuts_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.multimodal_plans import multimodal_video_scene_cuts
+
+    assert_matches_oracle(
+        multimodal_video_scene_cuts(spark, SF_DIR),
+        duck,
+        get_spec("multimodal_video_scene_cuts").oracle,
+        "multimodal_video_scene_cuts",
+    )
+
+
+def test_scene_cuts_mirror_local_decode(spark):
+    """The pairwise delta against a local decode of a constructed
+    two-scene stream: a hard content change between frames must flag,
+    a frozen frame must not."""
+    import pandas as pd
+
+    from dend_covid19_spark.multimodal.y4m import (
+        VID_H,
+        VID_W,
+        decode_y4m_scene_cuts,
+        y4m_encode,
+    )
+
+    wh = VID_W * VID_H
+    frames = [bytes([40] * wh), bytes([40] * wh), bytes([200] * wh)]
+    payload = y4m_encode(frames)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "y4m": [payload]}),
+        "doc_id long, y4m binary",
+    )
+    rows = sorted(
+        decode_y4m_scene_cuts(df, 100).collect(), key=lambda r: r.frame_no
+    )
+    assert [(r.frame_no, r.frame_delta, r.is_cut) for r in rows] == [
+        (0, 0, False),          # frozen frame: zero delta
+        (1, 160 * wh, True),    # hard cut: |200-40| per pixel
+    ]
+    assert rows[0].w == VID_W and rows[0].h == VID_H
+
+
+def test_scene_cuts_flag_consistency(spark):
+    from dend_covid19_spark.plans.multimodal_plans import (
+        CUT_MIN_DELTA,
+        multimodal_video_scene_cuts,
+    )
+
+    rows = multimodal_video_scene_cuts(spark, SF_DIR).collect()
+    assert rows and any(r.is_cut for r in rows) and any(not r.is_cut for r in rows)
+    for r in rows:
+        assert r.is_cut == (r.frame_delta > CUT_MIN_DELTA)
+        assert r.frame_delta >= 0
+
+
 def test_ivf_multiprobe_beats_single_bucket_lsh(spark):
     """The pairing that justifies two recall rows: the servable IVF
     index must strictly dominate the single-bucket sign-LSH audit row
