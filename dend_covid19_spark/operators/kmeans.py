@@ -526,3 +526,110 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+# --- SemDeDup threshold sweep (round 12) --------------------------------------
+# The tuning curve behind semdedup_cluster_prune's single operating
+# point — prune volume at a grid of cosine thresholds — the embedding-
+# family twin of dedup_lsh_band_sweep's (bands x rows) sweep: every
+# threshold change at 100 TB is justified by this table, computed in
+# ONE pass over the same within-cluster pair space (the pair join is
+# paid once; the grid is a codegen fan-out over it).
+SEMDEDUP_SWEEP_T_PPM = [350_000, 400_000, 450_000, 500_000]
+
+_SEMDEDUP_SWEEP_ORACLE = (
+    "WITH "
+    + _duck_kmeans_ctes(SEMDEDUP_SEED_IDS)
+    + f""",
+fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1}),
+tot AS (SELECT count(*) AS n FROM fin),
+pairs AS (
+    SELECT x.vec_id,
+           CAST(round(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 6)
+                * 1000000 AS BIGINT) AS cos_ppm
+    FROM fin x JOIN fin y
+      ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+),
+grid AS (SELECT unnest([{", ".join(map(str, SEMDEDUP_SWEEP_T_PPM))}]) AS t_ppm),
+pruned AS (
+    SELECT g.t_ppm, count(DISTINCT p.vec_id) AS n_pruned
+    FROM grid g LEFT JOIN pairs p ON p.cos_ppm >= g.t_ppm
+    GROUP BY g.t_ppm
+)
+SELECT pr.t_ppm AS threshold_ppm,
+       CAST(pr.n_pruned AS BIGINT) AS n_pruned,
+       CAST(pr.n_pruned * 1000000 // tot.n AS BIGINT) AS prune_rate_ppm
+FROM pruned pr, tot
+"""
+)
+
+
+@query("semdedup_threshold_sweep", oracle=_SEMDEDUP_SWEEP_ORACLE)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup THRESHOLD SWEEP: how many vectors would the
+    within-cluster keep-first prune remove at each cosine threshold of
+    a fixed grid — the tuning table that justifies the prune row's
+    operating point (Abbas et al. tune exactly this: prune fraction vs
+    threshold), computed like dedup_lsh_band_sweep tunes (bands x
+    rows) for the text family. The hash pins the clustering
+    trajectory, the pair cosines, AND the grid arithmetic at once.
+
+    Determinism: pair cosines round to 6 dp and convert to integer ppm
+    BEFORE the threshold compare, so the grid gate is pure integer.
+
+    Plan/scale: the |c|^2-bounded pair space (the prune row's cost) is
+    paid ONCE; the 4-point grid joins against it as a broadcast
+    fan-out, and the distinct-victim count per threshold shuffles
+    threshold-bounded groups. The curve costs one sweep regardless of
+    grid size — never one clustering per candidate threshold."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.persist()
+    cents = _trained_codebook(spark, emb, sf_dir, SEMDEDUP_SEED_IDS)
+    fin = (
+        _assign(emb, cents)
+        .select(
+            "vec_id",
+            "v",
+            "cluster",
+            F.expr("sqrt(aggregate(v, 0D, (acc, a) -> acc + a * a))").alias("nrm"),
+        )
+        .localCheckpoint()
+    )
+    x = fin.select(
+        F.col("vec_id").alias("x_id"), F.col("v").alias("x_v"),
+        F.col("nrm").alias("x_n"), "cluster",
+    )
+    y = fin.select(
+        F.col("vec_id").alias("y_id"), F.col("v").alias("y_v"),
+        F.col("nrm").alias("y_n"), "cluster",
+    )
+    pairs = (
+        x.join(y, "cluster")
+        .where(F.col("y_id") < F.col("x_id"))
+        .select(
+            F.col("x_id").alias("vec_id"),
+            F.expr(f"CAST({_PAIR_COS_SPARK} * 1000000 AS BIGINT)").alias("cos_ppm"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in SEMDEDUP_SWEEP_T_PPM], "t_ppm bigint"
+    )
+    tot = fin.agg(F.count(F.lit(1)).alias("n"))
+    pruned = (
+        F.broadcast(grid)
+        .join(pairs, pairs.cos_ppm >= grid.t_ppm, "left")
+        .groupBy("t_ppm")
+        .agg(F.countDistinct("vec_id").alias("n_pruned"))
+    )
+    return (
+        pruned.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t_ppm").alias("threshold_ppm"),
+            F.col("n_pruned").cast("bigint").alias("n_pruned"),
+            F.expr("CAST(n_pruned * 1000000 DIV n AS BIGINT)").alias(
+                "prune_rate_ppm"
+            ),
+        )
+    )

@@ -283,6 +283,11 @@ RECHECK: dict[str, int] = {
     "semdedup_cluster_prune": 11,
     "semdedup_incremental_delta": 11,
     "cluster_balanced_sample": 11,
+    # r12, admission reason (a): both drains got the late-drop row's
+    # shuffle-width scoping (plans/ingest.py) — hashes verified
+    # unchanged builder-side; the driver row should re-prove it.
+    "streaming_interval_join_executed": 11,
+    "streaming_upsert_sink_executed": 11,
 }
 
 

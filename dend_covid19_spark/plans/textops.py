@@ -1959,3 +1959,81 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_cond_ppm").cast("bigint").alias("min_score_ppm"),
         F.max("avg_cond_ppm").cast("bigint").alias("max_score_ppm"),
     )
+
+
+# --- tokenizer fertility by language (round 12) -------------------------------
+def _fertility_oracle() -> str:
+    """Fertility twin: the identical BPE train CTEs, then per-LANGUAGE
+    symbol/word accounting after applying the learned rules."""
+    train = _bpe_rounds_oracle(BPE_MERGE_ROUNDS)
+    with_clause = train[: train.rindex("\nSELECT")]
+    ap = "text"
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        ap = f"replace({ap}, (SELECT sym FROM r{r}), chr({r}))"
+    return f"""{with_clause}
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(len(replace(text, ' ', ''))) AS BIGINT) AS syms_before,
+       CAST(sum(len(replace({ap}, ' ', ''))) AS BIGINT) AS syms_after,
+       CAST(sum(len(replace({ap}, ' ', ''))) * 1000000
+            // sum(len(string_split(text, ' '))) AS BIGINT)
+           AS syms_per_word_ppm,
+       CAST(sum(len(replace({ap}, ' ', ''))) * 1000000
+            // sum(len(replace(text, ' ', ''))) AS BIGINT)
+           AS compression_ppm
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("tokenizer_fertility_by_lang", oracle=_fertility_oracle())
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE symbols per word after
+    applying the trained merges, in exact integer ppm — the
+    multilingual-equity metric every tokenizer review reports: a
+    vocabulary trained on a mixed corpus spends more symbols per word
+    on under-represented languages, which silently taxes their
+    effective context length and training compute share. Emits per
+    language the doc/word/symbol accounting, fertility
+    (symbols-per-word), and the compression ratio vs raw characters;
+    bpe_encode_corpus reports the same apply per SOURCE, this row the
+    per-language equity view.
+
+    Plan/scale: training runs once at vocabulary cardinality
+    (_bpe_train_rules — corpus scanned once, rules checkpointed); the
+    apply is one codegen chained-replace projection with four broadcast
+    one-row joins; the aggregate shuffles |langs| groups with map-side
+    partials. Integer floor divisions only — engine-stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    rules = _bpe_train_rules(docs)
+    enc = docs.select("lang", "text")
+    ap = "text"
+    for r, rule in enumerate(rules, start=1):
+        enc = enc.crossJoin(
+            F.broadcast(rule.select(F.col("sym").alias(f"__sym_{r}")))
+        )
+        ap = f"replace({ap}, __sym_{r}, chr({r}))"
+    agg = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_words"),
+        F.sum(F.length(F.expr("replace(text, ' ', '')")))
+        .cast("bigint")
+        .alias("syms_before"),
+        F.sum(F.length(F.expr(f"replace({ap}, ' ', '')")))
+        .cast("bigint")
+        .alias("syms_after"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "syms_before",
+        "syms_after",
+        F.expr("CAST(syms_after * 1000000 DIV n_words AS BIGINT)").alias(
+            "syms_per_word_ppm"
+        ),
+        F.expr("CAST(syms_after * 1000000 DIV syms_before AS BIGINT)").alias(
+            "compression_ppm"
+        ),
+    )

@@ -288,6 +288,35 @@ def test_scene_cuts_flag_consistency(spark):
         assert r.frame_delta >= 0
 
 
+def test_fertility_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.textops import tokenizer_fertility_by_lang
+
+    assert_matches_oracle(
+        tokenizer_fertility_by_lang(spark, SF_DIR),
+        duck,
+        get_spec("tokenizer_fertility_by_lang").oracle,
+        "tokenizer_fertility_by_lang",
+    )
+
+
+def test_fertility_invariants(spark):
+    """Merges never grow the symbol stream; accounting partitions the
+    corpus; ppm columns are the exact floor ratios."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.textops import tokenizer_fertility_by_lang
+
+    rows = tokenizer_fertility_by_lang(spark, SF_DIR).collect()
+    docs = load_table(spark, "documents", SF_DIR)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    langs = {r.lang for r in rows}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+    for r in rows:
+        assert 0 < r.syms_after <= r.syms_before
+        assert r.syms_per_word_ppm == r.syms_after * 1_000_000 // r.n_words
+        assert r.compression_ppm == r.syms_after * 1_000_000 // r.syms_before
+        assert r.compression_ppm <= 1_000_000
+
+
 def test_ivf_multiprobe_beats_single_bucket_lsh(spark):
     """The pairing that justifies two recall rows: the servable IVF
     index must strictly dominate the single-bucket sign-LSH audit row
