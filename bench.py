@@ -112,6 +112,10 @@ HEADLINE = [
     # absorption iteration) and the ANN recall@k eval harness
     "attribution_markov_removal",
     "ann_recall_audit",
+    # round 12 additions: the SERVABLE multi-probe IVF index with its
+    # pinned recall floor, and the three-gate majority-vote ensemble
+    "ann_ivf_multiprobe_recall",
+    "quality_ensemble_vote",
 ]
 
 

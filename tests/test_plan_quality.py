@@ -297,6 +297,13 @@ _NESTED_LOOP_ALLOWED = {
     "semdedup_incremental_delta",  # same, plus the batch-sized delta broadcast
     "events_type_drift_tv",      # |days| x |types| dense monitoring-grid cross join
     "streaming_drift_monitor_executed",  # same grid over the maintained counts snapshot
+    # round 12
+    "ann_ivf_multiprobe_recall",  # one-row codebook + |panel|-row query broadcasts
+    "ann_prefix_dim_recall_curve",  # |panel|-row query-panel broadcast (x 3-width grid)
+    "semdedup_threshold_sweep",  # one-row codebook + 4-row threshold-grid + one-row total
+    "events_changepoint_cusum",  # one-row (mu, sig) stats broadcast onto the day spine
+    "stratified_group_kfold",    # one-row corpus-total broadcast onto K fold groups
+    "tokenizer_fertility_by_lang",  # four one-row learned BPE rules broadcast into the apply
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
