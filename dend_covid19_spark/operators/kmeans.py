@@ -605,31 +605,41 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("y_id"), F.col("v").alias("y_v"),
         F.col("nrm").alias("y_n"), "cluster",
     )
-    pairs = (
+    grid_lit = ", ".join(map(str, SEMDEDUP_SWEEP_T_PPM))
+    # the grid fans out INSIDE codegen (filter over a literal array per
+    # pair), never as a join: an inequality join against the pair space
+    # planned a nested-loop that broadcast the whole pair table (9.7 s
+    # steady at sf0.1 — the broadcast hint can't apply to the preserved
+    # side of a left join); this form pays one pass over the pairs
+    # (~2 s) and a |grid|-group aggregate
+    hits = (
         x.join(y, "cluster")
         .where(F.col("y_id") < F.col("x_id"))
         .select(
             F.col("x_id").alias("vec_id"),
             F.expr(f"CAST({_PAIR_COS_SPARK} * 1000000 AS BIGINT)").alias("cos_ppm"),
         )
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(f"filter(array({grid_lit}), t -> cos_ppm >= t)")
+            ).alias("t_ppm"),
+        )
+        .groupBy("t_ppm")
+        .agg(F.countDistinct("vec_id").alias("n_hit"))
     )
     grid = spark.createDataFrame(
         [(t,) for t in SEMDEDUP_SWEEP_T_PPM], "t_ppm bigint"
     )
     tot = fin.agg(F.count(F.lit(1)).alias("n"))
-    pruned = (
-        F.broadcast(grid)
-        .join(pairs, pairs.cos_ppm >= grid.t_ppm, "left")
-        .groupBy("t_ppm")
-        .agg(F.countDistinct("vec_id").alias("n_pruned"))
-    )
     return (
-        pruned.crossJoin(F.broadcast(tot))
+        grid.join(F.broadcast(hits), "t_ppm", "left")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("t_ppm").alias("threshold_ppm"),
-            F.col("n_pruned").cast("bigint").alias("n_pruned"),
-            F.expr("CAST(n_pruned * 1000000 DIV n AS BIGINT)").alias(
-                "prune_rate_ppm"
-            ),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_pruned"),
+            F.expr(
+                "CAST(coalesce(n_hit, 0) * 1000000 DIV n AS BIGINT)"
+            ).alias("prune_rate_ppm"),
         )
     )
