@@ -794,10 +794,14 @@ _DUCK_BUCKET_N = (
     "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))"
 )
 
+# dot / (|src| * |nbr|) with the norms computed ONCE per vector and
+# attached to the bucketed table — same IEEE value and order as the
+# inline form (one multiply of two exact sqrt results either way),
+# ~3x less lambda work across the in-block pair space (the kmeans
+# _PAIR_COS_SPARK discipline; measured there r11).
 _SPARK_PAIR_COS = (
     "round(aggregate(zip_with(v, nv, (x, y) -> x * y), 0D, (acc, p) -> acc + p) / "
-    "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
-    " sqrt(aggregate(nv, 0D, (acc, x) -> acc + x * x))), 6)"
+    "(v_n * nv_n), 6)"
 )
 
 
@@ -845,12 +849,16 @@ def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = emb.withColumn(
         "bucket", F.expr(_SPARK_BUCKET_N.format(col="v", bits=KNN_BITS))
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))")
     )
     src = b.select(
-        F.col("vec_id").alias("src_id"), F.col("v"), F.col("bucket")
+        F.col("vec_id").alias("src_id"), F.col("v"), F.col("nrm").alias("v_n"),
+        F.col("bucket"),
     )
     nbr = b.select(
-        F.col("vec_id").alias("nbr_id"), F.col("v").alias("nv"), F.col("bucket")
+        F.col("vec_id").alias("nbr_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nv_n"), F.col("bucket"),
     )
     pairs = (
         src.join(nbr, "bucket")
