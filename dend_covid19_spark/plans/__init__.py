@@ -288,6 +288,10 @@ RECHECK: dict[str, int] = {
     # unchanged builder-side; the driver row should re-prove it.
     "streaming_interval_join_executed": 11,
     "streaming_upsert_sink_executed": 11,
+    # r12, admission reason (a): pair cosine now reads precomputed
+    # norms (operators/similarity.py) — same IEEE value, verified
+    # hash-identical at sf0.01/sf0.1 builder-side.
+    "knn_graph_blocked": 11,
 }
 
 
