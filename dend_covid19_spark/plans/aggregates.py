@@ -1641,3 +1641,82 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_join_rows")).alias("overestimate"),
     )
+
+
+# --- interval-concurrency sweep line (round 12) --------------------------------
+# "How many orders are OPEN on each day?" — the interval-overlap
+# counting shape (concurrent sessions, active subscriptions, WIP
+# backlog) that a per-day join over intervals would answer in
+# O(days x orders). The sweep line answers it in one pass: +1 at each
+# interval start, -1 at its end, aggregate deltas per day, running-sum
+# over the day-ordered spine. An order's interval is
+# [o_orderdate, max(l_shipdate)) — open until its last line ships.
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+WITH iv AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS d0,
+           greatest(CAST(o.o_orderdate AS DATE), CAST(max(l.l_shipdate) AS DATE))
+               AS d1
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+    SELECT d0 AS day, 1 AS delta FROM iv
+    UNION ALL
+    SELECT d1 AS day, -1 AS delta FROM iv
+),
+byday AS (SELECT day, sum(delta) AS d FROM deltas GROUP BY day)
+SELECT day,
+       CAST(sum(d) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_open
+FROM byday
+""",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OPEN-ORDER backlog via the sweep line: each order
+    contributes +1 on its order date and -1 on the day its last line
+    ships (unconditionally — a same-day order nets 0, the half-open
+    [start, end) convention), per-day deltas aggregate map-side, and one running sum
+    over the day spine yields the concurrency curve. The
+    interval-overlap counting shape (active sessions, subscriptions,
+    WIP) without the O(days x intervals) join a naive per-day probe
+    pays.
+
+    Data hygiene, surfaced not hidden: this synthetic generator emits
+    ~20% of orders with max(l_shipdate) BEFORE o_orderdate (real TPC-H
+    forbids it). An ill-formed interval clamps to the empty [d0, d0) —
+    greatest(d0, d1) on both engines — so it nets zero instead of
+    leaking a permanent +1 into the running sum (the bug the
+    constructed probe in tests/test_round12_ops.py caught at build
+    time: sweep and direct interval count disagreed by exactly the
+    ill-formed rows).
+
+    Plan/scale: the per-order interval is one groupBy on the order key
+    (map-side partials); deltas aggregate to |days| rows BEFORE the
+    window, so the running sum is a bounded-spine global sort
+    (allowlisted — calendar cardinality, not data volume; a multi-year
+    spine shards by year with per-shard offsets exactly like
+    pack_chunks_greedy's stream offsets)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d1"))
+        .select(
+            F.to_date("o_orderdate").alias("d0"),
+            F.greatest(F.to_date("o_orderdate"), F.to_date("d1")).alias("d1"),
+        )
+    )
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    byday = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return byday.select(
+        "day", F.sum("d").over(w).cast("bigint").alias("n_open")
+    )

@@ -1583,3 +1583,83 @@ def stratified_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types",
         )
     )
+
+
+# --- context-length padding-waste curve (round 12) ----------------------------
+# The decision table BEFORE sequence packing: if every document is
+# padded to a multiple of the context window (the no-packing baseline —
+# docs never share a sequence), how many pad tokens does each candidate
+# window size burn? This is what justifies pack_chunks_greedy's
+# concat-and-split discipline: the curve quantifies the waste packing
+# eliminates, per window size, in exact integer ppm.
+PACK_WASTE_WINDOWS = [32, 64, 128]
+
+
+@query(
+    "pack_padding_waste_curve",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+g AS (SELECT unnest([{", ".join(map(str, PACK_WASTE_WINDOWS))}]) AS window_size),
+seq AS (
+    SELECT g.window_size, t.doc_id, t.n_tokens,
+           (t.n_tokens + g.window_size - 1) // g.window_size AS n_seqs
+    FROM t CROSS JOIN g
+)
+SELECT window_size,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_seqs) AS BIGINT) AS n_sequences,
+       CAST(sum(n_seqs) * window_size AS BIGINT) AS padded_tokens,
+       CAST((sum(n_seqs) * window_size - sum(n_tokens)) * 1000000
+            // (sum(n_seqs) * window_size) AS BIGINT) AS waste_ppm
+FROM seq
+GROUP BY window_size
+""",
+)
+def pack_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PADDING-WASTE curve across candidate context windows: under
+    document-isolated packing (each doc padded to a multiple of the
+    window — the baseline when documents must not share sequences),
+    the pad-token fraction per window size in exact integer ppm. Small
+    windows waste little (tails are short relative to many full
+    sequences) but fragment documents; large windows waste more — the
+    table a team reads against pack_chunks_greedy (which eliminates
+    the waste by concat-and-split) before choosing the packing
+    discipline and context budget.
+
+    Plan/scale: token counts are one map-side expression; the window
+    grid is a 3-value codegen fan-out on the same scan (no join);
+    one |grid|-group aggregate with map-side partials. Integer floor
+    arithmetic only."""
+    docs = load_table(spark, "documents", sf_dir)
+    grid = ", ".join(map(str, PACK_WASTE_WINDOWS))
+    seq = docs.select(
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.explode(F.expr(f"array({grid})")).alias("window_size"),
+    ).withColumn(
+        "n_seqs",
+        F.expr("(n_tokens + window_size - 1) DIV window_size"),
+    )
+    return (
+        seq.groupBy("window_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_seqs").cast("bigint").alias("n_sequences"),
+        )
+        .select(
+            "window_size",
+            "n_docs",
+            "total_tokens",
+            "n_sequences",
+            F.expr("CAST(n_sequences * window_size AS BIGINT)").alias(
+                "padded_tokens"
+            ),
+            F.expr(
+                "CAST((n_sequences * window_size - total_tokens) * 1000000"
+                " DIV (n_sequences * window_size) AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+    )

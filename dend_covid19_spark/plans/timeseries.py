@@ -2299,3 +2299,104 @@ def cusum_over_daily(daily: DataFrame, st: DataFrame) -> DataFrame:
             ).alias("flagged"),
         )
     )
+
+
+# --- Theil-Sen robust trend (round 12) ----------------------------------------
+# The robust slope estimator over the daily-count spine: the median of
+# all pairwise slopes tolerates up to ~29% corrupted days where an OLS
+# slope follows a single outlier — the trend number a pipeline-health
+# dashboard wants next to the CUSUM level-shift flag. The pair space is
+# |days|² (~435 pairs at 30 days) — bounded by the CALENDAR, not data
+# volume, so the quadratic is free at any corpus size.
+
+
+@query(
+    "events_trend_theil_sen",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+    FROM events GROUP BY 1
+),
+d AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily),
+slopes AS (
+    SELECT a.i AS i, b.i AS j,
+           CASE WHEN b.n >= a.n
+                THEN (b.n - a.n) * 1000000 // (b.i - a.i)
+                ELSE -((a.n - b.n) * 1000000 // (b.i - a.i)) END AS slope_ppm
+    FROM d a JOIN d b ON b.i > a.i
+),
+r AS (
+    SELECT slope_ppm,
+           row_number() OVER (ORDER BY slope_ppm, i, j) AS rn,
+           count(*) OVER () AS cnt
+    FROM slopes
+)
+SELECT CAST(cnt AS BIGINT) AS n_pairs,
+       CAST(min(CASE WHEN rn = (cnt + 1) // 2 THEN slope_ppm END) AS BIGINT)
+           AS median_slope_ppm,
+       CAST(min(CASE WHEN rn = (cnt * 25 + 99) // 100 THEN slope_ppm END) AS BIGINT)
+           AS p25_slope_ppm,
+       CAST(min(CASE WHEN rn = (cnt * 75 + 99) // 100 THEN slope_ppm END) AS BIGINT)
+           AS p75_slope_ppm
+FROM r
+GROUP BY cnt
+""",
+)
+def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST TREND of daily event volume: the median (and
+    p25/p75 band) of all pairwise day-to-day slopes, in exact integer
+    ppm events/day — the estimator that shrugs off the outlier days an
+    OLS fit chases (up to ~29% breakdown). Slopes floor-divide with the
+    sign mirrored (Spark DIV truncates toward zero, DuckDB // floors —
+    identical only on non-negative operands, the davg discipline);
+    quantile picks are row_number positions over the (slope, i, j)
+    total order, so every value is engine-exact.
+
+    Plan/scale: the corpus aggregates map-side to the |days| spine; the
+    pair join and rank window run over |days|²/2 rows — bounded by the
+    CALENDAR (435 pairs for 30 days), not data volume, which is why
+    the quadratic estimator is admissible here and not on row-scale
+    data. One bounded-spine global sort (allowlisted)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    d = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("day"))
+    ).select("i", "n")
+    a = d.select(F.col("i").alias("ai"), F.col("n").alias("an"))
+    b = d.select(F.col("i").alias("bi"), F.col("n").alias("bn"))
+    slopes = (
+        a.join(b, F.col("bi") > F.col("ai"))
+        .select(
+            F.col("ai").alias("i"),
+            F.col("bi").alias("j"),
+            F.expr(
+                "CASE WHEN bn >= an"
+                " THEN (bn - an) * 1000000 DIV (bi - ai)"
+                " ELSE -((an - bn) * 1000000 DIV (bi - ai)) END"
+            ).alias("slope_ppm"),
+        )
+    )
+    r = slopes.select(
+        "slope_ppm",
+        F.row_number()
+        .over(Window.orderBy("slope_ppm", "i", "j"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    pick = (
+        "CAST(min(CASE WHEN rn = ({expr}) THEN slope_ppm END) AS BIGINT)"
+    )
+    return r.groupBy("cnt").agg(
+        F.expr(pick.format(expr="(cnt + 1) DIV 2")).alias("median_slope_ppm"),
+        F.expr(pick.format(expr="(cnt * 25 + 99) DIV 100")).alias("p25_slope_ppm"),
+        F.expr(pick.format(expr="(cnt * 75 + 99) DIV 100")).alias("p75_slope_ppm"),
+    ).select(
+        F.col("cnt").cast("bigint").alias("n_pairs"),
+        "median_slope_ppm",
+        "p25_slope_ppm",
+        "p75_slope_ppm",
+    )

@@ -304,6 +304,7 @@ _NESTED_LOOP_ALLOWED = {
     "events_changepoint_cusum",  # one-row (mu, sig) stats broadcast onto the day spine
     "stratified_group_kfold",    # one-row corpus-total broadcast onto K fold groups
     "tokenizer_fertility_by_lang",  # four one-row learned BPE rules broadcast into the apply
+    "events_trend_theil_sen",  # |days| x |days| pair join over the bounded day spine
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
@@ -317,6 +318,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "vocab_coverage_classes",         # count-of-counts rows: O(sqrt(tokens))
     "vocab_oov_rate_curve",           # rank over the TakeOrdered 1024-row spine
     "events_cumulative_users",        # ~|days| rows, post-aggregate spine
+    "events_trend_theil_sen",         # |days|^2/2 pair spine (~435 rows at 30 days)
+    "orders_open_backlog_daily",      # ~|days| delta rows, post-aggregate spine
 }
 
 _WINDOW_ARGS = re.compile(r"\(\d+\) Window\s*\nInput[^\n]*\nArguments: ([^\n]*)")

@@ -317,6 +317,123 @@ def test_fertility_invariants(spark):
         assert r.compression_ppm <= 1_000_000
 
 
+def test_padding_waste_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.llm_pipeline import pack_padding_waste_curve
+
+    assert_matches_oracle(
+        pack_padding_waste_curve(spark, SF_DIR),
+        duck,
+        get_spec("pack_padding_waste_curve").oracle,
+        "pack_padding_waste_curve",
+    )
+
+
+def test_padding_waste_invariants(spark):
+    """Sequence accounting: padded >= total tokens; ceil-division seq
+    counts; same token total at every window size."""
+    from dend_covid19_spark.plans.llm_pipeline import (
+        PACK_WASTE_WINDOWS,
+        pack_padding_waste_curve,
+    )
+
+    rows = sorted(
+        pack_padding_waste_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.window_size,
+    )
+    assert [r.window_size for r in rows] == sorted(PACK_WASTE_WINDOWS)
+    totals = {r.total_tokens for r in rows}
+    assert len(totals) == 1  # the corpus doesn't change with the window
+    for r in rows:
+        assert r.padded_tokens == r.n_sequences * r.window_size
+        assert r.padded_tokens >= r.total_tokens
+        waste = (r.padded_tokens - r.total_tokens) * 1_000_000 // r.padded_tokens
+        assert r.waste_ppm == waste
+
+
+def test_theil_sen_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.timeseries import events_trend_theil_sen
+
+    assert_matches_oracle(
+        events_trend_theil_sen(spark, SF_DIR),
+        duck,
+        get_spec("events_trend_theil_sen").oracle,
+        "events_trend_theil_sen",
+    )
+
+
+def test_theil_sen_mirror(spark):
+    """The slope picks against a local mirror over the real daily
+    counts (sign-mirrored floor division, positional quantiles)."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.timeseries import events_trend_theil_sen
+
+    ev = load_table(spark, "events", SF_DIR)
+    daily = sorted(
+        (r.day, r.n)
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ns = [n for _, n in daily]
+    slopes = []
+    for i in range(len(ns)):
+        for j in range(i + 1, len(ns)):
+            dy, dx = ns[j] - ns[i], j - i
+            s = (dy * 1_000_000) // dx if dy >= 0 else -((-dy * 1_000_000) // dx)
+            slopes.append((s, i + 1, j + 1))
+    slopes.sort()
+    cnt = len(slopes)
+    (r,) = events_trend_theil_sen(spark, SF_DIR).collect()
+    assert r.n_pairs == cnt
+    assert r.median_slope_ppm == slopes[(cnt + 1) // 2 - 1][0]
+    assert r.p25_slope_ppm == slopes[(cnt * 25 + 99) // 100 - 1][0]
+    assert r.p75_slope_ppm == slopes[(cnt * 75 + 99) // 100 - 1][0]
+    assert r.p25_slope_ppm <= r.median_slope_ppm <= r.p75_slope_ppm
+
+
+def test_backlog_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.aggregates import orders_open_backlog_daily
+
+    assert_matches_oracle(
+        orders_open_backlog_daily(spark, SF_DIR),
+        duck,
+        get_spec("orders_open_backlog_daily").oracle,
+        "orders_open_backlog_daily",
+    )
+
+
+def test_backlog_sweep_invariants(spark):
+    """The sweep line against a direct interval probe on sampled days,
+    plus the conservation law: the final running sum equals the count
+    of orders whose interval is empty (same-day) or still open at the
+    last delta day."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.aggregates import orders_open_backlog_daily
+
+    rows = sorted(
+        orders_open_backlog_daily(spark, SF_DIR).collect(), key=lambda r: r.day
+    )
+    assert rows and all(r.n_open >= 0 for r in rows)
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_shipdate")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d1"))
+        .select(F.to_date("o_orderdate").alias("d0"), F.to_date("d1").alias("d1"))
+        .collect()
+    )
+    # this synthetic generator emits ship-before-order rows; the row
+    # clamps them to empty intervals — assert they exist so the clamp
+    # is actually exercised, then probe half-open [d0, clamp(d1))
+    assert any(r.d1 < r.d0 for r in iv), "fixture no longer has ill-formed intervals"
+    days = [r.day for r in rows]
+    for probe_idx in [0, len(rows) // 3, 2 * len(rows) // 3, len(rows) - 1]:
+        d = days[probe_idx]
+        direct = sum(1 for r in iv if r.d0 <= d < max(r.d0, r.d1))
+        assert rows[probe_idx].n_open == direct, (d, rows[probe_idx].n_open, direct)
+
+
 def test_ivf_multiprobe_beats_single_bucket_lsh(spark):
     """The pairing that justifies two recall rows: the servable IVF
     index must strictly dominate the single-bucket sign-LSH audit row
