@@ -545,8 +545,8 @@ fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1}),
 tot AS (SELECT count(*) AS n FROM fin),
 pairs AS (
     SELECT x.vec_id,
-           CAST(round(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 6)
-                * 1000000 AS BIGINT) AS cos_ppm
+           CAST(round(round(CAST(list_cosine_similarity(x.v, y.v) AS DOUBLE), 6)
+                * 1000000, 0) AS BIGINT) AS cos_ppm
     FROM fin x JOIN fin y
       ON x.cluster = y.cluster AND y.vec_id < x.vec_id
 ),
@@ -617,7 +617,14 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("y_id") < F.col("x_id"))
         .select(
             F.col("x_id").alias("vec_id"),
-            F.expr(f"CAST({_PAIR_COS_SPARK} * 1000000 AS BIGINT)").alias("cos_ppm"),
+            # nearest-int ppm, not a bare CAST: the 6 dp double x 1e6
+            # can sit one ulp BELOW its integer and truncate low —
+            # round(x, 0) is engine-stable here (a 6 dp value x 1e6 is
+            # never half-way), and keeps cos_ppm >= t exactly aligned
+            # with the prune row's round(cos, 6) >= T gate
+            F.expr(
+                f"CAST(round({_PAIR_COS_SPARK} * 1000000, 0) AS BIGINT)"
+            ).alias("cos_ppm"),
         )
         .select(
             "vec_id",

@@ -434,6 +434,85 @@ def test_backlog_sweep_invariants(spark):
         assert rows[probe_idx].n_open == direct, (d, rows[probe_idx].n_open, direct)
 
 
+def test_mean6_integer_formula_matches_decimal_half_away():
+    """The kmeans centroid-mean formula (2|a| + d) DIV (2d) against
+    Python's exact Decimal ROUND_HALF_UP/half-away, over adversarial
+    coordinate sets including exact 6 dp half-way quotients and
+    negative mirrors — the hypothesis-driven twin of the davg drill
+    (the r11 advice's remaining quotient site)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def mean6_int(nanos: list[int]) -> float:
+        a, d = sum(nanos), len(nanos) * 1000
+        m6 = (2 * a + d) // (2 * d) if a >= 0 else -((2 * -a + d) // (2 * d))
+        return m6 / 1e6
+
+    # constructed half-way cases: mean = x.0000005 exactly
+    cases = [
+        [500, 500],                      # 1e-9-units: mean 500 nanos -> 0.000001? no: 500/1000
+        [1_500_000, 1_500_000, 0, 0],    # mean 750000 nanos = 0.00075
+        [1, 0],                          # mean 0.5 nanos -> rounds to 1e-6? (2*1+2000)//2000=1
+        [-1, 0],
+        [2_500, -1_500],                 # mean 500 nanos = 0.0000005 -> half-way at 6dp
+        [-2_500, 1_500],
+    ]
+    for nanos in cases:
+        want = (
+            Decimal(sum(nanos)) / Decimal(len(nanos) * 1_000_000_000)
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP) if sum(nanos) >= 0 else -(
+            Decimal(-sum(nanos)) / Decimal(len(nanos) * 1_000_000_000)
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        assert Decimal(repr(mean6_int(nanos))) == want, nanos
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2 * 10**12), max_value=2 * 10**12),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def prop(nanos):
+        a = sum(nanos)
+        q = Decimal(abs(a)) / Decimal(len(nanos) * 1_000_000_000)
+        want = q.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        if a < 0:
+            want = -want
+        assert Decimal(repr(mean6_int(nanos))) == want
+
+    prop()
+
+
+def test_semdedup_sweep_monotone_and_anchored(spark):
+    """Prune volume never increases with the threshold, and the sweep's
+    count at the prune row's own operating point equals that row's
+    pruned-vector count — the sweep is the curve the single point sits
+    on."""
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_COS_T,
+        SEMDEDUP_SWEEP_T_PPM,
+        semdedup_cluster_prune,
+        semdedup_threshold_sweep,
+    )
+
+    rows = sorted(
+        semdedup_threshold_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r.threshold_ppm,
+    )
+    assert [r.threshold_ppm for r in rows] == sorted(SEMDEDUP_SWEEP_T_PPM)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pruned >= b.n_pruned  # higher bar -> fewer victims
+    op_ppm = int(float(SEMDEDUP_COS_T) * 1_000_000)
+    anchor = next(r for r in rows if r.threshold_ppm == op_ppm)
+    pruned = sum(
+        1 for r in semdedup_cluster_prune(spark, SF_DIR).collect() if r.is_pruned
+    )
+    assert anchor.n_pruned == pruned
+
+
 def test_ivf_multiprobe_beats_single_bucket_lsh(spark):
     """The pairing that justifies two recall rows: the servable IVF
     index must strictly dominate the single-bucket sign-LSH audit row
