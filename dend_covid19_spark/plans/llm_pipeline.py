@@ -328,7 +328,7 @@ def _decon_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..catalog import widen_scan
-    from ..scratch import scratch_dir
+    from ..scratch import materialize_once, scratch_dir
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "documents.parquet"))
     token = hashlib.md5(
@@ -336,7 +336,8 @@ def _decon_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     scratch = scratch_dir(f"deconsh_{token}_{os.getpid()}")
     path = os.path.join(scratch, "gh")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _write(tmp: str) -> None:
         docs = widen_scan(load_table(spark, "documents", sf_dir))
         (
             docs.select(
@@ -350,8 +351,12 @@ def _decon_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("gh"),
             )
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
+
+    # atomic publish (r12 advice 1): these cached shingles ARE part of
+    # the verified output, so readers must never see a partial write
+    materialize_once(path, _write)
     return spark.read.parquet(path)
 
 

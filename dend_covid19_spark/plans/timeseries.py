@@ -2223,7 +2223,7 @@ fold AS (
     FROM fold f JOIN days d ON d.rn = f.rn + 1, st2 s
 )
 SELECT d.day, CAST(d.n AS BIGINT) AS n_events,
-       f.sp AS cusum_pos, f.sm AS cusum_neg,
+       CAST(f.sp AS BIGINT) AS cusum_pos, CAST(f.sm AS BIGINT) AS cusum_neg,
        (f.sp > {CUSUM_H_UNITS} * s.sig OR f.sm > {CUSUM_H_UNITS} * s.sig)
            AS flagged
 FROM fold f JOIN days d ON d.rn = f.rn, st2 s

@@ -86,6 +86,30 @@ def scratch_dir(name: str, root: str = SCRATCH_ROOT) -> str:
     return path
 
 
+def materialize_once(path: str, write_fn) -> str:
+    """Publish a cached derivation directory ATOMICALLY (r12 advice 1):
+    ``write_fn(tmp_path)`` writes into a unique sibling temp dir, which
+    is then ``os.rename``d into ``path`` — so a reader can never observe
+    a partially-written dataset at ``path`` (the bare existence-check-
+    then-write pattern could: two concurrent first-runs in one process,
+    or a killed write leaving partial files under a later ``_SUCCESS``).
+    The rename loser (``path`` already exists) discards its temp dir and
+    reads the winner's copy — same-result-by-construction since every
+    call site derives deterministically from the same inputs. Same-fs
+    rename is atomic on POSIX; the temp dir lives beside the target so
+    we never cross a mount."""
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}.{os.urandom(4).hex()}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the publish race (or dest appeared): keep the winner's
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)

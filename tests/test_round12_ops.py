@@ -37,6 +37,9 @@ def test_ivf_multiprobe_recall_floor(spark):
     )
 
     rows = ann_ivf_multiprobe_recall(spark, SF_DIR).collect()
+    from dend_covid19_spark.catalog import load_table
+
+    corpus_n = load_table(spark, "embeddings", SF_DIR).count()
     assert {r.query_id for r in rows} == set(RECALL_QUERY_IDS)
     total_hits = sum(r.n_hits for r in rows)
     mean_recall_ppm = total_hits * 1_000_000 // (RECALL_K * len(rows))
@@ -45,8 +48,11 @@ def test_ivf_multiprobe_recall_floor(spark):
         assert 0 <= r.n_hits <= RECALL_K
         assert r.recall_ppm == r.n_hits * 1_000_000 // RECALL_K
         # the probe set must actually bound the scan: candidates are a
-        # strict subset of the corpus (nprobe=6 of 16 cells)
-        assert r.n_candidates < 500 * 0.8
+        # strict subset of the corpus (nprobe=6 of 16 cells). Bound
+        # derives from the live corpus count, not a literal fixture
+        # size, so pointing SF_DIR elsewhere tests the same property
+        # (r12 advice 3).
+        assert r.n_candidates < 0.8 * corpus_n
 
 
 def test_prefix_dim_recall_oracle_parity(spark, duck):
