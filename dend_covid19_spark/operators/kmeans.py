@@ -189,12 +189,49 @@ def _duck_kmeans_oracle() -> str:
 
 
 # Trained-codebook cache: the Lloyd trajectory is deterministic per
-# (app, sf_dir, data mtime), and its output is a k x d MODEL ARTIFACT
-# (256 doubles) — so train once per process and reuse, exactly the
-# signature-table discipline. Driver-memory dict, immune to
-# clearCache(); the assignment that the driver hash-checks always
-# recomputes from the cached codebook, so nothing verified is cached.
+# (sf_dir, data mtime, seed panel), and its output is a k x d MODEL
+# ARTIFACT (k*64 doubles) — so train once and reuse, exactly the
+# signature-table discipline. Two levels (r12 verdict item 6):
+#   L1 — driver-memory dict (immune to clearCache());
+#   L2 — /tmp scratch JSON keyed by (sf, mtime, seeds, K, ITERS), so a
+#        NEW PROCESS (pytest, driver_sim, bench, the driver itself)
+#        reads the trained artifact instead of re-running Lloyd —
+#        `queries_cold` showed codebook train among the top cold costs
+#        with two seed panels re-derived per process.
+# The round-trip is BIT-EXACT by construction: every centroid value is
+# a 6 dp round-half-away integer quotient cast to double, and Python's
+# json emits shortest-round-trip reprs — so the cached read equals the
+# fresh derivation exactly (asserted in tests/test_kmeans.py), and no
+# RECHECK is owed by the consumers: the emitted arithmetic is
+# value-identical, not merely hash-verified. The assignment the driver
+# hash-checks always recomputes from the codebook either way.
 _CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _codebook_scratch_path(sf_dir: str, mtime: float, seed_ids: list[int]) -> str:
+    import hashlib
+    import os
+
+    from ..scratch import scratch_dir
+
+    token = hashlib.md5(
+        f"codebook:{os.path.abspath(sf_dir)}:{mtime}:{seed_ids}:{K}:{ITERS}".encode()
+    ).hexdigest()[:12]
+    # no pid suffix: cross-process reuse is the point; publish is atomic
+    # (os.replace) and GC keeps the dir while any co-owner lives
+    return os.path.join(scratch_dir(f"codebook_{token}"), "codebook.json")
+
+
+def _train_codebook(emb: DataFrame, seed_ids: list[int]) -> list:
+    """The uncached Lloyd trajectory (exported for the cache-equality
+    pytest)."""
+    seeds = emb.where(F.col("vec_id").isin(seed_ids)).collect()
+    cents = sorted(
+        (seed_ids.index(r.vec_id) + 1, [round(x, 6) for x in r.v]) for r in seeds
+    )
+    for _ in range(ITERS):
+        cents = _update(_assign(emb, cents))
+    return cents
 
 
 def _trained_codebook(
@@ -203,28 +240,31 @@ def _trained_codebook(
     sf_dir: str,
     seed_ids: list[int] | None = None,
 ) -> list:
+    import json
     import os
 
     if seed_ids is None:
         seed_ids = SEED_VEC_IDS
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        mtime,
-        tuple(seed_ids),
-    )
+    key = (os.path.abspath(sf_dir), mtime, tuple(seed_ids))
     cached = _CODEBOOK_CACHE.get(key)
     if cached is not None:
         return cached
-    for k in [k for k in _CODEBOOK_CACHE if k[:3] != key[:3]]:
-        del _CODEBOOK_CACHE[k]  # one live (app, sf) per seed panel
-    seeds = emb.where(F.col("vec_id").isin(seed_ids)).collect()
-    cents = sorted(
-        (seed_ids.index(r.vec_id) + 1, [round(x, 6) for x in r.v]) for r in seeds
-    )
-    for _ in range(ITERS):
-        cents = _update(_assign(emb, cents))
+    for k in [k for k in _CODEBOOK_CACHE if k[:2] != key[:2]]:
+        del _CODEBOOK_CACHE[k]  # one live sf per seed panel
+    path = _codebook_scratch_path(sf_dir, mtime, list(seed_ids))
+    try:
+        with open(path) as fh:
+            cents = [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(fh)]
+    except (OSError, ValueError):
+        cents = _train_codebook(emb, list(seed_ids))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(cents, fh)
+            os.replace(tmp, path)  # atomic publish: no partial reads
+        except OSError:
+            pass
     _CODEBOOK_CACHE[key] = cents
     return cents
 

@@ -66,3 +66,33 @@ def test_kmeans_matches_mirrored_reference(spark):
     want = _reference(SF_DIR)
     assert got == want
     assert len(set(got.values())) > 1  # actually clustered, not collapsed
+
+
+def test_codebook_scratch_cache_is_bit_exact(spark):
+    """The r13 disk cache (train once per (sf, mtime, seeds), shared
+    across processes) must be VALUE-IDENTICAL to a fresh derivation —
+    this equality is what exempts the codebook consumers from a RECHECK
+    declaration: every centroid is a 6 dp integer quotient cast to
+    double, and json round-trips shortest-repr doubles exactly. Compares
+    the cached read (whatever path populated it) against an uncached
+    _train_codebook run, exact float equality, both seed panels."""
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_SEED_IDS,
+        _train_codebook,
+        _trained_codebook,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb.persist()
+    for seeds in (SEED_VEC_IDS, SEMDEDUP_SEED_IDS):
+        cached = _trained_codebook(spark, emb, SF_DIR, seeds)
+        fresh = _train_codebook(emb, list(seeds))
+        assert cached == fresh  # exact, including float bit patterns
+        # a second call must hit the L1 dict (same object, no retrain)
+        assert _trained_codebook(spark, emb, SF_DIR, seeds) is cached
+    emb.unpersist()
