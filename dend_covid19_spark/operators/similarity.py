@@ -945,3 +945,171 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_err"),
         F.round(F.max("e"), 6).alias("max_abs_err"),
     )
+
+
+# --- cell-partitioned IVF layout (round 13) ----------------------------------
+# The multiprobe row's docstring names the 10^9-vector layout: "at scale
+# the table is partitioned BY CELL so a probe is a partition-pruned
+# scan". This row makes that claim EXECUTABLE (r12 verdict item 3) — the
+# zorder_layout_orders move applied to the ANN index: write the
+# embeddings clustered by their trained-codebook cell assignment
+# (partitionBy("cell") — one directory per IVF list, the on-disk shape
+# of a FAISS IVF inverted file), then serve a single query by reading
+# ONLY its IVF_RECALL_NPROBE probed cells. The probe list becomes a
+# STATIC partition filter (literal cell ids, known before the scan), so
+# Catalyst prunes at file-listing time — at 10^9 vectors the probe reads
+# ~nprobe/k of the files and never touches the rest.
+# tests/test_round13_ops.py pins PartitionFilters in the executed plan
+# and that the probed set is a strict subset of the k cells.
+IVF_INDEX_VERSION = 1  # bump to invalidate the scratch layout
+
+
+def _ivf_cell_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> str:
+    """Write-once (sf, mtime)-keyed cell-partitioned index: (vec_id, v,
+    nrm) parquet partitioned by the trained-codebook cell. Norms are
+    precomputed INTO the index (the semdedup discipline — pay |v| once
+    at build, not per probe). Atomic publish via materialize_once."""
+    import hashlib
+    import os
+
+    from ..scratch import materialize_once, scratch_dir
+    from .kmeans import ITERS, K, SEMDEDUP_SEED_IDS, _assign
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    token = hashlib.md5(
+        f"ivfcell{IVF_INDEX_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
+        f"{SEMDEDUP_SEED_IDS}:{K}:{ITERS}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(scratch_dir(f"ivfcell_{token}"), "index")
+
+    def _write(tmp: str) -> None:
+        emb = load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        (
+            _assign(emb, cents_rows)
+            .select(
+                "vec_id",
+                "v",
+                F.expr("sqrt(aggregate(v, 0D, (acc, a) -> acc + a * a))").alias(
+                    "nrm"
+                ),
+                F.col("cluster").cast("int").alias("cell"),
+            )
+            .write.partitionBy("cell")
+            .parquet(tmp)
+        )
+
+    materialize_once(path, _write)
+    return path
+
+
+def _ivf_cell_probe_oracle() -> str:
+    from .kmeans import ITERS, SEMDEDUP_SEED_IDS, _duck_kmeans_ctes
+
+    d2 = (
+        "round(list_reduce(list_transform(range(1, 65), "
+        "i -> (q.qv[i] - (cu.c).cvec[i]) * (q.qv[i] - (cu.c).cvec[i])), "
+        "(acc, x) -> acc + x), 6)"
+    )
+    return (
+        "WITH "
+        + _duck_kmeans_ctes(SEMDEDUP_SEED_IDS)
+        + f""",
+fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+      WHERE vec_id = {QUERY_VEC_ID}),
+probed AS (
+    SELECT cid FROM (
+        SELECT (cu.c).cid AS cid,
+               row_number() OVER (ORDER BY {d2}, (cu.c).cid) AS pr
+        FROM q CROSS JOIN (SELECT unnest(cents) AS c FROM cl{ITERS}) cu
+    ) WHERE pr <= {IVF_RECALL_NPROBE}
+)
+SELECT f.vec_id, CAST(f.cluster AS INT) AS cell,
+       round(CAST(list_cosine_similarity(f.v, q.qv) AS DOUBLE), 6) AS cosine
+FROM fin f CROSS JOIN q
+WHERE f.cluster IN (SELECT cid FROM probed) AND f.vec_id <> q.query_id
+ORDER BY cosine DESC, f.vec_id
+LIMIT {RECALL_K}
+"""
+    )
+
+
+@query("ann_ivf_cell_probe", oracle=_ivf_cell_probe_oracle())
+def ann_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query ANN serving against the CELL-PARTITIONED IVF index:
+    top-k cosine for the pinned query vector, scanning only its
+    IVF_RECALL_NPROBE nearest cells — and those cells are parquet
+    PARTITIONS of the maintained index, so the scan is statically
+    partition-pruned (PartitionFilters in the plan, pinned in
+    tests/test_round13_ops.py). The executable form of the multiprobe
+    row's 10^9-vector layout claim: probing costs ~nprobe/k of the
+    FILES, not just nprobe/k of the rows after a full scan.
+
+    The probe list is computed from the broadcast codebook (k rows) and
+    collected to the driver — a bounded control-plane read, exactly the
+    codebook-collect the kmeans rows already do — because a static
+    partition filter needs literal cell ids at plan time. A serving
+    system does the same: rank centroids in-process, then issue the
+    pruned scan.
+
+    Determinism: identical arithmetic to ann_ivf_multiprobe_recall
+    (rounded-L2 probe ranking with cid ties, 6 dp cosines, (cosine
+    DESC, vec_id) total order). The index stores precomputed norms.
+
+    Plan/scale: index build is write-once per (sf, mtime) — one
+    assignment pass + a partitioned write, amortized across every probe
+    (the FAISS inverted-file shape on parquet); the probe itself reads
+    nprobe directories, broadcasts the 1-row query, and TakeOrdereds
+    top-k — no shuffle of corpus data at all."""
+    from .kmeans import SEMDEDUP_SEED_IDS, _trained_codebook
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents_rows = _trained_codebook(spark, emb, sf_dir, SEMDEDUP_SEED_IDS)
+    path = _ivf_cell_index_path(spark, sf_dir, cents_rows)
+
+    # rank centroids for the query IN SPARK (same rounded-L2 expression
+    # the oracle unrolls), then collect the 1-row probe list — literal
+    # cell ids are what lets Catalyst prune partitions statically
+    cents_df = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in vec]) for cid, vec in cents_rows],)],
+        "cents array<struct<cid:int,cvec:array<double>>>",
+    )
+    probe_expr = (
+        "transform(slice(array_sort(transform(cents, c -> struct("
+        "round(aggregate(zip_with(qv, c.cvec, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, p) -> acc + p), 6) AS d, c.cid AS cid))), "
+        f"1, {IVF_RECALL_NPROBE}), s -> s.cid)"
+    )
+    q_row = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("v").alias("qv"))
+        .join(F.broadcast(cents_df))
+        .select("qv", F.expr(probe_expr).alias("probed"))
+        .collect()
+    )[0]
+    probed_cells = sorted(int(c) for c in q_row.probed)
+
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            [([float(x) for x in q_row.qv],)], "qv array<double>"
+        ).withColumn("qn", F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
+    )
+    return (
+        idx.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(q_df)
+        .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, "
+                "(acc, p) -> acc + p) / (nrm * qn), 6)"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(RECALL_K)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
+    )

@@ -1,0 +1,114 @@
+"""Round-13 additions: the cell-partitioned IVF index layout (the
+executable form of the multiprobe row's 10^9-vector claim), plus the
+operators added later in the round. Each row gets oracle parity (the
+driver's check, at the fixture SF) plus the invariants the oracle alone
+can't pin."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F  # noqa: F401  (used by later tests)
+
+from dend_covid19_spark.plans.registry import get_spec
+
+from conftest import SF_DIR, assert_matches_oracle
+
+
+def test_ivf_cell_probe_oracle_parity(spark, duck):
+    from dend_covid19_spark.operators.similarity import ann_ivf_cell_probe
+
+    assert_matches_oracle(
+        ann_ivf_cell_probe(spark, SF_DIR),
+        duck,
+        get_spec("ann_ivf_cell_probe").oracle,
+        "ann_ivf_cell_probe",
+    )
+
+
+def test_ivf_cell_probe_partition_pruning(spark):
+    """THE layout claim, pinned in the plan: the probe's index scan must
+    carry a static PartitionFilters IN-list over the cell partition
+    column with exactly IVF_RECALL_NPROBE literal cells — a strict
+    subset of the codebook's k cells — so Catalyst prunes at
+    file-listing time and the probe reads ~nprobe/k of the index FILES
+    (not just nprobe/k of the rows after a full scan). Also pins column
+    pruning: the partition column must NOT appear in ReadSchema (it
+    comes from directory names, not file bytes)."""
+    from dend_covid19_spark.operators.similarity import (
+        IVF_RECALL_NPROBE,
+        ann_ivf_cell_probe,
+    )
+
+    df = ann_ivf_cell_probe(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, f"no static cell IN-list partition filter in plan\n{plan}"
+    probed = [int(c) for c in m.group(1).split(",")]
+    assert len(probed) == IVF_RECALL_NPROBE
+    assert len(set(probed)) == len(probed)
+    # strict subset of the 16-cell codebook: pruning is real
+    assert all(1 <= c <= 16 for c in probed) and len(probed) < 16
+    # ReadSchema must not contain the partition column
+    rs = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert rs and "cell" not in rs.group(1), rs.group(1) if rs else plan
+
+
+def test_ivf_cell_probe_agrees_with_full_scan(spark):
+    """The pruned-index read path must return the same top-k the
+    unpartitioned in-memory pipeline computes: rebuild candidates from
+    the raw table with the same codebook and probe list, rank the same
+    way, compare exactly. Catches a stale/corrupt index layout that the
+    oracle (which recomputes from the raw table) would also catch, but
+    localizes the failure to the index path."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_SEED_IDS,
+        _assign,
+        _trained_codebook,
+    )
+    from dend_covid19_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        RECALL_K,
+        ann_ivf_cell_probe,
+    )
+
+    got = [
+        (r.vec_id, r.cell, r.cosine)
+        for r in ann_ivf_cell_probe(spark, SF_DIR).collect()
+    ]
+    assert len(got) == RECALL_K
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _trained_codebook(spark, emb, SF_DIR, SEMDEDUP_SEED_IDS)
+    fin = _assign(emb, cents)
+    probed = {c for _, c, _ in got}
+    qv = emb.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    want = [
+        (r.vec_id, r.cluster, r.cosine)
+        for r in (
+            fin.where(F.col("cluster").isin(sorted(probed)))
+            .where(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(qv))
+            .withColumn(
+                "cosine",
+                F.expr(
+                    "round(aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, "
+                    "(acc, p) -> acc + p) / "
+                    "(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * "
+                    " sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))), 6)"
+                ),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(RECALL_K)
+            .collect()
+        )
+    ]
+    assert got == want
