@@ -1499,3 +1499,139 @@ def streaming_drift_monitor_executed(spark: SparkSession, sf_dir: str) -> DataFr
     out = drift_tv_from_daily(daily)
     _STREAM_DRIFT_CACHE[key] = out
     return out
+
+
+# --- stateful streaming funnel (executed, round 13) ---------------------------
+
+_STREAM_FUNNEL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _funnel_executed_oracle() -> str:
+    from .timeseries import FUNNEL_STAGES, FUNNEL_WINDOW_MIN
+
+    return f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+v AS (
+    SELECT user_id, min(struct_pack(ts := ts, eid := event_id)) AS s1
+    FROM e WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS s2
+    FROM e JOIN v ON v.user_id = e.user_id
+    WHERE e.event_type = '{FUNNEL_STAGES[1]}'
+      AND struct_pack(ts := e.ts, eid := e.event_id) > v.s1
+      AND e.ts <= v.s1['ts'] + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(struct_pack(ts := e.ts, eid := e.event_id)) AS s3
+    FROM e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = '{FUNNEL_STAGES[2]}'
+      AND struct_pack(ts := e.ts, eid := e.event_id) > c.s2
+      AND e.ts <= c.s2['ts'] + INTERVAL '{FUNNEL_WINDOW_MIN} minutes'
+    GROUP BY e.user_id
+),
+stages AS (
+    SELECT v.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS deepest_stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+)
+SELECT CAST(deepest_stage AS INT) AS deepest_stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM stages GROUP BY deepest_stage
+"""
+
+
+@query("streaming_funnel_executed", oracle=_funnel_executed_oracle())
+def streaming_funnel_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-sequence FUNNEL as a custom stateful streaming
+    operator, executed under the value hash (the 12th executed
+    streaming row; r12 verdict item 4): events drain in four
+    chronological micro-batches (availableNow, maxFilesPerTrigger=1 —
+    the drift/upsert rows' choreography) through
+    streaming/stateful.py::funnel_stateful — applyInPandasWithState
+    with per-user state of ONE (stage, stage_ts) pair, the state-store
+    bound the batch row's docstring promises: the batch fold
+    collect_lists a user's whole history per run; the streaming form
+    carries 12 bytes per user forever, which is why it exists (the r12
+    skew probe measured the batch fold at exponent 1.28 under a
+    one-user-holds-10% corpus — this operator is flat in history
+    length by construction).
+
+    The sink holds a row per stage TRANSITION; the query derives each
+    funnel-entered user's deepest stage (max over transitions) and
+    returns the (deepest_stage, n_users) histogram for stages 1-3. The
+    oracle is the batch funnel's min-struct chain restricted to users
+    who viewed — streamed == batch because micro-batches split on day
+    boundaries (no (ts, event_id) order crosses a batch cut) and the
+    in-batch sort is the batch fold's total order; the hash match
+    proves the Python state machine (window gate, first-touch anchor,
+    no-revive expiry) equals the codegen fold and the relational chain
+    on every user.
+
+    Plan/scale: state per user is (int, long) — |active users| bound,
+    never history bound; emission is transition-cardinality; the
+    Python stage is Arrow-batched. The deepest-stage derivation is one
+    user-keyed aggregate over the (tiny) transition log. Shuffle width
+    scoped to 8 around the drain (the late-drop discipline: state
+    stores freeze the width per micro-batch). Same drain-and-cache
+    discipline as the other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_FUNNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_FUNNEL_CACHE if k[0] != key[0]]:
+        del _STREAM_FUNNEL_CACHE[k]
+
+    from ..streaming.stateful import run_funnel_available_now
+    from .timeseries import FUNNEL_STAGES, FUNNEL_WINDOW_MIN
+
+    token = abs(hash(("funnel", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamfunnel_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    lo, mid, hi = _UPSERT_SPLIT_DAYS
+    chunks = [
+        ev.where(d < lo),
+        ev.where((d >= lo) & (d < mid)),
+        ev.where((d >= mid) & (d < hi)),
+        ev.where(d >= hi),
+    ]
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+
+    sink = f"stream_funnel_sink_{token}"
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_funnel_available_now(
+            spark,
+            src,
+            os.path.join(scratch, "ckpt"),
+            FUNNEL_STAGES,
+            FUNNEL_WINDOW_MIN * 60 * 1_000_000,
+            sink_table=sink,
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    out = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("deepest_stage"))
+        .groupBy(F.col("deepest_stage").cast("int").alias("deepest_stage"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    _STREAM_FUNNEL_CACHE[key] = out
+    return out

@@ -213,3 +213,78 @@ def test_fuzz_update_and_complete_modes(spark, tmp_path, seed, narrow_shuffle):
         else:
             want = sorted(totals)
         assert got == want, f"seed={seed} split={split} mode={mode}: {got} != {want}"
+
+
+@pytest.mark.parametrize("seed", [73, 79])
+def test_fuzz_funnel_state_cuts(spark, tmp_path, seed, narrow_shuffle):
+    """Seeded CHRONOLOGICAL cut points for the stateful funnel (r13):
+    split the corpus into 2-4 day-aligned micro-batches at random
+    boundaries and drain through funnel_stateful — the per-user (stage,
+    stage_ts) state must carry across every cut so the deepest-stage
+    histogram equals the batch fold's (stages 1-3), for every
+    choreography. Catches state-schema drift, a lost window gate at a
+    batch boundary, or an in-batch sort that no longer matches the
+    batch total order."""
+    import datetime
+
+    from dend_covid19_spark.plans.timeseries import (
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_MIN,
+        funnel_stages_over,
+    )
+    from dend_covid19_spark.streaming.stateful import run_funnel_available_now
+
+    rng = random.Random(seed * 17)
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = _day_span(ev)
+    n_cuts = rng.randint(1, 3)
+    cuts = sorted(
+        rng.sample(range(1, (hi - lo).days), n_cuts)
+    )
+    bounds = (
+        [None]
+        + [lo + datetime.timedelta(days=c) for c in cuts]
+        + [None]
+    )
+    d = F.to_date("ts")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    scratch = str(tmp_path / "stage")
+    paths = []
+    for i in range(len(bounds) - 1):
+        chunk = ev
+        if bounds[i] is not None:
+            chunk = chunk.where(d >= F.lit(str(bounds[i])))
+        if bounds[i + 1] is not None:
+            chunk = chunk.where(d < F.lit(str(bounds[i + 1])))
+        p = os.path.join(src, f"p{i}.parquet")
+        _stage(chunk, scratch, p, f"c{i}")
+        paths.append(p)
+    _mtime_order(paths)
+
+    sink = f"fuzz_funnel_{seed}"
+    run_funnel_available_now(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        FUNNEL_STAGES,
+        FUNNEL_WINDOW_MIN * 60 * 1_000_000,
+        sink_table=sink,
+        max_files_per_trigger=1,
+    )
+    got = sorted(
+        (r.deepest_stage, r.n)
+        for r in spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("deepest_stage"))
+        .groupBy("deepest_stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = sorted(
+        (r.stage, r.n_users)
+        for r in funnel_stages_over(ev).where(F.col("stage") > 0).collect()
+    )
+    assert got == want, f"seed={seed} cuts={cuts}: {got} != {want}"
