@@ -900,6 +900,57 @@ def _prefix_len_expr(n: str) -> str:
     return f"{n} - ({n} + 1) DIV 2 + 1"
 
 
+def _ppjoin_candidates(sigs: DataFrame, with_filters: bool) -> DataFrame:
+    """Prefix-filter candidate pairs (doc_a, doc_b) for tau = 1/2, with
+    PPJoin's length + position filters togglable so the r13 pin can
+    measure the candidate reduction against the prefix-only form.
+    Returns one row per surviving pair with the collision stats the
+    position filter used (m, bound, alpha) for observability."""
+    ex = sigs.select(
+        "doc_id",
+        F.explode("shingles").alias("s"),
+        F.size("shingles").alias("n"),
+    )
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = ex.join(dfreq, "s").select(
+        "doc_id", "s", "n", F.row_number().over(w).alias("rn")
+    )
+    prefix = ranked.where(F.expr(f"rn <= {_prefix_len_expr('n')}")).select(
+        "doc_id", "s", "rn", "n"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if with_filters:
+        # length filter: J >= 1/2 => 2 * min(n_a, n_b) >= max(n_a, n_b)
+        cond = cond & F.expr("2 * least(a.n, b.n) >= greatest(a.n, b.n)")
+    pairs = a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.rn").alias("rn_a"),
+        F.col("b.rn").alias("rn_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    )
+    agg = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("rn_a").alias("ia"),
+        F.max("rn_b").alias("jb"),
+    )
+    out = agg.select(
+        "doc_a",
+        "doc_b",
+        "m",
+        F.expr("m + least(na - ia, nb - jb)").alias("overlap_ubound"),
+        F.expr("(na + nb + 2) DIV 3").alias("alpha"),
+    )
+    if with_filters:
+        # position filter: prune pairs whose overlap upper bound can't
+        # reach the tau = 1/2 overlap threshold
+        out = out.where(F.col("overlap_ubound") >= F.col("alpha"))
+    return out
+
+
 _PREFIX_ORACLE = f"""
 WITH tok AS (SELECT doc_id, {{duck_tokens}} AS toks FROM documents),
 sh AS (SELECT doc_id, {{duck_shingles}} AS shingles FROM tok),
@@ -953,33 +1004,26 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     block sizes are small by construction (a shingle appearing in half
     the corpus is, by the rarity order, almost never inside anyone's
     prefix). The three-stage shape (df -> prefix -> verify) is the
-    published PPJoin decomposition; its length and position filters
-    bolt on here as extra codegen predicates when corpus skew demands
-    them."""
+    published PPJoin decomposition, and as of r13 its LENGTH and
+    POSITION filters run as codegen predicates (r12 verdict item 5):
+
+      - length (join condition): J >= 1/2 forces 2*min(na, nb) >=
+        max(na, nb) — size-incompatible pairs never leave the shingle
+        join;
+      - position (per-pair aggregate): under the global (df, s) order,
+        every common shingle ranked below a prefix collision is itself
+        a prefix collision — so the pair's m collisions plus the tails
+        past the LAST collision bound the true overlap: O <= m +
+        min(na - max(rn_a), nb - max(rn_b)); pairs whose bound misses
+        alpha = ceil((na + nb) / 3) (the tau = 1/2 overlap threshold)
+        are pruned before the expensive array-intersect verify.
+
+    Both prune CANDIDATES ONLY — no qualifying pair can fail either
+    bound, so the verified output (and the oracle) is unchanged;
+    tests/test_round13_ops.py pins the measured candidate drop and the
+    output identity vs the prefix-only form."""
     sigs = _minhash_sigs(spark, sf_dir).select("doc_id", "shingles")
-    ex = sigs.select(
-        "doc_id",
-        F.explode("shingles").alias("s"),
-        F.size("shingles").alias("n"),
-    )
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    ranked = ex.join(dfreq, "s").select(
-        "doc_id", "s", "n", F.row_number().over(w).alias("rn")
-    )
-    prefix = ranked.where(F.expr(f"rn <= {_prefix_len_expr('n')}")).select(
-        "doc_id", "s"
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _ppjoin_candidates(sigs, with_filters=True).select("doc_a", "doc_b")
     sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.expr(

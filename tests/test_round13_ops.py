@@ -112,3 +112,58 @@ def test_ivf_cell_probe_agrees_with_full_scan(spark):
         )
     ]
     assert got == want
+
+
+def test_ppjoin_filters_prune_candidates_not_results(spark):
+    """PPJoin length + position filters (r13): the filtered candidate
+    set must be a STRICT subset of the prefix-only candidates (the
+    measured reduction the r12 verdict asked to pin), and the verified
+    Jaccard >= 0.5 output must be IDENTICAL — the filters prune pairs
+    that cannot qualify, never pairs that do. Also pins the bound's
+    soundness directly: every pair surviving the exact verify must
+    satisfy the position filter's overlap upper bound."""
+    from dend_covid19_spark.operators.dedup import (
+        _minhash_sigs,
+        _ppjoin_candidates,
+        dedup_prefix_filter_join,
+    )
+
+    sigs = _minhash_sigs(spark, SF_DIR).select("doc_id", "shingles")
+    plain = _ppjoin_candidates(sigs, with_filters=False)
+    filt = _ppjoin_candidates(sigs, with_filters=True)
+    n_plain, n_filt = plain.count(), filt.count()
+    assert n_filt < n_plain, (n_filt, n_plain)
+
+    pairs_filt = {(r.doc_a, r.doc_b) for r in filt.collect()}
+    pairs_plain = {(r.doc_a, r.doc_b) for r in plain.collect()}
+    assert pairs_filt < pairs_plain  # strict subset
+
+    # verified output through the registered row == verify over the
+    # UNfiltered candidates: no qualifying pair was pruned
+    jac = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) "
+        "/ size(array_union(sh_a, sh_b))"
+    )
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in plain.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_prefix_filter_join(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # soundness: qualifying pairs always satisfy the position bound
+    quals = {(a, b) for a, b, _ in want}
+    surviving = {
+        (r.doc_a, r.doc_b)
+        for r in filt.where(F.col("overlap_ubound") >= F.col("alpha")).collect()
+    }
+    assert quals <= surviving
