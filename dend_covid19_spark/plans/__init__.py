@@ -292,6 +292,16 @@ RECHECK: dict[str, int] = {
     # norms (operators/similarity.py) — same IEEE value, verified
     # hash-identical at sf0.01/sf0.1 builder-side.
     "knn_graph_blocked": 11,
+    # r13, admission reason (a): PPJoin length + position filters now
+    # prune candidates before the verify (operators/dedup.py
+    # _ppjoin_candidates) — output proven identical builder-side
+    # (driver_sim green at sf0.01 AND sf0.1; identity + strict-subset
+    # pins in tests/test_round13_ops.py); the driver row re-proves it.
+    # NOTE the r13 window budget: this recheck plus the round's new
+    # never-green rows are capped at 6 slots total, so the window stays
+    # 10 bar + 6 + 34 r6-stale = 50 and every r6-stale name rotates
+    # through the r13 driver window (verdict item 1).
+    "dedup_prefix_filter_join": 12,
 }
 
 
