@@ -1113,3 +1113,88 @@ def ann_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RECALL_K)
         .select("vec_id", F.col("cell").cast("int").alias("cell"), "cosine")
     )
+
+
+# --- hard-negative mining for contrastive training (round 13) ----------------
+# Embedding-model training data prep: for each anchor query, the most
+# USEFUL negatives are the highest-cosine candidates of a DIFFERENT
+# label — near the decision boundary, not random (in-batch negatives
+# saturate early; mined hard negatives are what moves contrastive loss;
+# DPR / Contriever both mine exactly this). Skip the very top ranks
+# (likely mislabeled true positives — the standard denoising heuristic)
+# and take the next HN_TAKE.
+HN_SKIP = 2
+HN_TAKE = 5
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM v
+    WHERE vec_id IN ({", ".join(map(str, RECALL_QUERY_IDS))})
+),
+negs AS (
+    SELECT q.query_id, v.vec_id,
+           round(CAST(list_cosine_similarity(v.v, q.qv) AS DOUBLE), 6) AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round(CAST(list_cosine_similarity(v.v, q.qv) AS DOUBLE), 6) DESC,
+                                       v.vec_id) AS r
+    FROM v CROSS JOIN q
+    WHERE v.label <> q.qlabel AND v.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, CAST(r - {HN_SKIP} AS BIGINT) AS neg_rank, cosine
+FROM negs
+WHERE r > {HN_SKIP} AND r <= {HN_SKIP + HN_TAKE}
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining over the query panel: per anchor, rank all
+    different-label vectors by exact cosine, skip the top HN_SKIP
+    (possible label noise — the DPR/Contriever denoising heuristic),
+    and emit the next HN_TAKE as training negatives with their
+    within-anchor rank — the (anchor, hard_negative) pairs a
+    contrastive fine-tune consumes.
+
+    Determinism: 6 dp cosine rounding before the (cosine DESC, vec_id)
+    row_number total order — the panel-ranking discipline every recall
+    row uses.
+
+    Plan/scale: the panel broadcasts onto one corpus scan (label
+    filter pushed into the scan); ranking is a per-anchor window over
+    panel-bounded partitions (|panel| reducers — at production panel
+    sizes each anchor's candidate stream TakeOrdereds its top
+    HN_SKIP+HN_TAKE instead, the ann_topk shape, since only the head
+    of each ranking is consumed). Output is |panel| x HN_TAKE rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id").isin(RECALL_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    negs = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("label") != F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", F.expr(_SPARK_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        negs.withColumn("r", F.row_number().over(w))
+        .where((F.col("r") > HN_SKIP) & (F.col("r") <= HN_SKIP + HN_TAKE))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("r") - HN_SKIP).cast("bigint").alias("neg_rank"),
+            "cosine",
+        )
+    )

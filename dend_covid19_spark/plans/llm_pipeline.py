@@ -1668,3 +1668,198 @@ def pack_padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ppm"),
         )
     )
+
+
+# --- crawl-batch n-gram novelty decay (round 13) -----------------------------
+# The stop-crawling curve: as a crawl (here: doc_id order, batches of
+# NOVELTY_BATCH docs) accumulates, what fraction of each batch's
+# distinct 5-gram hashes was never seen in ANY earlier batch? Web-crawl
+# curation tracks exactly this marginal-novelty decay to decide when
+# additional crawl volume stops paying for itself (the dedup-rate-over-
+# time complement of the dedup family's pairwise views). Reuses the
+# decontamination family's materialized shingle scratch — one shared
+# (doc_id, gh) derivation for all three consumers.
+NOVELTY_BATCH = 10
+
+
+@query(
+    "ngram_novelty_by_batch",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
+sh AS (
+    SELECT doc_id, unnest({H.duck_shingle_hashes(H.duck_shingles("toks", DECON_NGRAM))}) AS gh
+    FROM tok
+),
+bg AS (SELECT DISTINCT doc_id // {NOVELTY_BATCH} AS batch, gh FROM sh),
+fb AS (SELECT gh, min(batch) AS first_batch FROM bg GROUP BY gh)
+SELECT CAST(bg.batch AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN fb.first_batch = bg.batch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN fb.first_batch = bg.batch THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM bg JOIN fb USING (gh)
+GROUP BY bg.batch
+""",
+)
+def ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal n-gram NOVELTY per crawl batch: bucket the corpus into
+    arrival batches of NOVELTY_BATCH docs (doc_id order standing in for
+    crawl order), and per batch report how many of its distinct 5-gram
+    hashes first appear in that batch — the decaying novelty curve a
+    crawl pipeline watches to decide when further crawling mostly
+    re-fetches known content. Novelty in exact integer ppm.
+
+    Plan/scale: the (doc_id, gh) explosion is the SHARED decon scratch
+    (materialized once per (sf, mtime) — three consumers now); batch
+    membership dedupes map-side into (batch, gh); the first-occurrence
+    table is one groupBy on the 8-byte hash key (map-side partial
+    min), and the novelty join is hash-key equi — linear end to end,
+    no pair space anywhere. At 100 TB the first-occurrence table IS
+    the maintained crawl index: a new batch joins against it and
+    appends its genuinely-new hashes, never rescanning the corpus
+    (the dedup_incremental_batch discipline)."""
+    sh = _decon_shingle_hashes(spark, sf_dir)
+    bg = (
+        sh.select(
+            F.expr(f"doc_id DIV {NOVELTY_BATCH}").alias("batch"), "gh"
+        ).distinct()
+    )
+    fb = bg.groupBy("gh").agg(F.min("batch").alias("first_batch"))
+    return (
+        bg.join(fb, "gh")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            F.col("batch").cast("bigint").alias("batch"),
+            "n_shingles",
+            "n_new",
+            F.expr("CAST(n_new * 1000000 DIV n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+# --- deterministic epoch shuffle order (round 13) ----------------------------
+# Reproducible training needs a reproducible DATA ORDER: per epoch,
+# every document gets a pseudo-random but deterministic position via a
+# keyed hash, then positions shard into data-loader files. This row
+# materializes that order's audit view — per (epoch, shard): how many
+# docs, and the order's first/last doc — so two independent runs (or
+# engines) can prove they would feed batches identically. The md5
+# coin-flip discipline of dataset_split_assign applied to ORDERING
+# instead of assignment.
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+SHUFFLE_RANK_PARTS = 16  # range partitions for the distributed rank
+
+
+@query(
+    "epoch_shuffle_order",
+    oracle=f"""
+WITH ep AS (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch),
+h AS (
+    SELECT ep.epoch, d.doc_id,
+           {H.duck_hash32("'ep' || ep.epoch || ':' || d.doc_id")} AS hk
+    FROM documents d CROSS JOIN ep
+),
+pos AS (
+    SELECT epoch, doc_id, hk,
+           row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) - 1 AS p
+    FROM h
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(p % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(p) AS BIGINT) AS min_pos,
+       CAST(max(p) AS BIGINT) AS max_pos,
+       CAST(sum(doc_id * (p // {SHUFFLE_SHARDS})) AS BIGINT) AS order_digest
+FROM pos
+GROUP BY epoch, p % {SHUFFLE_SHARDS}
+""",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: per training epoch, order the corpus
+    by a keyed md5 hash (epoch in the key — each epoch gets a fresh but
+    reproducible permutation), assign global positions, and round-robin
+    positions into SHUFFLE_SHARDS data-loader shards. Emits the per-
+    (epoch, shard) audit: doc count, position envelope, and an
+    order-sensitive digest (sum of doc_id * within-shard index) that
+    two runs must reproduce bit-for-bit for their training batches to
+    be identical — the reproducible-data-order contract distributed
+    training jobs pin before comparing loss curves.
+
+    Determinism: the hash order is total ((hk, doc_id) — no ties left
+    to the engine), so positions, shards, and the digest are exact
+    integers on both engines.
+
+    Plan/scale: the hash is codegen; the per-epoch global position
+    runs the SNM DISTRIBUTED RANK (operators/dedup.py::
+    dedup_sorted_neighborhood's two-phase scheme, extended to reset
+    per epoch): repartitionByRange on (epoch, hk, doc_id) +
+    sortWithinPartitions (the parallel ORDER BY), localCheckpoint to
+    freeze the sampled boundaries, per-(partition, epoch) counts (a
+    bounded control-plane collect of parts x epochs integers) turned
+    into per-epoch prefix offsets broadcast back, so position =
+    epoch_offset(pid) + local row_number — no single- or few-reducer
+    window anywhere, and ranks are partitioning-independent because
+    the sort key is a total order. The audit aggregate is
+    (epochs x shards)-cardinality with map-side partials."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    ep = spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    h = docs.crossJoin(F.broadcast(ep)).select(
+        "epoch",
+        "doc_id",
+        F.expr(
+            H.spark_hash32("concat('ep', epoch, ':', doc_id)")
+        ).alias("hk"),
+    )
+    parts = SHUFFLE_RANK_PARTS
+    s = (
+        h.repartitionByRange(parts, F.col("epoch"), F.col("hk"), F.col("doc_id"))
+        .sortWithinPartitions("epoch", "hk", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze sampled boundaries for counts + ranks
+    )
+    counts = {
+        (r.pid, r.epoch): r.cnt
+        for r in s.groupBy("pid", "epoch").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = []
+    for epoch in range(SHUFFLE_EPOCHS):
+        acc = 0
+        for pid in range(parts):
+            offsets.append((pid, epoch, acc))
+            acc += counts.get((pid, epoch), 0)
+    off = spark.createDataFrame(offsets, "pid int, epoch long, off long")
+    w = Window.partitionBy("pid", "epoch").orderBy("hk", "doc_id")
+    pos = (
+        s.join(F.broadcast(off), ["pid", "epoch"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("off") + F.row_number().over(w) - 1).alias("p"),
+        )
+    )
+    return (
+        pos.groupBy(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.expr(f"CAST(p % {SHUFFLE_SHARDS} AS BIGINT)").alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("p").cast("bigint").alias("min_pos"),
+            F.max("p").cast("bigint").alias("max_pos"),
+            F.expr(
+                f"CAST(sum(doc_id * (p DIV {SHUFFLE_SHARDS})) AS BIGINT)"
+            ).alias("order_digest"),
+        )
+    )
