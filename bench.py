@@ -116,6 +116,11 @@ HEADLINE = [
     # pinned recall floor, and the three-gate majority-vote ensemble
     "ann_ivf_multiprobe_recall",
     "quality_ensemble_vote",
+    # round 13 additions: the cell-partitioned IVF index probe (static
+    # partition pruning over the trained codebook's cells) and the
+    # crawl-batch n-gram novelty curve over the shared decon scratch
+    "ann_ivf_cell_probe",
+    "ngram_novelty_by_batch",
 ]
 
 

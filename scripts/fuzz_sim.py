@@ -218,6 +218,20 @@ def generate(seed: int, out: str) -> None:
     emb = rng.normal(0, 1, (N_EMB, EMB_DIM)).astype(np.float32)
     emb[50] = emb[51]  # exact duplicate vector
     emb[52] = emb[51] + np.float32(1e-3)
+    # IVF-cell-layout adversaries (r13): a HOT CELL — twenty vectors
+    # collapsed tightly around codebook seed 1 (cluster imbalance: some
+    # cells empty after Lloyd, one dominating — the partitioned index
+    # must still write/prune correctly with missing cell directories);
+    # an EXACT copy of a seed vector (zero distance to its centroid);
+    # and a HALF-WAY vector equidistant between seeds 1 and 2 (the
+    # rounded-L2 argmin tie must break to the smaller cid on both
+    # engines — the davg half-way class, in assignment space).
+    for i in range(60, 80):
+        emb[i] = emb[1] + rng.normal(0, 1e-3, EMB_DIM).astype(np.float32)
+    emb[80] = emb[1]
+    emb[81] = ((emb[1].astype(np.float64) + emb[2].astype(np.float64)) / 2).astype(
+        np.float32
+    )
     w("embeddings", pa.table({
         "vec_id": pa.array(range(N_EMB), pa.int64()),
         "embedding": pa.array([v.tolist() for v in emb], pa.list_(pa.float32())),
