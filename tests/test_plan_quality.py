@@ -305,6 +305,9 @@ _NESTED_LOOP_ALLOWED = {
     "stratified_group_kfold",    # one-row corpus-total broadcast onto K fold groups
     "tokenizer_fertility_by_lang",  # four one-row learned BPE rules broadcast into the apply
     "events_trend_theil_sen",  # |days| x |days| pair join over the bounded day spine
+    # round 13
+    "ann_ivf_cell_probe",  # one-row query-vector broadcast onto the pruned index scan
+    "hard_negative_mining",  # |panel|-row anchor broadcast (non-equi label filter)
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
