@@ -97,9 +97,17 @@ def materialize_once(path: str, write_fn) -> str:
     reads the winner's copy — same-result-by-construction since every
     call site derives deterministically from the same inputs. Same-fs
     rename is atomic on POSIX; the temp dir lives beside the target so
-    we never cross a mount."""
+    we never cross a mount.
+
+    A directory at ``path`` WITHOUT a ``_SUCCESS`` marker is treated as
+    absent and rebuilt: every writer publishes via rename, and a fully
+    renamed Spark write dir always carries ``_SUCCESS`` — so a
+    marker-less dir can only be debris from a pre-r13 in-place writer
+    killed mid-write, exactly what this helper exists to never trust."""
     if os.path.isdir(path):
-        return path
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return path
+        shutil.rmtree(path, ignore_errors=True)
     tmp = f"{path}.tmp.{os.getpid()}.{os.urandom(4).hex()}"
     write_fn(tmp)
     try:

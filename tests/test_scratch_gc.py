@@ -114,3 +114,55 @@ def test_shared_dir_keeps_live_coowners(tmp_path):
     with open(os.path.join(shared, "owner.pid"), "w") as fh:
         fh.write(f"{_dead_pid()}\n{_dead_pid()}")
     assert gc_scratch(root=root) == [shared]  # all owners dead -> reaped
+
+
+def test_materialize_once_atomic_and_rebuilds_partials(tmp_path):
+    """r13 atomic publish: (1) a completed publish (dir with _SUCCESS)
+    is returned untouched and the writer never re-runs; (2) a dir
+    WITHOUT _SUCCESS — pre-materialize in-place debris — is discarded
+    and rebuilt; (3) the write lands via rename, so the final dir only
+    ever appears complete; (4) a publish race leaves exactly the
+    winner's copy and the loser's temp dir is cleaned up."""
+    import os
+
+    from dend_covid19_spark.scratch import materialize_once
+
+    target = str(tmp_path / "ds")
+    calls = []
+
+    def write(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-0"), "w") as fh:
+            fh.write("data")
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    materialize_once(target, write)
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert len(calls) == 1
+    materialize_once(target, write)  # complete -> untouched, no rewrite
+    assert len(calls) == 1
+
+    # partial debris (no _SUCCESS) is rebuilt
+    os.remove(os.path.join(target, "_SUCCESS"))
+    materialize_once(target, write)
+    assert len(calls) == 2
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+
+    # race: a writer that finds the target already published must drop
+    # its temp dir and leave the winner's data intact
+    def racing_write(tmp):
+        calls.append(tmp)
+        write(tmp)
+        os.rename(tmp, target + "_winner")  # simulate the other process
+        os.rename(target + "_winner", target)
+        # re-create our own tmp so materialize_once's rename loses
+        write(tmp)
+
+    import shutil
+
+    shutil.rmtree(target)
+    materialize_once(target, racing_write)
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
+    assert leftovers == []
