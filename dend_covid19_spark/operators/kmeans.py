@@ -212,14 +212,23 @@ def _codebook_scratch_path(sf_dir: str, mtime: float, seed_ids: list[int]) -> st
     import hashlib
     import os
 
-    from ..scratch import scratch_dir
+    from ..scratch import SCRATCH_ROOT
 
     token = hashlib.md5(
         f"codebook:{os.path.abspath(sf_dir)}:{mtime}:{seed_ids}:{K}:{ITERS}".encode()
     ).hexdigest()[:12]
-    # no pid suffix: cross-process reuse is the point; publish is atomic
-    # (os.replace) and GC keeps the dir while any co-owner lives
-    return os.path.join(scratch_dir(f"codebook_{token}"), "codebook.json")
+    # DELIBERATELY unmarked (no scratch_dir pid stamp): a pid-owned dir
+    # is reaped the moment its writer exits, which defeats the whole
+    # point — the next process (pytest -> driver_sim -> bench -> the
+    # driver) should READ the trained artifact, not retrain (measured
+    # r13: with pid ownership the first codebook consumer of every
+    # process re-paid the Lloyd train). Unmarked dirs fall under
+    # gc_scratch's 6-hour age gate instead — the right lifetime for a
+    # few-KB model artifact keyed by (sf, mtime, seeds); publish stays
+    # atomic via os.replace.
+    path = os.path.join(SCRATCH_ROOT, f"codebook_{token}")
+    os.makedirs(path, exist_ok=True)
+    return os.path.join(path, "codebook.json")
 
 
 def _train_codebook(emb: DataFrame, seed_ids: list[int]) -> list:
