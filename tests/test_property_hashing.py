@@ -154,3 +154,69 @@ def test_ewma_integer_numerator_exact_at_boundary(spark, lag_rows):
     ]
     con.close()
     assert got_duck == want
+
+
+# --- PPJoin filter soundness (r13) -------------------------------------------
+# A pure-Python mirror of operators/dedup.py::_ppjoin_candidates over
+# random small shingle universes: for EVERY pair with true Jaccard >=
+# 1/2, the prefix theorem must produce a collision, the length filter
+# must hold, and the position bound (m collisions + tails past the last
+# collision under the global rarity order) must be >= the true overlap
+# — i.e. the filters can never prune a qualifying pair, for any corpus
+# Hypothesis can construct (including all-identical docs, disjoint
+# docs, and singleton shingle sets).
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ppjoin_filter_math_never_prunes_qualifying_pairs(docsets):
+    # global rarity order: (document frequency, shingle value)
+    from collections import Counter
+
+    df = Counter()
+    for s in docsets:
+        df.update(s)
+    order = {s: (df[s], s) for s in df}
+
+    def ranked(doc):
+        return sorted(doc, key=lambda s: order[s])
+
+    def prefix(doc):
+        n = len(doc)
+        plen = n - (n + 1) // 2 + 1  # tau = 1/2
+        return ranked(doc)[:plen]
+
+    for i in range(len(docsets)):
+        for j in range(i + 1, len(docsets)):
+            a, b = docsets[i], docsets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if inter / union < 0.5:
+                continue  # only qualifying pairs carry guarantees
+            na, nb = len(a), len(b)
+            # length filter holds for every qualifying pair
+            assert 2 * min(na, nb) >= max(na, nb)
+            # prefix theorem: at least one collision inside both prefixes
+            pa, pb = prefix(a), prefix(b)
+            collisions = set(pa) & set(pb)
+            assert collisions, (a, b)
+            # position bound >= true overlap: m collisions + tails past
+            # the LAST collision in each side's global order
+            ra = {s: k + 1 for k, s in enumerate(ranked(a))}
+            rb = {s: k + 1 for k, s in enumerate(ranked(b))}
+            ia = max(ra[s] for s in collisions)
+            jb = max(rb[s] for s in collisions)
+            m = len(collisions)
+            bound = m + min(na - ia, nb - jb)
+            assert bound >= inter, (a, b, bound, inter)
+            # alpha gate passes for qualifying pairs
+            alpha = (na + nb + 2) // 3
+            assert bound >= alpha or inter < alpha  # contrapositive safety
+            assert inter >= alpha  # J >= 1/2 <=> O >= ceil((na+nb)/3)
+            assert bound >= alpha
