@@ -972,7 +972,7 @@ def _ivf_cell_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> 
     import hashlib
     import os
 
-    from ..scratch import materialize_once, scratch_dir
+    from ..scratch import SCRATCH_ROOT, materialize_once
     from .kmeans import ITERS, K, SEMDEDUP_SEED_IDS, _assign
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
@@ -980,7 +980,14 @@ def _ivf_cell_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> 
         f"ivfcell{IVF_INDEX_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
         f"{SEMDEDUP_SEED_IDS}:{K}:{ITERS}".encode()
     ).hexdigest()[:12]
-    path = os.path.join(scratch_dir(f"ivfcell_{token}"), "index")
+    # unmarked (age-gated) like the codebook scratch: a pid-stamped dir
+    # is reaped when its writer exits, so every fresh process would
+    # rebuild the index — the maintained-index semantics want the next
+    # process to PROBE it instead (bench cold showed the build cost on
+    # the first probe). gc_scratch's 6-hour age gate bounds /tmp.
+    parent = os.path.join(SCRATCH_ROOT, f"ivfcell_{token}")
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(parent, "index")
 
     def _write(tmp: str) -> None:
         emb = load_table(spark, "embeddings", sf_dir).select(
