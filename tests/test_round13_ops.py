@@ -288,3 +288,59 @@ def test_hard_negative_mining_invariants(spark):
         cosines = [r.cosine for r in rr]
         assert cosines == sorted(cosines, reverse=True)
         assert HN_SKIP >= 0  # skip window honored by the rank arithmetic
+
+
+def test_funnel_window_boundary_across_batches(spark, tmp_path):
+    """Constructed cross-batch boundary drill for the stateful funnel:
+    the click that lands EXACTLY at view_ts + window must advance the
+    stage (<= gate, inclusive — the batch fold's semantics), the click
+    one microsecond past must not, and both gates must be evaluated
+    from CARRIED STATE (the view arrives in batch 1, the click in
+    batch 2). Also drills no-revive: an event after an expired window
+    never reopens the funnel."""
+    import datetime
+    import os
+
+    from dend_covid19_spark.plans.timeseries import FUNNEL_STAGES, FUNNEL_WINDOW_MIN
+    from dend_covid19_spark.streaming.stateful import run_funnel_available_now
+
+    from test_fuzz_streaming_choreo import _mtime_order, _stage
+
+    window_us = FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    t0 = datetime.datetime(2024, 1, 1)
+    us = datetime.timedelta(microseconds=1)
+    w = datetime.timedelta(microseconds=window_us)
+    view, click, purchase = FUNNEL_STAGES
+    batch1 = [  # (user, ts, event_id, type)
+        (1, t0, 10, view),
+        (2, t0, 20, view),
+        (3, t0, 30, view),
+    ]
+    batch2 = [
+        (1, t0 + w, 11, click),          # exactly at the window: included
+        (2, t0 + w + us, 21, click),     # one us past: excluded
+        (3, t0 + w, 31, click),          # included ...
+        (3, t0 + w + w + us, 32, purchase),  # ... but this expired: no revive
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, batch in enumerate((batch1, batch2)):
+        df = spark.createDataFrame(
+            batch, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        _stage(df, str(tmp_path / f"stage{i}"), os.path.join(src, f"p{i}.parquet"), f"b{i}")
+    _mtime_order([os.path.join(src, f"p{i}.parquet") for i in range(2)])
+
+    sink = "funnel_boundary_drill"
+    run_funnel_available_now(
+        spark, src, str(tmp_path / "ckpt"), FUNNEL_STAGES, window_us,
+        sink_table=sink, max_files_per_trigger=1,
+    )
+    deepest = {
+        r.user_id: r.d
+        for r in spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("d"))
+        .collect()
+    }
+    assert deepest == {1: 2, 2: 1, 3: 2}
