@@ -344,3 +344,22 @@ def test_funnel_window_boundary_across_batches(spark, tmp_path):
         .collect()
     }
     assert deepest == {1: 2, 2: 1, 3: 2}
+
+
+def test_epoch_shuffle_rank_is_partitioning_independent(spark, monkeypatch):
+    """The distributed-rank claim pinned directly: positions (and hence
+    shards and digests) must not depend on how many range partitions
+    the two-phase rank uses — re-run the row with SHUFFLE_RANK_PARTS
+    forced to 3 and to 16 and require bit-identical output. Guards the
+    property the SNM scheme relies on: a total sort key makes global
+    ranks invariant to sampled range boundaries."""
+    import dend_covid19_spark.plans.llm_pipeline as lp
+
+    def run(parts):
+        monkeypatch.setattr(lp, "SHUFFLE_RANK_PARTS", parts)
+        return sorted(
+            (r.epoch, r.shard, r.n_docs, r.min_pos, r.max_pos, r.order_digest)
+            for r in lp.epoch_shuffle_order(spark, SF_DIR).collect()
+        )
+
+    assert run(3) == run(16)
