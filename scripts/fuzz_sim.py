@@ -171,11 +171,29 @@ def generate(seed: int, out: str) -> None:
     users = rng.integers(0, 15, N_EVENTS)
     users[: N_EVENTS // 8] = 3  # hot user
     users[20:25] = 13  # the gap-boundary chain belongs to one quiet user
+    etypes = [ETYPES[i] for i in rng.integers(0, 5, N_EVENTS)]
+    # FUNNEL conversion-window boundary chains (r13): users 16/17 exist
+    # ONLY through these planted events (random users stop at 14), so
+    # the funnel rows' <= window gate is DECISIVE for them on every
+    # seed. User 16: view -> click exactly AT view+24h (included, stage
+    # 2) -> purchase one us PAST click+24h (excluded — no stage 3, and
+    # no revive). User 17: view -> click one us past the window
+    # (excluded, stage stays 1). Exercised by funnel_stage_progression
+    # (codegen fold), streaming_funnel_executed (stateful Python fold),
+    # and the DuckDB min-struct oracle — all three must agree exactly
+    # at the boundary, where the fixed corpus never lands.
+    t1 = base_ev + 2 * DAY_US
+    ets[25], users[25], etypes[25] = t1, 16, ETYPES[4]  # view
+    ets[26], users[26], etypes[26] = t1 + DAY_US, 16, ETYPES[1]  # click, at window
+    ets[27], users[27], etypes[27] = t1 + 2 * DAY_US + 1, 16, ETYPES[2]  # purchase, 1us past
+    t2 = base_ev + 9 * DAY_US
+    ets[28], users[28], etypes[28] = t2, 17, ETYPES[4]  # view
+    ets[29], users[29], etypes[29] = t2 + DAY_US + 1, 17, ETYPES[1]  # click, 1us past
     w("events", pa.table({
         "event_id": pa.array(range(N_EVENTS), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),
         "user_id": pa.array(users, pa.int64()),
-        "event_type": [ETYPES[i] for i in rng.integers(0, 5, N_EVENTS)],
+        "event_type": etypes,
         "value": _money(rng, N_EVENTS, 0.01, 400.0),
         "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, N_EVENTS)],
     }))
