@@ -221,6 +221,16 @@ def generate(seed: int, out: str) -> None:
     pack_ids = list(range(40, 40 + len(pack_sizes)))
     for di, n_tok in zip(pack_ids, pack_sizes):
         texts[di] = " ".join(VOCAB[j % len(VOCAB)] for j in range(n_tok))
+    # Jaccard EXACTLY at the 0.5 dedup threshold (r13): doc 48's token
+    # stream extends doc 47's by exactly (k-2) tokens, so its 3-gram
+    # shingle set is a 2x superset — J = 8/16 = 0.5, representable
+    # exactly in IEEE, sitting ON the >= 0.5 gate of the prefix-filter
+    # join, the n-gram Jaccard row, the LSH verify stage, AND the
+    # PPJoin length filter's equality case (2*min == max) + position
+    # alpha equality (overlap == ceil((na+nb)/3) == 8). Both engines
+    # must include the pair, every seed.
+    texts[47] = " ".join(VOCAB[:10])
+    texts[48] = " ".join(VOCAB[:18])
     w("documents", pa.table({
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
         "text": texts,
