@@ -207,6 +207,13 @@ def _duck_kmeans_oracle() -> str:
 # hash-checks always recomputes from the codebook either way.
 _CODEBOOK_CACHE: dict[tuple, list] = {}
 
+# Code-version component of the cross-process cache key (r13 advice —
+# mirrors IVF_INDEX_VERSION): bump whenever the Lloyd arithmetic
+# (_assign / _update / the _MEAN6 rounding) changes, or a new process
+# would silently read a stale pre-change codebook from /tmp for up to
+# the 6-hour GC age gate and consumers would trust it without recheck.
+CODEBOOK_VERSION = 1
+
 
 def _codebook_scratch_path(sf_dir: str, mtime: float, seed_ids: list[int]) -> str:
     import hashlib
@@ -215,7 +222,8 @@ def _codebook_scratch_path(sf_dir: str, mtime: float, seed_ids: list[int]) -> st
     from ..scratch import SCRATCH_ROOT
 
     token = hashlib.md5(
-        f"codebook:{os.path.abspath(sf_dir)}:{mtime}:{seed_ids}:{K}:{ITERS}".encode()
+        f"codebook{CODEBOOK_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
+        f"{seed_ids}:{K}:{ITERS}".encode()
     ).hexdigest()[:12]
     # DELIBERATELY unmarked (no scratch_dir pid stamp): a pid-owned dir
     # is reaped the moment its writer exits, which defeats the whole
@@ -265,6 +273,12 @@ def _trained_codebook(
     try:
         with open(path) as fh:
             cents = [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(fh)]
+        # keep the actively-read artifact inside gc_scratch's age gate
+        # (r13 advice): reads don't bump mtime on their own, so a fresh
+        # process could otherwise reap a codebook a live one still uses
+        from ..scratch import _touch_live
+
+        _touch_live(path)
     except (OSError, ValueError):
         cents = _train_codebook(emb, list(seed_ids))
         tmp = f"{path}.tmp.{os.getpid()}"

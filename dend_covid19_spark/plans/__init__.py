@@ -302,6 +302,16 @@ RECHECK: dict[str, int] = {
     # 10 bar + 6 + 34 r6-stale = 50 and every r6-stale name rotates
     # through the r13 driver window (verdict item 1).
     "dedup_prefix_filter_join": 12,
+    # r14, admission reason (a): the two r13-profiled perf rows were
+    # restructured AFTER their latest (r12) driver rows —
+    # events_hourly_activity_approx splits the Expand multi-distinct
+    # agg into exact + sketch aggs broadcast-joined on the hour key
+    # (plans/timeseries.py), decontaminate_bloom_gated materializes the
+    # packed bloom words to scratch beside the shingle scratch
+    # (plans/llm_pipeline.py). Hashes verified unchanged builder-side
+    # at sf0.01 AND sf0.1; the driver row re-proves each.
+    "events_hourly_activity_approx": 13,
+    "decontaminate_bloom_gated": 13,
 }
 
 

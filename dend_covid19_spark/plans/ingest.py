@@ -1608,6 +1608,15 @@ def streaming_funnel_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_single_parquet(
             chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
         )
+    # The file source admits oldest-modification-time first at ms
+    # granularity; the stateful funnel is order-sensitive, so a
+    # same-millisecond tie between staged files could drain batches out
+    # of chronological order (r13 advice). Pin strictly increasing
+    # mtimes explicitly, as the restart/CDC stagers do above.
+    now = __import__("time").time()
+    for i in range(len(chunks)):
+        t = now - 1000 + i * 100
+        os.utime(os.path.join(src, f"p{i}.parquet"), (t, t))
 
     sink = f"stream_funnel_sink_{token}"
     conf_key = "spark.sql.shuffle.partitions"

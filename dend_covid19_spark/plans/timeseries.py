@@ -102,22 +102,41 @@ def events_hourly_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     rsd is dialed to 0.01 for the check (default 5% rsd misses the 15%
     bound on the tiniest ~10-user windows); at 100 TB relax rsd and the
     bound together — the plan shape is what matters.
+
+    Plan shape (r14 fix, profiled r13): mixing countDistinct with
+    approx_count_distinct in ONE agg forces Catalyst's Expand
+    multi-distinct path — every input row is duplicated per distinct
+    group and the rsd=0.01 HLL buffer (~16 KB) rides each expanded
+    aggregation row through the shuffle (measured 13.4 s standalone at
+    sf0.1 vs 0.9 s + 1.7 s for each aggregate alone). Split instead:
+    the exact agg and the sketch agg each scan-partial-shuffle on the
+    hour window alone (no Expand, one HLL buffer per (task, window)
+    partial), then the ~720-row sketch side broadcast-joins back onto
+    the exact side — values identical, 2x less shuffle volume, and the
+    sketch buffers never multiply with the row count.
     """
     ev = load_table(spark, "events", sf_dir)
-    return (
+    exact = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.countDistinct("user_id").alias("exact_users"),
-            (
-                F.abs(
-                    F.approx_count_distinct("user_id", 0.01)
-                    - F.countDistinct("user_id")
-                )
-                <= 0.15 * F.countDistinct("user_id")
-            ).alias("estimate_ok"),
         )
-        .select(F.col("w.start").alias("hour_ts"), "cnt", "exact_users", "estimate_ok")
+        .select(F.col("w.start").alias("hour_ts"), "cnt", "exact_users")
+    )
+    approx = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .select(F.col("w.start").alias("hour_ts"), "approx_users")
+    )
+    return exact.join(F.broadcast(approx), "hour_ts").select(
+        "hour_ts",
+        "cnt",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("estimate_ok"),
     )
 
 

@@ -103,9 +103,19 @@ def materialize_once(path: str, write_fn) -> str:
     absent and rebuilt: every writer publishes via rename, and a fully
     renamed Spark write dir always carries ``_SUCCESS`` — so a
     marker-less dir can only be debris from a pre-r13 in-place writer
-    killed mid-write, exactly what this helper exists to never trust."""
+    killed mid-write, exactly what this helper exists to never trust.
+
+    Every cache HIT touches the published dir and its parent (r13
+    advice): the unmarked cross-process artifacts (ivfcell_*,
+    codebook_*, deconsh_*) are reaped by gc_scratch's mtime age gate,
+    and reads never bump mtime on their own — without the touch, a
+    newly started process could reap an index another live process is
+    actively probing mid-scan (FileNotFound task failures, or a
+    silently partial scan in a narrow listing race). With it, the age
+    gate measures time since last USE, not since publish."""
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "_SUCCESS")):
+            _touch_live(path)
             return path
         shutil.rmtree(path, ignore_errors=True)
     tmp = f"{path}.tmp.{os.getpid()}.{os.urandom(4).hex()}"
@@ -113,9 +123,32 @@ def materialize_once(path: str, write_fn) -> str:
     try:
         os.rename(tmp, path)
     except OSError:
-        # lost the publish race (or dest appeared): keep the winner's
+        # Only treat the failure as a lost publish race if a winner
+        # actually exists at ``path`` — then discarding tmp and reading
+        # the winner's copy is same-result-by-construction. Any other
+        # rename failure (EXDEV, permissions, quota) used to rmtree the
+        # freshly written data and return a path that does not exist,
+        # deferring to a confusing downstream read error (r13 advice) —
+        # re-raise instead so the real cause surfaces at the fault site.
+        if not os.path.isdir(path):
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def _touch_live(path: str) -> None:
+    """Best-effort mtime bump of ``path`` and its SCRATCH_ROOT-level
+    ancestor so actively-used unmarked artifacts stay inside
+    gc_scratch's age gate (the gate checks the TOP-LEVEL entry's mtime,
+    one directory below the root)."""
+    import time as _time
+
+    now = _time.time()
+    for p in (path, os.path.dirname(path)):
+        try:
+            os.utime(p, (now, now))
+        except OSError:
+            pass
 
 
 def _pid_alive(pid: int) -> bool:

@@ -166,3 +166,100 @@ def test_materialize_once_atomic_and_rebuilds_partials(tmp_path):
     assert os.path.exists(os.path.join(target, "_SUCCESS"))
     leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
     assert leftovers == []
+
+
+def test_materialize_once_touches_on_hit(tmp_path):
+    """r13 advice: unmarked age-gated artifacts (ivfcell_*, codebook_*,
+    deconsh_*) must stay inside gc_scratch's 6-hour age gate while
+    actively USED — reads don't bump mtime on their own, so every
+    cache hit touches the published dir and its top-level parent."""
+    import os
+
+    from dend_covid19_spark.scratch import materialize_once
+
+    parent = tmp_path / "ivfcell_abc"
+    parent.mkdir()
+    target = str(parent / "index")
+
+    def write(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    materialize_once(target, write)
+    old = time.time() - 10 * 3600  # way past the 6-hour gate
+    os.utime(target, (old, old))
+    os.utime(parent, (old, old))
+    materialize_once(target, write)  # cache hit
+    assert os.path.getmtime(target) > old + 3600
+    assert os.path.getmtime(parent) > old + 3600
+    # and the gate now spares the freshly-used artifact
+    assert gc_scratch(root=str(tmp_path)) == []
+
+
+def test_materialize_once_reraises_non_race_rename_failure(tmp_path, monkeypatch):
+    """r13 advice: a rename failure with NO winner at the target is not
+    a publish race — the freshly written temp data must not be silently
+    discarded; the error surfaces at the fault site. With a winner
+    present, the loser still cleans up and reads the winner's copy."""
+    import os
+
+    import pytest
+
+    from dend_covid19_spark.scratch import materialize_once
+
+    target = str(tmp_path / "ds")
+
+    def write(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        raise OSError("EXDEV: cross-device link")
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError, match="EXDEV"):
+        materialize_once(target, write)
+    assert not os.path.isdir(target)
+    # the failed attempt's temp dir is DELIBERATELY preserved (the data
+    # survives for diagnosis — discarding it was the bug); clear it so
+    # the final no-leftovers check sees only race-loser cleanup
+    import shutil
+
+    for p in os.listdir(tmp_path):
+        if ".tmp." in p:
+            shutil.rmtree(str(tmp_path / p))
+
+    # a genuine race (winner exists): loser discards tmp, returns winner
+    monkeypatch.setattr(os, "rename", real_rename)
+    materialize_once(target, write)
+    monkeypatch.setattr(os, "rename", failing_rename)
+    materialize_once(target, write)  # hit short-circuits before rename
+    os.remove(os.path.join(target, "_SUCCESS"))
+
+    def racing_write(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        # another process wins the publish while our rename is broken
+        w = str(tmp_path / "w")
+        os.makedirs(w, exist_ok=True)
+        open(os.path.join(w, "_SUCCESS"), "w").close()
+        real_rename(w, target)
+
+    materialize_once(target, racing_write)
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
+    assert leftovers == []
+
+
+def test_codebook_cache_key_includes_code_version(tmp_path, monkeypatch):
+    """r13 advice: the cross-process codebook cache key carries
+    CODEBOOK_VERSION (like IVF_INDEX_VERSION) so a change to the Lloyd
+    arithmetic can never silently read a stale pre-change artifact."""
+    import dend_covid19_spark.operators.kmeans as km
+
+    p1 = km._codebook_scratch_path("/x", 1.0, [1, 2, 3])
+    monkeypatch.setattr(km, "CODEBOOK_VERSION", km.CODEBOOK_VERSION + 1)
+    p2 = km._codebook_scratch_path("/x", 1.0, [1, 2, 3])
+    assert p1 != p2
