@@ -312,6 +312,14 @@ RECHECK: dict[str, int] = {
     # at sf0.01 AND sf0.1; the driver row re-proves each.
     "events_hourly_activity_approx": 13,
     "decontaminate_bloom_gated": 13,
+    # r14, admission reason (a): both rows now read assignment + norms
+    # from the cell-partitioned IVF index instead of re-deriving them
+    # per run (operators/similarity.py, operators/kmeans.py) — the
+    # stored values are the same _assign / sqrt(aggregate) expressions,
+    # IEEE-identical by construction; verified hash-green builder-side
+    # at sf0.01 AND sf0.1, the driver row re-proves each.
+    "ann_ivf_multiprobe_recall": 13,
+    "semdedup_cluster_prune": 13,
 }
 
 

@@ -632,3 +632,117 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "day", "version_value", "valid_from")
     )
+
+
+# --- CDC schema-evolution merge (round 14) -----------------------------------
+# Real CDC feeds evolve: an upstream deploy adds a column mid-stream, so
+# the ingest directory accumulates parquet files with DIFFERENT physical
+# schemas, and the merge must read them together without rewriting the
+# history. Spark's parquet schema merge (mergeSchema / unioned footers)
+# is the engine-native answer — old files surface the new column as
+# NULL, new files carry it, and the latest-state merge runs over the
+# union. The staged batches here really do have different footers
+# (pinned in tests/test_round14_ops.py), not just a logical CASE.
+
+_EVO_CUTOFF = "2024-01-16 00:00:00"
+_EVO_BOUND: dict[str, str] = {}
+
+
+def _evolution_scratch(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from ..scratch import scratch_dir
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(
+        f"evo:{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    return scratch_dir(f"snap_evo_{token}_{os.getpid()}")
+
+
+def _ensure_evolution_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the two-epoch CDC directory: batch b0 (pre-cutoff rows,
+    v1 schema WITHOUT ``channel``) and batch b1 (post-cutoff rows, v2
+    schema WITH ``channel`` = the event's type) — two parquet datasets
+    whose physical footers genuinely differ."""
+    import os
+
+    scratch = _evolution_scratch(sf_dir)
+    if _EVO_BOUND.get("dir") == scratch and os.path.exists(
+        os.path.join(scratch, "b1", "_SUCCESS")
+    ):
+        return scratch
+    cutoff = F.lit(_EVO_CUTOFF).cast("timestamp")
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("value"), "event_type"
+    )
+    (
+        ev.where(F.col("ts") < cutoff)
+        .drop("event_type")
+        .write.mode("overwrite")
+        .parquet(os.path.join(scratch, "b0"))
+    )
+    (
+        ev.where(F.col("ts") >= cutoff)
+        .withColumnRenamed("event_type", "channel")
+        .write.mode("overwrite")
+        .parquet(os.path.join(scratch, "b1"))
+    )
+    _EVO_BOUND["dir"] = scratch
+    return scratch
+
+
+@query(
+    "cdc_schema_evolution_merge",
+    oracle=f"""
+WITH feed AS (
+    SELECT user_id, ts, event_id, round(value, 2) AS value,
+           CASE WHEN ts >= TIMESTAMP '{_EVO_CUTOFF}' THEN event_type END AS channel
+    FROM events
+), cur AS (
+    SELECT user_id, ts, value, channel FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC, value DESC) AS rn
+        FROM feed
+    ) WHERE rn = 1
+)
+SELECT user_id, CAST(ts AS DATE) AS last_day, value, channel FROM cur
+""",
+)
+def cdc_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state merge over a SCHEMA-EVOLVED CDC directory: the
+    pre-cutoff batch was written before the feed grew a ``channel``
+    column, the post-cutoff batch carries it, and the merge reads both
+    with parquet schema merging (old rows NULL-fill the new column —
+    never rewritten) before the per-key latest-wins pick. Users whose
+    newest row predates the evolution surface channel IS NULL; everyone
+    else carries the evolved attribute — the oracle recomputes the same
+    feed logically from ``events``.
+
+    Plan/scale: mergeSchema=true unions footers across ALL files — at
+    100 TB pin the evolved schema explicitly on the reader
+    (schema-on-read) so the scan plans from one schema and old files
+    null-fill by name, paying zero footer-sweep; the staging here uses
+    the inference path deliberately so the physical evolution is
+    exercised end-to-end. The merge itself is one hash shuffle on
+    user_id (the cdc_merge_upsert shape); history files are immutable —
+    schema evolution is metadata, not a rewrite (the read-side analogue
+    of ann_ivf_delta_append's write-side claim)."""
+    import os
+
+    scratch = _ensure_evolution_batches(spark, sf_dir)
+    feed = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(scratch, "b0"), os.path.join(scratch, "b1")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc(), F.col("value").desc()
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", F.to_date("ts").alias("last_day"), "value", "channel"
+        )
+    )

@@ -24,6 +24,7 @@ distributed reads/writes with no driver data path.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -798,6 +799,128 @@ def streaming_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFr
         "view_id", "purchase_id", "user_id", "seconds_to_purchase"
     )
     _STREAM_ATTR_CACHE[key] = out
+    return out
+
+
+# --- stream-stream join state EVICTION proof (executed) ----------------------
+
+_STREAM_EVICT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# per-(app, sf) state-store metrics captured from the drain's progress
+# events, for the pytest eviction assertions (engine metrics can't ride
+# the oracle-hashed DataFrame)
+_STREAM_EVICT_METRICS: dict[tuple[str, str], list] = {}
+
+
+@query(
+    "streaming_join_state_eviction_executed",
+    oracle="""
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS seconds_to_purchase
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+""",
+)
+def streaming_join_state_eviction_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained over FOUR chronological
+    micro-batches with the state-store metrics captured — the bounded-
+    state claim of streaming_interval_join_executed made EXECUTABLE
+    (r13 verdict item 5: "streaming join with state TTL eviction
+    proof"). The single-batch row proves the join semantics; this row
+    proves the part that makes it runnable forever: as the watermark
+    advances batch over batch, Spark EVICTS buffered views once the
+    watermark passes view_ts + horizon (and purchases once it passes
+    purchase_ts), so join state is O(traffic x horizon) rather than
+    O(stream so far). tests/test_round14_ops.py asserts, from the
+    drain's own progress events, that rows were removed from the state
+    store and the final state row count is a small fraction of the
+    rows that passed through it.
+
+    Correctness across batch cuts: files are day-split and
+    mtime-ordered, so nothing arrives behind the watermark; an inner
+    stream-stream join emits pairs as they match (emission is not
+    watermark-gated), and eviction (which lags one batch behind the
+    displayed watermark) only drops views whose entire 1-hour horizon
+    is already behind the watermark — whose purchases, living in the
+    same or an earlier day file, have all been seen. Hence the streamed
+    pair set equals the batch join, and the oracle is the batch twin's
+    SQL verbatim.
+
+    Plan/scale: same late-drop discipline as the other drains —
+    shuffle width scoped to 8 around the stream start (state-store
+    width freezes at checkpoint creation), drain-and-cache once per
+    (app, sf)."""
+    from ..streaming.daily import attribution_stream, read_events_stream
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_EVICT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_EVICT_CACHE if k[0] != key[0]]:
+        del _STREAM_EVICT_CACHE[k]
+        _STREAM_EVICT_METRICS.pop(k, None)
+
+    token = abs(hash(("evictjoin", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"streamevict_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    lo, mid, hi = _UPSERT_SPLIT_DAYS
+    chunks = [
+        ev.where(d < lo),
+        ev.where((d >= lo) & (d < mid)),
+        ev.where((d >= mid) & (d < hi)),
+        ev.where(d >= hi),
+    ]
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+    # strictly increasing mtimes: the file source orders by ms-mtime and
+    # the eviction proof depends on chronological batch order
+    now = __import__("time").time()
+    for i in range(len(chunks)):
+        t = now - 1000 + i * 100
+        os.utime(os.path.join(src, f"p{i}.parquet"), (t, t))
+
+    sink = f"stream_evict_sink_{token}"
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        events = read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            attribution_stream(events)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_EVICT_METRICS[key] = [
+            {
+                "batch": p["batchId"],
+                "numRowsTotal": p["stateOperators"][0]["numRowsTotal"],
+                "numRowsUpdated": p["stateOperators"][0]["numRowsUpdated"],
+                "numRowsRemoved": p["stateOperators"][0]["numRowsRemoved"],
+            }
+            for p in (json.loads(x.json) for x in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    out = spark.table(sink).select(
+        "view_id", "purchase_id", "user_id", "seconds_to_purchase"
+    )
+    _STREAM_EVICT_CACHE[key] = out
     return out
 
 

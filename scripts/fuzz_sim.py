@@ -189,6 +189,34 @@ def generate(seed: int, out: str) -> None:
     t2 = base_ev + 9 * DAY_US
     ets[28], users[28], etypes[28] = t2, 17, ETYPES[4]  # view
     ets[29], users[29], etypes[29] = t2 + DAY_US + 1, 17, ETYPES[1]  # click, 1us past
+    # CDC schema-evolution cutoff boundary (r14): users 18/19 exist ONLY
+    # through these events, so cdc_schema_evolution_merge's >= cutoff
+    # gate (2024-01-16 00:00:00 = base + 15 days) is DECISIVE for them
+    # on every seed. User 18's latest row lands exactly AT the cutoff
+    # (channel = event_type); user 19's latest is 1 us BEFORE it
+    # (channel NULL), with a same-ts event_id tie under it so the
+    # (ts, event_id, value) latest-pick total order is exercised at the
+    # boundary too. The cutoff instant is also an exact hour boundary,
+    # pinning the split hourly agg's window-edge assignment.
+    evo = base_ev + 15 * DAY_US
+    ets[30], users[30], etypes[30] = evo - 1, 18, ETYPES[0]
+    ets[31], users[31], etypes[31] = evo, 18, ETYPES[1]  # latest, AT cutoff
+    ets[32], users[32], etypes[32] = evo - 1, 19, ETYPES[3]  # latest, 1us before
+    ets[33], users[33], etypes[33] = evo - 1, 19, ETYPES[0]  # same-ts tie
+    # Stream-stream join batch-cut + horizon boundaries (r14): user 20's
+    # view->purchase pair STRADDLES the 2024-01-15 day-file cut of the
+    # multi-batch drains (the view's state must survive the micro-batch
+    # boundary to match a purchase arriving in the next batch); user
+    # 21's purchases land exactly AT view+1h (included, <= gate) and
+    # 1 us PAST it (excluded) — decisive for the interval join's
+    # horizon on every seed, streamed and batch alike.
+    cut = base_ev + 14 * DAY_US  # the _UPSERT_SPLIT_DAYS mid boundary
+    ets[34], users[34], etypes[34] = cut - 1_800_000_000, 20, ETYPES[4]
+    ets[35], users[35], etypes[35] = cut + 900_000_000, 20, ETYPES[2]
+    t3 = base_ev + 20 * DAY_US + 3 * 3_600_000_000
+    ets[36], users[36], etypes[36] = t3, 21, ETYPES[4]
+    ets[37], users[37], etypes[37] = t3 + 3_600_000_000, 21, ETYPES[2]
+    ets[38], users[38], etypes[38] = t3 + 3_600_000_001, 21, ETYPES[2]
     w("events", pa.table({
         "event_id": pa.array(range(N_EVENTS), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),
@@ -260,6 +288,14 @@ def generate(seed: int, out: str) -> None:
     emb[81] = ((emb[1].astype(np.float64) + emb[2].astype(np.float64)) / 2).astype(
         np.float32
     )
+    # IVF delta-append adversary (r14): a DELTA-slice vector (13 % 5 == 3)
+    # that exactly duplicates a BASE vector — after the append both live
+    # in the same cell with identical cosines to any query, so the
+    # probe's (cosine DESC, vec_id) tie-break is decisive across the
+    # base/delta file boundary on every seed. The hot cell above already
+    # contains delta ids (63/68/73/78), stressing appends into a
+    # dominating cell and cells created by the append alone.
+    emb[13] = emb[12]
     w("embeddings", pa.table({
         "vec_id": pa.array(range(N_EMB), pa.int64()),
         "embedding": pa.array([v.tolist() for v in emb], pa.list_(pa.float32())),

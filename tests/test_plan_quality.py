@@ -307,6 +307,7 @@ _NESTED_LOOP_ALLOWED = {
     "events_trend_theil_sen",  # |days| x |days| pair join over the bounded day spine
     # round 13
     "ann_ivf_cell_probe",  # one-row query-vector broadcast onto the pruned index scan
+    "ann_ivf_delta_append",  # same shape over the incrementally maintained index
     "hard_negative_mining",  # |panel|-row anchor broadcast (non-equi label filter)
 }
 
