@@ -38,6 +38,93 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     return total
 
 
+def partition_file_stats(root: str) -> dict[str, dict]:
+    """Per-leaf-partition file inventory of a ``key=value``-partitioned
+    parquet directory: ``{rel_partition: {"n_files": int, "bytes": int,
+    "files": {rel_file: [size, mtime_ns]}}}``. Hidden/underscore entries
+    (_SUCCESS, .crc, manifests) are excluded, matching what
+    FileSourceScanExec scans.
+
+    Driver-side metadata only — at 100 TB this is one recursive listing
+    (or a catalog/manifest read on a lakehouse table), never a data
+    scan; it is the input that makes compaction STATS-DRIVEN instead of
+    a blind full rewrite."""
+    import os
+
+    out: dict[str, dict] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        data = [f for f in files if not f.startswith(("_", "."))]
+        if not data:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        ent = out.setdefault(rel, {"n_files": 0, "bytes": 0, "files": {}})
+        for f in data:
+            st = os.stat(os.path.join(dirpath, f))
+            ent["n_files"] += 1
+            ent["bytes"] += st.st_size
+            ent["files"][f] = [st.st_size, st.st_mtime_ns]
+    return out
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 4,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict]:
+    """Selective (stats-driven) partition compaction — the incremental
+    OPTIMIZE: rewrite ONLY the leaf partitions whose small-file count
+    breaches ``max_files``, coalescing each to ceil(bytes/target) files;
+    healthy partitions are left byte-untouched (not re-read, not
+    re-written). Returns a manifest ``{rel_partition: {files_before,
+    bytes_before, files_after, rewritten}}``.
+
+    Why selective matters at 100 TB: streaming ingest fragments only the
+    partitions it touched (today's), so daily maintenance must cost
+    O(fragmented bytes), not O(table) — a blind ``compact_small_files``
+    over the root re-shuffles years of already-compact history. The
+    breach rule reads driver-side listing metadata only.
+
+    Each rewrite is a per-partition read->coalesce->write into a hidden
+    sibling temp dir, then a swap (retire old dir, rename temp in, drop
+    old). Readers that listed files BEFORE the swap can lose them —
+    single-writer maintenance-window semantics, the same contract as
+    Hive/plain-parquet compaction; a lakehouse table format turns this
+    swap into an atomic metadata commit and that is the production
+    deployment for concurrent readers. coalesce (not repartition) keeps
+    the rewrite shuffle-free: each output task reads whole input files.
+    """
+    import os
+    import shutil
+
+    stats = partition_file_stats(root)
+    manifest: dict[str, dict] = {}
+    for part in sorted(stats):
+        ent = stats[part]
+        breach = ent["n_files"] > max_files
+        rec = {
+            "files_before": ent["n_files"],
+            "bytes_before": ent["bytes"],
+            "files_after": ent["n_files"],
+            "rewritten": False,
+        }
+        if breach:
+            src = os.path.join(root, part)
+            tmp = src + ".__compacting"
+            retired = src + ".__retired"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(retired, ignore_errors=True)
+            n_out = max(1, -(-ent["bytes"] // target_file_bytes))
+            spark.read.parquet(src).coalesce(n_out).write.parquet(tmp)
+            os.rename(src, retired)
+            os.rename(tmp, src)
+            shutil.rmtree(retired)
+            rec["files_after"] = len(partition_file_stats(src).get(".", {"files": {}})["files"])
+            rec["rewritten"] = True
+        manifest[part] = rec
+    return manifest
+
+
 def compact_small_files(
     spark: SparkSession,
     in_path: str,

@@ -1767,3 +1767,119 @@ def streaming_funnel_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_FUNNEL_CACHE[key] = out
     return out
+
+
+# --- stats-driven selective partition compaction (round 14) ------------------
+# The maintenance half of the S2 partitioned layout: streaming/micro-
+# batch ingest fragments the partitions it touches into many small
+# files (each an open + a task per scan), and the fix at 100 TB must be
+# INCREMENTAL — rewrite only the partitions whose file stats breach a
+# threshold, leave compact history byte-untouched. The reference never
+# compacts (its daily output is ~1 row, tweets.py:81-82); any engine
+# serving its ingest pattern at scale compacts daily.
+
+_COMPACT_DEMO_VERSION = 1
+_COMPACT_FRAG_FILES = 6  # debris width staged for the fragmented dates
+_COMPACT_FRAG_DOM = 10  # day-of-month <= this -> staged fragmented
+_COMPACT_MAX_FILES = 3  # breach rule: compact partitions with more files
+
+
+def _compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """(sf, mtime)-keyed scratch: the events table laid out by
+    ``event_date`` with planted small-file debris (dates with
+    day-of-month <= _COMPACT_FRAG_DOM written via round-robin
+    ``repartition(6)`` -> ~6 files each, the rest one file each), then
+    compacted IN PLACE by ``compact_partitions``. ``_pre_stats.json`` /
+    ``_post_stats.json`` / ``_compact_manifest.json`` (underscore-
+    prefixed: invisible to scans) snapshot the file inventory around the
+    rewrite so pytest can prove selectivity — breaching partitions
+    collapse, healthy partitions keep identical (name, size, mtime)
+    files — instead of asserting it."""
+    import hashlib
+
+    from ..operators.maintenance import compact_partitions, partition_file_stats
+    from ..scratch import SCRATCH_ROOT, materialize_once
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(
+        f"compactev{_COMPACT_DEMO_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
+        f"{_COMPACT_FRAG_FILES}:{_COMPACT_FRAG_DOM}:{_COMPACT_MAX_FILES}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join(SCRATCH_ROOT, f"compactev_{token}")
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(parent, "data")
+
+    def _write(tmp: str) -> None:
+        ev = load_table(spark, "events", sf_dir).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        frag = F.dayofmonth("event_date") <= _COMPACT_FRAG_DOM
+        # round-robin repartition spreads every date over all tasks ->
+        # each fragmented date dir gets ~_COMPACT_FRAG_FILES files (the
+        # micro-batch debris shape); the healthy slice hash-partitions
+        # on the date -> exactly one file per date dir
+        ev.where(frag).repartition(_COMPACT_FRAG_FILES).write.partitionBy(
+            "event_date"
+        ).parquet(tmp)
+        ev.where(~frag).repartition("event_date").write.mode("append").partitionBy(
+            "event_date"
+        ).parquet(tmp)
+        with open(os.path.join(tmp, "_pre_stats.json"), "w") as fh:
+            json.dump(partition_file_stats(tmp), fh)
+        manifest = compact_partitions(
+            spark, tmp, max_files=_COMPACT_MAX_FILES
+        )
+        with open(os.path.join(tmp, "_compact_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        with open(os.path.join(tmp, "_post_stats.json"), "w") as fh:
+            json.dump(partition_file_stats(tmp), fh)
+
+    materialize_once(path, _write)
+    return path
+
+
+@query(
+    "compaction_incremental_events",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY 1
+""",
+)
+def compaction_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side proof of the SELECTIVE small-file compaction
+    (operators/maintenance.py::compact_partitions): the events table is
+    staged date-partitioned with planted micro-batch debris, only the
+    breaching partitions are rewritten (stats-driven, coalesce
+    shuffle-free, per-partition swap), and this query digests the
+    COMPACTED layout per date against an oracle over the ORIGINAL
+    parquet — the hash match certifies the rewrite is lossless while
+    the build manifests prove healthy partitions were never touched
+    (pinned in tests/test_round14_ops.py).
+
+    Scale: the breach rule reads driver-side listing metadata only, and
+    each rewrite costs O(that partition's bytes) with no shuffle — so
+    daily maintenance of a 100 TB table costs O(yesterday's fragmented
+    partitions), not O(table). The per-partition dir swap is the
+    single-writer projection of a lakehouse metadata commit (see the
+    operator docstring for the concurrent-reader contract).
+
+    Sibling of ann_ivf_delta_append (round 14's incremental-maintenance
+    pair: index append without base rewrite / layout repair without
+    table rewrite)."""
+    path = _compacted_events_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return df.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

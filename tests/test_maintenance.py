@@ -151,3 +151,50 @@ def test_vacuum_snapshot_versions(tmp_path):
 
     with pytest.raises(ValueError):
         vacuum_snapshot_versions(str(target), keep_last=0)
+
+
+def test_compact_partitions_selective_swap(spark, tmp_path):
+    """compact_partitions rewrites only breaching partitions, swaps
+    in place (no temp/retired debris left), and preserves rows —
+    including the crash-debris precondition: a leftover __compacting
+    sibling from a killed prior run is discarded, never trusted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    root = str(tmp_path / "part")
+    orders = load_table(spark, "orders", SF_DIR).withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    # buckets 0/1 fragmented (8 files), 2/3 healthy (1 file)
+    orders.where("bucket < 2").repartition(8).write.partitionBy("bucket").parquet(root)
+    orders.where("bucket >= 2").repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(root)
+    # plant crash debris beside a breaching partition
+    debris = os.path.join(root, "bucket=0.__compacting")
+    os.makedirs(debris)
+    open(os.path.join(debris, "junk"), "w").close()
+
+    pre = partition_file_stats(root)
+    manifest = compact_partitions(spark, root, max_files=4)
+    post = partition_file_stats(root)
+
+    assert {p for p, r in manifest.items() if r["rewritten"]} == {
+        "bucket=0",
+        "bucket=1",
+    }
+    for b in ("bucket=2", "bucket=3"):
+        assert post[b]["files"] == pre[b]["files"]
+    for b in ("bucket=0", "bucket=1"):
+        assert post[b]["n_files"] == 1
+    assert not os.path.exists(debris)
+    assert not any(
+        name.endswith(("__compacting", "__retired")) for name in os.listdir(root)
+    )
+    assert spark.read.parquet(root).count() == orders.count()

@@ -217,3 +217,62 @@ def test_streaming_join_state_eviction(spark, duck):
     # bounded state: what remains is a small fraction of what streamed
     # through (only the last ~horizon of traffic can still be buffered)
     assert final_state < 0.25 * updated, metrics
+
+
+def test_compaction_is_selective_and_lossless(spark):
+    """The stats-driven selective compaction's structural claims,
+    checked against the build's own manifests: (a) every partition that
+    breached max_files was rewritten down to the coalesce target, (b)
+    every healthy partition kept an IDENTICAL (name, size, mtime_ns)
+    file set — never re-read, never re-written, (c) the manifest's
+    rewritten flags match the breach rule exactly, and (d) the
+    compacted layout holds the same rows as the source table."""
+    import json
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.ingest import (
+        _COMPACT_MAX_FILES,
+        _compacted_events_path,
+    )
+
+    path = _compacted_events_path(spark, SF_DIR)
+    with open(os.path.join(path, "_pre_stats.json")) as fh:
+        pre = json.load(fh)
+    with open(os.path.join(path, "_post_stats.json")) as fh:
+        post = json.load(fh)
+    with open(os.path.join(path, "_compact_manifest.json")) as fh:
+        manifest = json.load(fh)
+
+    assert set(pre) == set(post) == set(manifest)
+    rewritten = {p for p, rec in manifest.items() if rec["rewritten"]}
+    assert rewritten, "staging planted no breaching partitions"
+    assert rewritten != set(manifest), "compaction rewrote every partition"
+    for part, rec in manifest.items():
+        assert rec["rewritten"] == (pre[part]["n_files"] > _COMPACT_MAX_FILES)
+        if rec["rewritten"]:
+            assert post[part]["n_files"] <= _COMPACT_MAX_FILES
+            assert post[part]["n_files"] == rec["files_after"]
+        else:
+            assert post[part]["files"] == pre[part]["files"], (
+                f"healthy partition touched: {part}"
+            )
+
+    n_src = load_table(spark, "events", SF_DIR).count()
+    assert spark.read.parquet(path).count() == n_src
+
+
+def test_compaction_layout_still_partition_prunes(spark):
+    """A date-equality filter over the compacted layout must still plan
+    as a static partition prune (one date dir of ~30) — compaction
+    repairs file counts without disturbing partition discovery."""
+    from dend_covid19_spark.plans.ingest import _compacted_events_path
+
+    path = _compacted_events_path(spark, SF_DIR)
+    df = spark.read.parquet(path).where(F.col("event_date") == "2024-01-05")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PartitionFilters: \[.*event_date.*\]", plan)
+    assert m, f"no partition filter on the compacted layout\n{plan}"
+    assert df.count() > 0
