@@ -1778,7 +1778,10 @@ def streaming_funnel_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compacts (its daily output is ~1 row, tweets.py:81-82); any engine
 # serving its ingest pattern at scale compacts daily.
 
-_COMPACT_DEMO_VERSION = 1
+# bump whenever the staging/compaction arithmetic changes (the r14
+# CODEBOOK_VERSION discipline): the scratch key must never serve a
+# pre-change artifact to post-change code
+_COMPACT_DEMO_VERSION = 2
 _COMPACT_FRAG_FILES = 6  # debris width staged for the fragmented dates
 _COMPACT_FRAG_DOM = 10  # day-of-month <= this -> staged fragmented
 _COMPACT_MAX_FILES = 3  # breach rule: compact partitions with more files
@@ -1813,7 +1816,12 @@ def _compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
         ev = load_table(spark, "events", sf_dir).withColumn(
             "event_date", F.to_date("ts")
         )
-        frag = F.dayofmonth("event_date") <= _COMPACT_FRAG_DOM
+        # coalesce(False): a NULL event_date must land in exactly one
+        # slice (a bare ~frag is NULL for NULL dates and would silently
+        # drop the row from the staged table)
+        frag = F.coalesce(
+            F.dayofmonth("event_date") <= _COMPACT_FRAG_DOM, F.lit(False)
+        )
         # round-robin repartition spreads every date over all tasks ->
         # each fragmented date dir gets ~_COMPACT_FRAG_FILES files (the
         # micro-batch debris shape); the healthy slice hash-partitions
