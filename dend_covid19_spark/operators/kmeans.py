@@ -386,14 +386,14 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^9 vectors this is the natural coupling anyway: SemDeDup prunes
     WITHIN cells of the same index the ANN layer serves, one
     maintained clustered layout feeding both."""
-    from .similarity import _ivf_cell_index_path
+    from .similarity import _ivf_cell_index_path, read_ivf_index
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = _trained_codebook(spark, emb, sf_dir, SEMDEDUP_SEED_IDS)
-    fin = spark.read.parquet(_ivf_cell_index_path(spark, sf_dir, cents)).select(
-        "vec_id", "v", F.col("cell").cast("int").alias("cluster"), "nrm"
+    fin = read_ivf_index(spark, _ivf_cell_index_path(spark, sf_dir, cents)).select(
+        "vec_id", "v", F.col("cell").alias("cluster"), "nrm"
     )
     x = fin.select(
         F.col("vec_id").alias("x_id"),

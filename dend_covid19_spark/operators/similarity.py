@@ -580,8 +580,8 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents_rows = _trained_codebook(spark, emb, sf_dir, SEMDEDUP_SEED_IDS)
     path = _ivf_cell_index_path(spark, sf_dir, cents_rows)
-    fin = spark.read.parquet(path).select(
-        "vec_id", "v", "nrm", F.col("cell").cast("int").alias("cluster")
+    fin = read_ivf_index(spark, path).select(
+        "vec_id", "v", "nrm", F.col("cell").alias("cluster")
     )
 
     # probe list per panel query: the NPROBE nearest centroids by the
@@ -972,6 +972,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and that the probed set is a strict subset of the k cells.
 IVF_INDEX_VERSION = 1  # bump to invalidate the scratch layout
 
+# The index layout's schema, pinned for readers: passing it explicitly
+# skips the per-process footer-inference job a bare read.parquet pays on
+# first touch of the partitioned layout (~0.5-1 s of fresh-process cold
+# per consumer, measured r14) — schema-on-read is also the 100 TB
+# discipline anyway (the catalog owns the schema; footers are data, not
+# metadata). `cell` is the partition column; declaring it int makes the
+# directory values cast once at planning.
+IVF_INDEX_SCHEMA = "vec_id bigint, v array<double>, nrm double, cell int"
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a cell-partitioned IVF index (base or delta layout) with the
+    pinned schema — every consumer (probe, recall panel, SemDeDup,
+    delta-append) reads through here so the layout contract lives in
+    one place."""
+    return spark.read.schema(IVF_INDEX_SCHEMA).parquet(path)
+
 
 def _ivf_cell_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> str:
     """Write-once (sf, mtime)-keyed cell-partitioned index: (vec_id, v,
@@ -1109,7 +1126,7 @@ def ann_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[0]
     probed_cells = sorted(int(c) for c in q_row.probed)
 
-    idx = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    idx = read_ivf_index(spark, path).where(F.col("cell").isin(probed_cells))
     q_df = F.broadcast(
         spark.createDataFrame(
             [([float(x) for x in q_row.qv],)], "qv array<double>"
@@ -1297,7 +1314,7 @@ def ann_ivf_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[0]
     probed_cells = sorted(int(c) for c in q_row.probed)
 
-    idx = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    idx = read_ivf_index(spark, path).where(F.col("cell").isin(probed_cells))
     q_df = F.broadcast(
         spark.createDataFrame(
             [([float(x) for x in q_row.qv],)], "qv array<double>"
