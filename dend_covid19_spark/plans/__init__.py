@@ -320,6 +320,18 @@ RECHECK: dict[str, int] = {
     # at sf0.01 AND sf0.1, the driver row re-proves each.
     "ann_ivf_multiprobe_recall": 13,
     "semdedup_cluster_prune": 13,
+    # r14, admission reason (a): the decon shingle/bloom scratch reads
+    # now declare their schema (plans/llm_pipeline.py — the
+    # read_ivf_index discipline; skips the per-process footer-inference
+    # job). Types identical to what inference derived, so plans and
+    # values are unchanged by construction; verified hash-green
+    # builder-side at sf0.01 AND sf0.1, the driver row re-proves each.
+    # (decontaminate_bloom_gated already sits in RECHECK @ 13 above.)
+    # Window cost: these two displace the two r8-stale tail names
+    # (dataset_split_assign, text_scrub_denylist) — every r7-stale name
+    # stays in, per the r13 verdict's item-1 budget.
+    "decontaminate_ngram_overlap": 13,
+    "ngram_novelty_by_batch": 13,
 }
 
 

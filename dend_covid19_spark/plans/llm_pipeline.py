@@ -384,9 +384,11 @@ def _decon_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # atomic publish (r12 advice 1): these cached shingles ARE part of
-    # the verified output, so readers must never see a partial write
+    # the verified output, so readers must never see a partial write.
+    # Schema pinned on read (the read_ivf_index discipline): a fresh
+    # process skips the footer-inference job on first touch.
     materialize_once(path, _write)
-    return spark.read.parquet(path)
+    return spark.read.schema("doc_id bigint, gh bigint").parquet(path)
 
 
 @query(
@@ -496,7 +498,7 @@ def _decon_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bloom_words(bench).coalesce(1).write.mode("overwrite").parquet(tmp)
 
     materialize_once(path, _write)
-    return spark.read.parquet(path)
+    return spark.read.schema("w bigint, bits bigint").parquet(path)
 
 
 @query(

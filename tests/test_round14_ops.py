@@ -276,3 +276,32 @@ def test_compaction_layout_still_partition_prunes(spark):
     m = re.search(r"PartitionFilters: \[.*event_date.*\]", plan)
     assert m, f"no partition filter on the compacted layout\n{plan}"
     assert df.count() > 0
+
+
+def test_ivf_index_pinned_schema_matches_written_layout(spark):
+    """read_ivf_index declares the index schema so fresh processes skip
+    the footer-inference job — which means writer drift (a new column,
+    a widened type) would otherwise go unnoticed until a consumer
+    misreads. Pin: the declared schema must equal what inference
+    derives from the live index, field for field."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_SEED_IDS,
+        _trained_codebook,
+    )
+    from dend_covid19_spark.operators.similarity import (
+        IVF_INDEX_SCHEMA,
+        _ivf_cell_index_path,
+    )
+    from pyspark.sql.types import StructType
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _trained_codebook(spark, emb, SF_DIR, SEMDEDUP_SEED_IDS)
+    path = _ivf_cell_index_path(spark, SF_DIR, cents)
+    inferred = spark.read.parquet(path).schema
+    pinned = StructType.fromDDL(IVF_INDEX_SCHEMA)
+    assert [(f.name, f.dataType) for f in pinned.fields] == [
+        (f.name, f.dataType) for f in inferred.fields
+    ], f"pinned {pinned.simpleString()} != written {inferred.simpleString()}"
