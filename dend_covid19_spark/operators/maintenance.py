@@ -52,7 +52,10 @@ def partition_file_stats(root: str) -> dict[str, dict]:
     import os
 
     out: dict[str, dict] = {}
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        # prune hidden/underscore subtrees in place (swap debris,
+        # _temporary) — FileSourceScanExec never descends into them
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         data = [f for f in files if not f.startswith(("_", "."))]
         if not data:
             continue
@@ -85,9 +88,17 @@ def compact_partitions(
     over the root re-shuffles years of already-compact history. The
     breach rule reads driver-side listing metadata only.
 
-    Each rewrite is a per-partition read->coalesce->write into a hidden
-    sibling temp dir, then a swap (retire old dir, rename temp in, drop
-    old). Readers that listed files BEFORE the swap can lose them —
+    Each rewrite is a per-partition read->coalesce->write into a DOT-
+    PREFIXED sibling temp dir, then a swap (retire old dir to a dot-
+    prefixed name, rename temp in, drop old). The dot prefix matters:
+    a bare ``part.__compacting`` sibling still PARSES as a key=value
+    partition directory ("0.__compacting" as the value), so crash
+    debris would be scanned as a phantom partition — hidden names are
+    invisible to FileSourceScan by the same rule that hides _SUCCESS.
+    Every crash window is recovered on the next run (``_recover_swaps``
+    below): orphaned temp dirs are discarded, a retired dir whose live
+    partition is missing (death between the two renames) is restored.
+    Readers that listed files BEFORE the swap can lose them —
     single-writer maintenance-window semantics, the same contract as
     Hive/plain-parquet compaction; a lakehouse table format turns this
     swap into an atomic metadata commit and that is the production
@@ -97,6 +108,7 @@ def compact_partitions(
     import os
     import shutil
 
+    _recover_swaps(root)
     stats = partition_file_stats(root)
     manifest: dict[str, dict] = {}
     for part in sorted(stats):
@@ -110,10 +122,8 @@ def compact_partitions(
         }
         if breach:
             src = os.path.join(root, part)
-            tmp = src + ".__compacting"
-            retired = src + ".__retired"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(retired, ignore_errors=True)
+            tmp = _hidden_sibling(src, _COMPACTING_SUFFIX)
+            retired = _hidden_sibling(src, _RETIRED_SUFFIX)
             n_out = max(1, -(-ent["bytes"] // target_file_bytes))
             spark.read.parquet(src).coalesce(n_out).write.parquet(tmp)
             os.rename(src, retired)
@@ -123,6 +133,51 @@ def compact_partitions(
             rec["rewritten"] = True
         manifest[part] = rec
     return manifest
+
+
+_COMPACTING_SUFFIX = ".__compacting"
+_RETIRED_SUFFIX = ".__retired"
+
+
+def _hidden_sibling(path: str, suffix: str) -> str:
+    """``.../.name<suffix>`` beside ``.../name`` — same filesystem (the
+    renames stay atomic) and dot-prefixed (invisible to scans)."""
+    import os
+
+    d, b = os.path.split(path)
+    return os.path.join(d, "." + b + suffix)
+
+
+def _recover_swaps(root: str) -> None:
+    """Repair crash debris from an interrupted compact_partitions run.
+
+    Crash windows and their repair, in swap order:
+      - died during/after the temp write, before the renames ->
+        ``.name.__compacting`` exists, live dir intact: discard temp
+        (it may be a partial write; rebuild is cheap and safe);
+      - died between the two renames -> ``.name.__retired`` exists and
+        the live dir is MISSING: restore the retired dir (the data was
+        never gone, only hidden — this is the window a lakehouse
+        metadata commit closes atomically);
+      - died before the retired cleanup -> both retired and live exist:
+        the swap completed, drop the retired copy."""
+    import os
+    import shutil
+
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if not (name.startswith(".") and os.path.isdir(full)):
+            continue
+        if name.endswith(_COMPACTING_SUFFIX):
+            shutil.rmtree(full)
+        elif name.endswith(_RETIRED_SUFFIX):
+            live = os.path.join(
+                root, name[1 : -len(_RETIRED_SUFFIX)]
+            )
+            if os.path.isdir(live):
+                shutil.rmtree(full)
+            else:
+                os.rename(full, live)
 
 
 def compact_small_files(

@@ -176,8 +176,9 @@ def test_compact_partitions_selective_swap(spark, tmp_path):
     orders.where("bucket >= 2").repartition("bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(root)
-    # plant crash debris beside a breaching partition
-    debris = os.path.join(root, "bucket=0.__compacting")
+    # plant crash debris beside a breaching partition — dot-prefixed
+    # (hidden from scans; a bare name would parse as a partition value)
+    debris = os.path.join(root, ".bucket=0.__compacting")
     os.makedirs(debris)
     open(os.path.join(debris, "junk"), "w").close()
 
@@ -197,4 +198,45 @@ def test_compact_partitions_selective_swap(spark, tmp_path):
     assert not any(
         name.endswith(("__compacting", "__retired")) for name in os.listdir(root)
     )
+    assert spark.read.parquet(root).count() == orders.count()
+
+
+def test_compact_partitions_recovers_interrupted_swap(spark, tmp_path):
+    """The between-renames crash window: the live partition dir is
+    missing and its data sits in the hidden .__retired sibling. The
+    next run must restore it BEFORE computing stats — no data loss,
+    and the restored partition still compacts if it breaches. Also:
+    hidden debris never surfaces as a phantom partition value in a
+    scan over the root."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import compact_partitions
+
+    root = str(tmp_path / "part")
+    orders = load_table(spark, "orders", SF_DIR).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    )
+    orders.repartition(8).write.partitionBy("bucket").parquet(root)
+
+    # simulate death between rename(src -> retired) and rename(tmp -> src)
+    live = os.path.join(root, "bucket=0")
+    retired = os.path.join(root, ".bucket=0.__retired")
+    os.rename(live, retired)
+    # a scan in this state must not see bucket 0 (hidden) — and must
+    # not see a phantom value either
+    vals = {r.bucket for r in spark.read.parquet(root).select("bucket").distinct().collect()}
+    assert vals == {1}
+
+    manifest = compact_partitions(spark, root, max_files=4)
+    assert manifest["bucket=0"]["rewritten"]  # restored, then compacted
+    assert not os.path.exists(retired)
+    assert spark.read.parquet(root).count() == orders.count()
+
+    # completed-swap debris (retired beside an intact live dir) is dropped
+    shutil.copytree(os.path.join(root, "bucket=1"), os.path.join(root, ".bucket=1.__retired"))
+    compact_partitions(spark, root, max_files=4)
+    assert not os.path.exists(os.path.join(root, ".bucket=1.__retired"))
     assert spark.read.parquet(root).count() == orders.count()
