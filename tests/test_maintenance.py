@@ -240,3 +240,52 @@ def test_compact_partitions_recovers_interrupted_swap(spark, tmp_path):
     compact_partitions(spark, root, max_files=4)
     assert not os.path.exists(os.path.join(root, ".bucket=1.__retired"))
     assert spark.read.parquet(root).count() == orders.count()
+
+
+def test_recover_swaps_property_random_debris(tmp_path):
+    """Property: from ANY combination of (live, .__retired,
+    .__compacting) dir presence per partition — every state an
+    interrupted run can leave — recovery yields: no hidden debris,
+    and the live dir present iff the partition's data existed in
+    either live or retired form (retired only restores when live is
+    missing; data is never lost, never duplicated)."""
+    import itertools
+    import os
+    import shutil
+
+    from dend_covid19_spark.operators.maintenance import _recover_swaps
+
+    # all 8 presence combos, each as its own partition in one root
+    root = tmp_path / "root"
+    cases = list(itertools.product([False, True], repeat=3))
+    for i, (live, retired, compacting) in enumerate(cases):
+        part = f"k={i}"
+        if live:
+            d = root / part
+            d.mkdir(parents=True)
+            (d / "live.parquet").write_bytes(b"L")
+        if retired:
+            d = root / f".{part}.__retired"
+            d.mkdir(parents=True)
+            (d / "old.parquet").write_bytes(b"R")
+        if compacting:
+            d = root / f".{part}.__compacting"
+            d.mkdir(parents=True)
+            (d / "tmp.parquet").write_bytes(b"C")
+
+    _recover_swaps(str(root))
+
+    for i, (live, retired, compacting) in enumerate(cases):
+        part = f"k={i}"
+        assert not (root / f".{part}.__retired").exists()
+        assert not (root / f".{part}.__compacting").exists()
+        should_exist = live or retired
+        assert (root / part).exists() == should_exist, (part, live, retired)
+        if should_exist:
+            # live data wins over retired (retired is pre-swap state;
+            # if live survived, the swap completed with NEWER files)
+            marker = (root / part / ("live.parquet" if live else "old.parquet"))
+            assert marker.exists()
+    # nothing hidden left anywhere
+    assert not [n for n in os.listdir(root) if n.startswith(".")]
+    shutil.rmtree(root)
