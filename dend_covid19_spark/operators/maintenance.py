@@ -160,24 +160,29 @@ def _recover_swaps(root: str) -> None:
         never gone, only hidden — this is the window a lakehouse
         metadata commit closes atomically);
       - died before the retired cleanup -> both retired and live exist:
-        the swap completed, drop the retired copy."""
+        the swap completed, drop the retired copy.
+
+    Walks EVERY directory level (a multi-key layout parks debris inside
+    the outer partition dirs, e.g. ``k1=a/.k2=b.__retired``), without
+    descending into the debris itself."""
     import os
     import shutil
 
-    for name in os.listdir(root):
-        full = os.path.join(root, name)
-        if not (name.startswith(".") and os.path.isdir(full)):
-            continue
-        if name.endswith(_COMPACTING_SUFFIX):
-            shutil.rmtree(full)
-        elif name.endswith(_RETIRED_SUFFIX):
-            live = os.path.join(
-                root, name[1 : -len(_RETIRED_SUFFIX)]
-            )
-            if os.path.isdir(live):
+    for dirpath, dirs, _files in os.walk(root):
+        hidden = [d for d in dirs if d.startswith(".")]
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in hidden:
+            full = os.path.join(dirpath, name)
+            if name.endswith(_COMPACTING_SUFFIX):
                 shutil.rmtree(full)
-            else:
-                os.rename(full, live)
+            elif name.endswith(_RETIRED_SUFFIX):
+                live = os.path.join(
+                    dirpath, name[1 : -len(_RETIRED_SUFFIX)]
+                )
+                if os.path.isdir(live):
+                    shutil.rmtree(full)
+                else:
+                    os.rename(full, live)
 
 
 def compact_small_files(

@@ -289,3 +289,43 @@ def test_recover_swaps_property_random_debris(tmp_path):
     # nothing hidden left anywhere
     assert not [n for n in os.listdir(root) if n.startswith(".")]
     shutil.rmtree(root)
+
+
+def test_compact_partitions_nested_layout(spark, tmp_path):
+    """Multi-key (nested) partition layouts: stats key on the full
+    relative path, only breaching leaves rewritten, and swap recovery
+    reaches debris parked INSIDE an outer partition dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import (
+        _recover_swaps,
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    root = str(tmp_path / "nested")
+    orders = (
+        load_table(spark, "orders", SF_DIR)
+        .withColumn("a", (F.col("o_orderkey") % 2).cast("int"))
+        .withColumn("b", (F.col("o_orderkey") % 3).cast("int"))
+    )
+    orders.where("a = 0").repartition(6).write.partitionBy("a", "b").parquet(root)
+    orders.where("a = 1").repartition("b").write.mode("append").partitionBy(
+        "a", "b"
+    ).parquet(root)
+
+    # nested debris: retired leaf inside a=1 with its live dir missing
+    live = os.path.join(root, "a=1", "b=0")
+    os.rename(live, os.path.join(root, "a=1", ".b=0.__retired"))
+    _recover_swaps(root)
+    assert os.path.isdir(live), "nested retired leaf not restored"
+
+    manifest = compact_partitions(spark, root, max_files=4)
+    assert set(manifest) == {f"a={i}/b={j}" for i in (0, 1) for j in (0, 1, 2)}
+    rewritten = {p for p, r in manifest.items() if r["rewritten"]}
+    assert rewritten == {f"a=0/b={j}" for j in (0, 1, 2)}, rewritten
+    post = partition_file_stats(root)
+    assert all(post[p]["n_files"] == 1 for p in rewritten)
+    assert spark.read.parquet(root).count() == orders.count()
