@@ -110,6 +110,11 @@ def compact_partitions(
 
     _recover_swaps(root)
     stats = partition_file_stats(root)
+    if "." in stats:
+        raise ValueError(
+            "data files at the dataset root — not a key=value partitioned "
+            "layout; use compact_small_files for flat directories"
+        )
     manifest: dict[str, dict] = {}
     for part in sorted(stats):
         ent = stats[part]

@@ -329,3 +329,17 @@ def test_compact_partitions_nested_layout(spark, tmp_path):
     post = partition_file_stats(root)
     assert all(post[p]["n_files"] == 1 for p in rewritten)
     assert spark.read.parquet(root).count() == orders.count()
+
+
+def test_compact_partitions_rejects_flat_layout(spark, tmp_path):
+    """A flat (non-partitioned) directory must be refused loudly —
+    the hidden-sibling swap is defined on key=value leaves; flat dirs
+    belong to compact_small_files."""
+    import pytest
+
+    from dend_covid19_spark.operators.maintenance import compact_partitions
+
+    flat = str(tmp_path / "flat")
+    load_table(spark, "orders", SF_DIR).limit(100).write.parquet(flat)
+    with pytest.raises(ValueError, match="compact_small_files"):
+        compact_partitions(spark, flat, max_files=1)
