@@ -280,7 +280,9 @@ RECHECK: dict[str, int] = {
     # changes the emitted Lloyd-trajectory arithmetic of every codebook
     # consumer after their r11 green rows.
     "kmeans_clusters": 11,
-    "semdedup_cluster_prune": 11,
+    # (semdedup_cluster_prune's r11 recheck — same admission class —
+    # was superseded by its r13 re-declaration below; a duplicate
+    # literal key would silently keep only the later entry anyway)
     "semdedup_incremental_delta": 11,
     "cluster_balanced_sample": 11,
     # r12, admission reason (a): both drains got the late-drop row's
