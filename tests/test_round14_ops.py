@@ -305,3 +305,54 @@ def test_ivf_index_pinned_schema_matches_written_layout(spark):
     assert [(f.name, f.dataType) for f in pinned.fields] == [
         (f.name, f.dataType) for f in inferred.fields
     ], f"pinned {pinned.simpleString()} != written {inferred.simpleString()}"
+
+
+def test_ivf_cell_compaction_composition(spark, tmp_path):
+    """The r15 candidate proven as a composition: the cell-partitioned
+    IVF index IS a key=value layout, so compact_partitions applies
+    verbatim — after delta appends fragment the appended-to cells
+    (base file + delta file), compaction with max_files=1 merges ONLY
+    those cells, and the index CONTENT (vec_id, cell, norm, vector) is
+    identical before and after, which makes every probe's result
+    invariant by construction. Run on a COPY: the published index is a
+    shared cross-process artifact and maintenance must never mutate a
+    cache others read (the real rollout compacts in place during the
+    single-writer maintenance window, like any partition compaction)."""
+    import shutil
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_SEED_IDS,
+        _trained_codebook,
+    )
+    from dend_covid19_spark.operators.maintenance import compact_partitions
+    from dend_covid19_spark.operators.similarity import (
+        _ivf_delta_index_path,
+        read_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _trained_codebook(spark, emb, SF_DIR, SEMDEDUP_SEED_IDS)
+    src = _ivf_delta_index_path(spark, SF_DIR, cents)
+    work = str(tmp_path / "ivf_copy")
+    shutil.copytree(src, work)
+
+    def content(path):
+        return sorted(
+            (r.vec_id, r.cell, r.nrm, tuple(r.v))
+            for r in read_ivf_index(spark, path).collect()
+        )
+
+    before = content(work)
+    manifest = compact_partitions(spark, work, max_files=1)
+    after = content(work)
+
+    rewritten = {p for p, rec in manifest.items() if rec["rewritten"]}
+    fragmented = {p for p, rec in manifest.items() if rec["files_before"] > 1}
+    assert rewritten == fragmented and rewritten, manifest
+    assert all(
+        rec["files_after"] == 1 for p, rec in manifest.items() if rec["rewritten"]
+    )
+    assert before == after and len(after) == emb.count()
