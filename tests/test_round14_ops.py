@@ -356,3 +356,35 @@ def test_ivf_cell_compaction_composition(spark, tmp_path):
         rec["files_after"] == 1 for p, rec in manifest.items() if rec["rewritten"]
     )
     assert before == after and len(after) == emb.count()
+
+
+def test_bloom_words_incremental_merge_equals_rebuild(spark):
+    """The r15 candidate (d) proven algebraically on live data: packed
+    bloom words are positionwise bit_or folds, so appending a new eval
+    slice to the contamination index = per-word bit_or of the old words
+    with the delta slice's words — EXACTLY equal to a full rebuild over
+    the union, never a rebuild of the old slice (the decon-index mirror
+    of ann_ivf_delta_append's no-base-rewrite claim)."""
+    from dend_covid19_spark.plans.llm_pipeline import (
+        DECON_MOD,
+        _bloom_words,
+        _decon_shingle_hashes,
+    )
+
+    sh = _decon_shingle_hashes(spark, SF_DIR)
+    bench = sh.where(F.col("doc_id") % DECON_MOD == 0)
+    old = bench.where(F.col("doc_id") % 2 == 0).select("gh")
+    delta = bench.where(F.col("doc_id") % 2 != 0).select("gh")
+
+    merged = (
+        _bloom_words(old)
+        .unionByName(_bloom_words(delta))
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    full = _bloom_words(bench.select("gh"))
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0
+    # both slices contribute (the split is non-trivial)
+    assert old.count() > 0 and delta.count() > 0
