@@ -74,6 +74,7 @@ def compact_partitions(
     root: str,
     max_files: int = 4,
     target_file_bytes: int = 128 * 1024 * 1024,
+    only_partitions: set[str] | None = None,
 ) -> dict[str, dict]:
     """Selective (stats-driven) partition compaction — the incremental
     OPTIMIZE: rewrite ONLY the leaf partitions whose small-file count
@@ -115,6 +116,13 @@ def compact_partitions(
             "data files at the dataset root — not a key=value partitioned "
             "layout; use compact_small_files for flat directories"
         )
+    if only_partitions is not None:
+        # post-ingest mode: a micro-batch writer knows exactly which
+        # partitions it touched (distinct partition values of the batch
+        # — a tiny aggregate), so maintenance lists and considers ONLY
+        # those, O(touched) driver metadata instead of O(table); rel
+        # paths, e.g. {"event_date=2024-01-03"}
+        stats = {p: s for p, s in stats.items() if p in only_partitions}
     manifest: dict[str, dict] = {}
     for part in sorted(stats):
         ent = stats[part]

@@ -343,3 +343,39 @@ def test_compact_partitions_rejects_flat_layout(spark, tmp_path):
     load_table(spark, "orders", SF_DIR).limit(100).write.parquet(flat)
     with pytest.raises(ValueError, match="compact_small_files"):
         compact_partitions(spark, flat, max_files=1)
+
+
+def test_compact_partitions_scoped_to_touched_set(spark, tmp_path):
+    """The streaming-trigger building block: with only_partitions (what
+    a micro-batch writer knows it touched), compaction considers
+    EXACTLY that set — untouched partitions get no manifest entry and
+    stay byte-identical even when they breach the threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    root = str(tmp_path / "part")
+    orders = load_table(spark, "orders", SF_DIR).withColumn(
+        "bucket", (F.col("o_orderkey") % 4).cast("int")
+    )
+    # ALL four buckets breach (8 files each)
+    orders.repartition(8).write.partitionBy("bucket").parquet(root)
+    pre = partition_file_stats(root)
+    assert all(pre[p]["n_files"] > 4 for p in pre)
+
+    touched = {"bucket=1", "bucket=3"}
+    manifest = compact_partitions(spark, root, max_files=4, only_partitions=touched)
+    post = partition_file_stats(root)
+
+    assert set(manifest) == touched
+    assert all(manifest[p]["rewritten"] for p in touched)
+    for p in ("bucket=0", "bucket=2"):  # breaching but untouched
+        assert post[p]["files"] == pre[p]["files"], p
+    for p in touched:
+        assert post[p]["n_files"] == 1
+    assert spark.read.parquet(root).count() == orders.count()
