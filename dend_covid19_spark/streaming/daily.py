@@ -309,6 +309,67 @@ def run_dedup_to_parquet(
     q.awaitTermination()
 
 
+def run_partitioned_sink_with_compaction(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 4,
+    manifests: list | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Day-partitioned foreachBatch sink whose MAINTENANCE KEEPS PACE
+    WITH INGEST: each micro-batch appends its rows partitioned by day,
+    computes the set of days it touched (a tiny distinct over the
+    batch), and immediately runs the stats-driven selective compaction
+    scoped to exactly that set (operators/maintenance.py::
+    compact_partitions(only_partitions=...)) — per batch the
+    maintenance cost is O(touched fragmented bytes), never O(table),
+    so the small-file debt can never accumulate past one trigger.
+
+    Why foreachBatch and not the parquet file sink: the file sink's
+    exactly-once commit log records the files each batch wrote, and a
+    compactor rewriting those files behind the log would desynchronize
+    it — with foreachBatch the DIRECTORY is the source of truth, at
+    the standard foreachBatch cost (a retried batch can re-append:
+    at-least-once; dedupe downstream or key the batch write by
+    batch_id as run_upsert_foreach_batch does). ``manifests``, when
+    provided, collects (batch_id, manifest) per batch for audits/tests.
+    """
+    from ..operators.maintenance import compact_partitions
+
+    events = read_events_stream(spark, src_dir, max_files_per_trigger)
+    with_day = events.withColumn("day", F.to_date("ts")).select(
+        "event_id", "user_id", "event_type", "value", "day"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").partitionBy("day").parquet(out_dir)
+            touched = {
+                f"day={r.day}"
+                for r in batch_df.select("day").distinct().collect()
+                if r.day is not None
+            }
+            m = compact_partitions(
+                spark, out_dir, max_files=max_files, only_partitions=touched
+            )
+            if manifests is not None:
+                manifests.append((batch_id, m))
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        with_day.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _latest_snapshot(target_dir: str) -> str | None:
     """Newest COMMITTED snapshot version under ``target_dir`` (highest
     v{batch_id} carrying a _SUCCESS marker), or None before the first

@@ -470,3 +470,87 @@ def test_counts_sink_replay_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(p1b).collect()
     }
     assert snap3 == expected
+
+
+def test_partitioned_sink_compaction_keeps_pace(spark, tmp_path):
+    """Executed two-batch drain of the compaction-trigger sink
+    (r15 candidate (b) proven at the library level): each micro-batch
+    appends day-partitioned rows and immediately compacts EXACTLY the
+    days it touched — per-batch manifests record the touched sets, the
+    overlap day is re-compacted by the second batch, every day dir
+    ends at one file (max_files=0 = always-compact-touched), and the
+    final content equals a batch read of the same source."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import (
+        run_partitioned_sink_with_compaction,
+    )
+
+    src = tmp_path / "cpc_src"
+    src.mkdir()
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+    cut_lo, cut_hi = "2024-01-14", "2024-01-16"
+    # exact partition of the data where BOTH batches touch the overlap
+    # days (split there by event_id parity): the second batch
+    # re-touches — and re-compacts — partitions the first already
+    # compacted, late-arrival style, with no row duplicated
+    in_overlap = (d >= F.lit(cut_lo).cast("date")) & (d <= F.lit(cut_hi).cast("date"))
+    chunks = [
+        ev.where((d < F.lit(cut_lo).cast("date")) | (in_overlap & (F.col("event_id") % 2 == 0))),
+        ev.where((d > F.lit(cut_hi).cast("date")) | (in_overlap & (F.col("event_id") % 2 == 1))),
+    ]
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, str(tmp_path / f"cpc_stage{i}"), str(src / f"p{i}.parquet")
+        )
+    now = time.time()
+    for i in range(len(chunks)):
+        os.utime(src / f"p{i}.parquet", (now - 100 + i * 10, now - 100 + i * 10))
+
+    out, ckpt = tmp_path / "cpc_out", tmp_path / "cpc_ckpt"
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_partitioned_sink_with_compaction(
+            spark,
+            str(src),
+            str(out),
+            str(ckpt),
+            max_files=0,
+            manifests=manifests,
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    assert len(manifests) == 2, [m[0] for m in manifests]
+    touched_sets = [set(m) for _bid, m in manifests]
+    # batch 2 re-touched the overlap days batch 1 already compacted
+    overlap = touched_sets[0] & touched_sets[1]
+    assert {f"day={cut_lo}", f"day={cut_hi}"} <= overlap
+    for _bid, m in manifests:
+        assert all(rec["rewritten"] for rec in m.values())
+        assert all(rec["files_after"] == 1 for rec in m.values())
+
+    # layout: every day dir holds exactly one data file
+    day_dirs = [p for p in out.iterdir() if p.name.startswith("day=")]
+    n_days = ev.select(d).distinct().count()
+    assert len(day_dirs) == n_days
+    for dd in day_dirs:
+        files = [f for f in os.listdir(dd) if not f.startswith(("_", "."))]
+        assert len(files) == 1, (dd.name, files)
+
+    # content parity with a batch read — the chunks partition exactly
+    got = spark.read.parquet(str(out)).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    want = ev.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s)
