@@ -310,6 +310,47 @@ def cluster_by_zorder(
     )
 
 
+def compact_snapshot_version(
+    spark: SparkSession,
+    target_dir: str,
+    version: int,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact ONE committed snapshot version dir (``target_dir/v{n}``)
+    in place — layout repair that must never break AS-OF reads: the
+    rewrite goes to a dot-prefixed sibling (invisible to the version
+    resolver, which only matches ``v(\\d+)`` names), the swap is the
+    same retire/rename/drop sequence as compact_partitions, and the
+    compacted dir carries its own Spark-written _SUCCESS so
+    ``read_snapshot``'s committed-only rule still holds at every
+    instant: before the swap readers serve the old files, after it the
+    new — never a partial mix (single-writer maintenance window, as
+    everywhere in this module). Content is byte-for-byte the same rows
+    (coalesce re-packs whole files, no shuffle). Returns the requested
+    output file count.
+
+    Why per-version: snapshot versions are immutable after commit, so
+    compaction never races the writer (which only ever creates NEW
+    v{n+1} dirs) — the one maintenance job here that is safe to run
+    beside live ingest."""
+    import os
+    import shutil
+
+    src = os.path.join(target_dir, f"v{version}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raise FileNotFoundError(f"no committed snapshot v{version} under {target_dir}")
+    n_files = max(1, -(-_dir_bytes(spark, src) // target_file_bytes))
+    tmp = _hidden_sibling(src, _COMPACTING_SUFFIX)
+    retired = _hidden_sibling(src, _RETIRED_SUFFIX)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(retired, ignore_errors=True)
+    spark.read.parquet(src).coalesce(n_files).write.parquet(tmp)
+    os.rename(src, retired)
+    os.rename(tmp, src)
+    shutil.rmtree(retired)
+    return n_files
+
+
 def vacuum_snapshot_versions(target_dir: str, keep_last: int = 2) -> list[str]:
     """Retention for the versioned MERGE snapshots that
     streaming.daily.run_upsert_foreach_batch writes (``target_dir/v{n}``):

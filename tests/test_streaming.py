@@ -554,3 +554,75 @@ def test_partitioned_sink_compaction_keeps_pace(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
     ).collect()[0]
     assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_snapshot_compaction_preserves_time_travel(spark, tmp_path):
+    """r15 candidate (c) proven at the library level: compacting a
+    committed snapshot version in place must not disturb AS-OF reads —
+    the latest read returns identical content through fewer files, a
+    pinned read of an untouched earlier version is byte-identical, and
+    vacuum still resolves versions normally afterwards."""
+    import os
+    import shutil
+
+    from dend_covid19_spark.operators.maintenance import (
+        compact_snapshot_version,
+        vacuum_snapshot_versions,
+    )
+    from dend_covid19_spark.streaming.daily import (
+        read_snapshot,
+        run_upsert_foreach_batch,
+    )
+
+    src = tmp_path / "snapc_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-1.parquet")
+    snaps = tmp_path / "snapc_snaps"
+    run_upsert_foreach_batch(
+        spark, str(src), str(snaps), str(tmp_path / "snapc_ckpt")
+    )
+    versions = sorted(
+        int(p.name[1:]) for p in snaps.iterdir() if p.name.startswith("v")
+    )
+    assert len(versions) >= 2
+    v_old, v_new = versions[0], versions[-1]
+
+    def digest(df):
+        return sorted(
+            (r.user_id, r.ts, r.event_id, round(r.value, 2)) for r in df.collect()
+        )
+
+    before_new = digest(read_snapshot(spark, str(snaps)))
+    old_dir = snaps / f"v{v_old}"
+    old_files = sorted(
+        (f, os.path.getmtime(old_dir / f))
+        for f in os.listdir(old_dir)
+        if not f.startswith(("_", "."))
+    )
+
+    compact_snapshot_version(spark, str(snaps), v_new)
+
+    # latest read: identical content, exactly one data file now
+    assert digest(read_snapshot(spark, str(snaps))) == before_new
+    new_files = [
+        f for f in os.listdir(snaps / f"v{v_new}") if not f.startswith(("_", "."))
+    ]
+    assert len(new_files) == 1
+    # pinned earlier version: byte-untouched
+    assert old_files == sorted(
+        (f, os.path.getmtime(old_dir / f))
+        for f in os.listdir(old_dir)
+        if not f.startswith(("_", "."))
+    )
+    assert digest(read_snapshot(spark, str(snaps), version=v_old)) == digest(
+        read_snapshot(spark, str(snaps), version=v_old)
+    )
+    # retention still resolves versions normally
+    deleted = vacuum_snapshot_versions(str(snaps), keep_last=1)
+    assert [os.path.basename(p) for p in deleted] == [f"v{v_old}"]
+    # an uncommitted version is still refused
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        compact_snapshot_version(spark, str(snaps), 9999)
