@@ -109,20 +109,32 @@ def compact_partitions(
     import os
     import shutil
 
-    _recover_swaps(root)
-    stats = partition_file_stats(root)
-    if "." in stats:
-        raise ValueError(
-            "data files at the dataset root — not a key=value partitioned "
-            "layout; use compact_small_files for flat directories"
-        )
     if only_partitions is not None:
         # post-ingest mode: a micro-batch writer knows exactly which
         # partitions it touched (distinct partition values of the batch
-        # — a tiny aggregate), so maintenance lists and considers ONLY
-        # those, O(touched) driver metadata instead of O(table); rel
-        # paths, e.g. {"event_date=2024-01-03"}
-        stats = {p: s for p, s in stats.items() if p in only_partitions}
+        # — a tiny aggregate), so maintenance lists ONLY those leaf
+        # dirs and recovers swap debris only beside them — O(touched)
+        # driver metadata instead of O(table), for real: the full
+        # recursive walk below never runs (before r15 this mode still
+        # paid two O(table) listings per micro-batch). Debris parked
+        # beside an UNTOUCHED partition stays hidden (invisible to
+        # scans) until the next full-table run repairs it. Rel paths,
+        # e.g. {"event_date=2024-01-03"}.
+        stats = {}
+        for part in sorted(only_partitions):
+            live = os.path.join(root, part)
+            _recover_swap_debris(live)
+            ent = partition_file_stats(live).get(".")
+            if ent is not None:
+                stats[part] = ent
+    else:
+        _recover_swaps(root)
+        stats = partition_file_stats(root)
+        if "." in stats:
+            raise ValueError(
+                "data files at the dataset root — not a key=value partitioned "
+                "layout; use compact_small_files for flat directories"
+            )
     manifest: dict[str, dict] = {}
     for part in sorted(stats):
         ent = stats[part]
@@ -138,7 +150,16 @@ def compact_partitions(
             tmp = _hidden_sibling(src, _COMPACTING_SUFFIX)
             retired = _hidden_sibling(src, _RETIRED_SUFFIX)
             n_out = max(1, -(-ent["bytes"] // target_file_bytes))
-            spark.read.parquet(src).coalesce(n_out).write.parquet(tmp)
+            # mergeSchema: micro-batch appends may have EVOLVED a
+            # partition's file schema (an added column present only in
+            # newer files); a single-footer read would silently drop
+            # that column from the files that had it — a lossy
+            # "lossless" compaction. The merge costs one footer per
+            # file of THIS breaching partition only (bounded by the
+            # breach threshold, never an O(table) sweep).
+            spark.read.option("mergeSchema", True).parquet(src).coalesce(
+                n_out
+            ).write.parquet(tmp)
             os.rename(src, retired)
             os.rename(tmp, src)
             shutil.rmtree(retired)
@@ -159,6 +180,27 @@ def _hidden_sibling(path: str, suffix: str) -> str:
 
     d, b = os.path.split(path)
     return os.path.join(d, "." + b + suffix)
+
+
+def _recover_swap_debris(live: str) -> None:
+    """Repair swap debris beside ONE specific directory (the scoped
+    form of ``_recover_swaps`` — same crash windows, same repairs, but
+    O(1) stat calls instead of a recursive walk): discard an orphaned
+    ``.name.__compacting`` temp, restore ``.name.__retired`` when the
+    live dir is missing (death between the two renames), drop it when
+    the live dir survived (the swap completed)."""
+    import os
+    import shutil
+
+    tmp = _hidden_sibling(live, _COMPACTING_SUFFIX)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    retired = _hidden_sibling(live, _RETIRED_SUFFIX)
+    if os.path.isdir(retired):
+        if os.path.isdir(live):
+            shutil.rmtree(retired)
+        else:
+            os.rename(retired, live)
 
 
 def _recover_swaps(root: str) -> None:
@@ -332,23 +374,61 @@ def compact_snapshot_version(
     Why per-version: snapshot versions are immutable after commit, so
     compaction never races the writer (which only ever creates NEW
     v{n+1} dirs) — the one maintenance job here that is safe to run
-    beside live ingest."""
+    beside live ingest.
+
+    Crash recovery (r14 advice): function entry first repairs debris
+    from ANY previously interrupted run over the whole target_dir — a
+    death between the two swap renames leaves ``v{n}`` hidden as
+    ``.v{n}.__retired``, which would make ``read_snapshot``'s latest
+    read silently time-travel BACKWARD to the previous version and a
+    rerun raise FileNotFoundError instead of repairing. Same repair
+    table as ``_recover_swaps`` (restore retired when live is missing,
+    drop it when live exists, discard orphaned temps); a restored
+    version still carries its original _SUCCESS, so the committed-only
+    read rule holds throughout. Schema note: a version dir is written
+    by ONE Spark job (one schema), so the single-footer read here can
+    never drop an evolved column the way a multi-writer partition
+    could — no mergeSchema needed."""
     import os
+
     import shutil
 
+    recover_snapshot_swaps(target_dir)
     src = os.path.join(target_dir, f"v{version}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         raise FileNotFoundError(f"no committed snapshot v{version} under {target_dir}")
     n_files = max(1, -(-_dir_bytes(spark, src) // target_file_bytes))
     tmp = _hidden_sibling(src, _COMPACTING_SUFFIX)
     retired = _hidden_sibling(src, _RETIRED_SUFFIX)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(retired, ignore_errors=True)
     spark.read.parquet(src).coalesce(n_files).write.parquet(tmp)
     os.rename(src, retired)
     os.rename(tmp, src)
     shutil.rmtree(retired)
     return n_files
+
+
+def recover_snapshot_swaps(target_dir: str) -> None:
+    """Repair crash debris from an interrupted ``compact_snapshot_version``
+    run: one flat listing of ``target_dir`` (version stores are flat by
+    construction — ``v{n}`` dirs only), applying the standard swap
+    repair to every hidden sibling. Called at compaction entry; safe to
+    call from operational tooling before reads too (single-writer
+    maintenance window, like all swaps in this module)."""
+    import os
+
+    if not os.path.isdir(target_dir):
+        return
+    for name in os.listdir(target_dir):
+        if not name.startswith("."):
+            continue
+        if name.endswith(_COMPACTING_SUFFIX):
+            base = name[1 : -len(_COMPACTING_SUFFIX)]
+        elif name.endswith(_RETIRED_SUFFIX):
+            base = name[1 : -len(_RETIRED_SUFFIX)]
+        else:
+            continue
+        if os.path.isdir(os.path.join(target_dir, name)):
+            _recover_swap_debris(os.path.join(target_dir, base))
 
 
 def vacuum_snapshot_versions(target_dir: str, keep_last: int = 2) -> list[str]:

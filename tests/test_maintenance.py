@@ -379,3 +379,137 @@ def test_compact_partitions_scoped_to_touched_set(spark, tmp_path):
     for p in touched:
         assert post[p]["n_files"] == 1
     assert spark.read.parquet(root).count() == orders.count()
+
+
+def test_compact_snapshot_version_recovers_interrupted_swap(spark, tmp_path):
+    """The r14 advice's crash window, repaired: death between
+    rename(src -> retired) and rename(tmp -> src) leaves v{n} hidden as
+    .v{n}.__retired — read_snapshot's latest read silently serves the
+    OLDER version (backward time travel) and, before the fix, a rerun
+    raised FileNotFoundError instead of repairing. Entry-time recovery
+    must restore the hidden version, then compact it normally; orphaned
+    .__compacting temps and completed-swap .__retired copies are
+    discarded."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import (
+        compact_snapshot_version,
+        recover_snapshot_swaps,
+    )
+    from dend_covid19_spark.streaming.daily import read_snapshot
+
+    target = str(tmp_path / "snaps")
+    orders = load_table(spark, "orders", SF_DIR)
+    orders.where(F.col("o_orderkey") % 3 == 0).repartition(4).write.parquet(
+        os.path.join(target, "v0")
+    )
+    orders.repartition(4).write.parquet(os.path.join(target, "v1"))
+    want_v1 = orders.count()
+
+    # death between the two renames: v1 hidden, latest read regresses
+    os.rename(
+        os.path.join(target, "v1"), os.path.join(target, ".v1.__retired")
+    )
+    assert read_snapshot(spark, target).count() < want_v1  # the failure mode
+    # plus an orphaned temp from the same dead run
+    os.makedirs(os.path.join(target, ".v1.__compacting"))
+
+    n_req = compact_snapshot_version(
+        spark, target, 1, target_file_bytes=1 << 40
+    )
+    assert n_req == 1
+    assert not os.path.exists(os.path.join(target, ".v1.__retired"))
+    assert not os.path.exists(os.path.join(target, ".v1.__compacting"))
+    assert read_snapshot(spark, target).count() == want_v1
+    files = [
+        f
+        for f in os.listdir(os.path.join(target, "v1"))
+        if not f.startswith(("_", "."))
+    ]
+    assert len(files) == 1
+
+    # completed-swap debris (retired beside an intact live dir): dropped
+    shutil.copytree(
+        os.path.join(target, "v0"), os.path.join(target, ".v0.__retired")
+    )
+    recover_snapshot_swaps(target)
+    assert not os.path.exists(os.path.join(target, ".v0.__retired"))
+    assert read_snapshot(spark, target, version=0).count() == orders.where(
+        F.col("o_orderkey") % 3 == 0
+    ).count()
+
+
+def test_compact_partitions_scoped_recovery_is_local(spark, tmp_path):
+    """With only_partitions, both the listing AND the swap recovery are
+    scoped to the touched set (r14 advice: before, every micro-batch
+    paid two full recursive walks): a touched partition hidden by a
+    between-renames crash is restored and compacted, while debris
+    beside an UNTOUCHED partition is left exactly in place (hidden from
+    scans; the next full-table run repairs it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import compact_partitions
+
+    root = str(tmp_path / "part")
+    orders = load_table(spark, "orders", SF_DIR).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    )
+    orders.repartition(8).write.partitionBy("bucket").parquet(root)
+
+    os.rename(
+        os.path.join(root, "bucket=0"), os.path.join(root, ".bucket=0.__retired")
+    )
+    os.rename(
+        os.path.join(root, "bucket=1"), os.path.join(root, ".bucket=1.__retired")
+    )
+
+    manifest = compact_partitions(
+        spark, root, max_files=4, only_partitions={"bucket=0"}
+    )
+    assert set(manifest) == {"bucket=0"}
+    assert manifest["bucket=0"]["rewritten"]
+    assert os.path.isdir(os.path.join(root, "bucket=0"))
+    # untouched partition's debris untouched: still hidden, not restored
+    assert os.path.isdir(os.path.join(root, ".bucket=1.__retired"))
+    assert not os.path.isdir(os.path.join(root, "bucket=1"))
+    # a touched partition that simply doesn't exist yields no entry
+    assert compact_partitions(
+        spark, root, max_files=4, only_partitions={"bucket=9"}
+    ) == {}
+
+
+def test_compact_partitions_merges_evolved_schema(spark, tmp_path):
+    """A partition whose micro-batch files EVOLVED (newer files carry an
+    added column) must compact losslessly: the rewrite reads with
+    mergeSchema, so the added column survives (NULL-filled for
+    pre-evolution rows) instead of being silently dropped by a
+    single-footer read (r14 advice)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from dend_covid19_spark.operators.maintenance import compact_partitions
+
+    root = tmp_path / "evolved"
+    leaf = root / "k=0"
+    leaf.mkdir(parents=True)
+
+    old = spark.range(3).selectExpr("id AS a")
+    new = spark.range(3, 6).selectExpr("id AS a", "CAST(id AS STRING) AS b")
+    for i, df in enumerate([old, new]):
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copyfile(part, leaf / f"data{i}.parquet")
+
+    manifest = compact_partitions(spark, str(root), max_files=1)
+    assert manifest["k=0"]["rewritten"]
+    got = spark.read.option("mergeSchema", True).parquet(str(root))
+    assert set(got.columns) == {"a", "b", "k"}
+    rows = {(r.a, r.b) for r in got.collect()}
+    assert rows == {(0, None), (1, None), (2, None), (3, "3"), (4, "4"), (5, "5")}

@@ -594,6 +594,7 @@ def test_snapshot_compaction_preserves_time_travel(spark, tmp_path):
         )
 
     before_new = digest(read_snapshot(spark, str(snaps)))
+    before_old = digest(read_snapshot(spark, str(snaps), version=v_old))
     old_dir = snaps / f"v{v_old}"
     old_files = sorted(
         (f, os.path.getmtime(old_dir / f))
@@ -615,9 +616,7 @@ def test_snapshot_compaction_preserves_time_travel(spark, tmp_path):
         for f in os.listdir(old_dir)
         if not f.startswith(("_", "."))
     )
-    assert digest(read_snapshot(spark, str(snaps), version=v_old)) == digest(
-        read_snapshot(spark, str(snaps), version=v_old)
-    )
+    assert digest(read_snapshot(spark, str(snaps), version=v_old)) == before_old
     # retention still resolves versions normally
     deleted = vacuum_snapshot_versions(str(snaps), keep_last=1)
     assert [os.path.basename(p) for p in deleted] == [f"v{v_old}"]
