@@ -1232,7 +1232,7 @@ def _ivf_delta_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) ->
     return path
 
 
-def _ivf_delta_probe_oracle() -> str:
+def _ivf_delta_probe_oracle(query_id: int = DELTA_QUERY_VEC_ID) -> str:
     from .kmeans import ITERS, SEMDEDUP_SEED_IDS, _duck_kmeans_ctes
 
     d2 = (
@@ -1246,7 +1246,7 @@ def _ivf_delta_probe_oracle() -> str:
         + f""",
 fin AS (SELECT vec_id, v, cluster FROM a{ITERS + 1}),
 q AS (SELECT vec_id AS query_id, v AS qv FROM emb
-      WHERE vec_id = {DELTA_QUERY_VEC_ID}),
+      WHERE vec_id = {query_id}),
 probed AS (
     SELECT cid FROM (
         SELECT (cu.c).cid AS cid,
@@ -1322,6 +1322,145 @@ def ann_ivf_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         idx.where(F.col("vec_id") != DELTA_QUERY_VEC_ID)
+        .join(q_df)
+        .withColumn(
+            "cosine",
+            F.expr(
+                "round(aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, "
+                "(acc, p) -> acc + p) / (nrm * qn), 6)"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(RECALL_K)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            (F.col("vec_id") % DELTA_MOD == DELTA_REM).alias("is_delta"),
+            "cosine",
+        )
+    )
+
+
+# --- IVF cell compaction (round 15) -------------------------------------------
+# Closes the append/compact maintenance loop the r14 pair opened: after
+# N delta appends a hot cell holds N+1 small files (each an open + a
+# task per probe), and because the cell-partitioned index IS a
+# key=value parquet layout, the SAME stats-driven selective compaction
+# that repairs the events table (operators/maintenance.py::
+# compact_partitions) applies verbatim — only appended-to cells are
+# rewritten, cells the delta never touched stay byte-identical, and
+# every probe's values are invariant by construction (the rewrite
+# re-packs whole files, no arithmetic anywhere near the data).
+COMPACT_QUERY_VEC_ID = 13  # delta-slice query (13 % DELTA_MOD == DELTA_REM)
+IVF_COMPACT_VERSION = 1  # bump when the compaction staging changes
+
+
+def _ivf_compacted_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> str:
+    """(sf, mtime)-keyed COMPACTED copy of the incrementally maintained
+    delta index: copy the published base+delta layout (maintenance must
+    never mutate a shared cross-process artifact in place — the real
+    rollout compacts during its single-writer window), then
+    ``compact_partitions(max_files=1)`` merges exactly the fragmented
+    cells. ``_pre_stats.json`` / ``_compact_manifest.json`` /
+    ``_post_stats.json`` snapshot the file inventory around the rewrite
+    so pytest proves selectivity (only multi-file cells rewritten,
+    single-file cells byte-identical) instead of asserting it."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from ..scratch import SCRATCH_ROOT, materialize_once
+    from .kmeans import ITERS, K, SEMDEDUP_SEED_IDS
+    from .maintenance import compact_partitions, partition_file_stats
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    token = hashlib.md5(
+        f"ivfcompact{IVF_INDEX_VERSION}.{IVF_COMPACT_VERSION}:"
+        f"{os.path.abspath(sf_dir)}:{mtime}:{SEMDEDUP_SEED_IDS}:{K}:{ITERS}:"
+        f"{DELTA_MOD}:{DELTA_REM}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join(SCRATCH_ROOT, f"ivfcell_{token}")
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(parent, "index")
+
+    def _write(tmp: str) -> None:
+        src = _ivf_delta_index_path(spark, sf_dir, cents_rows)
+        shutil.copytree(src, tmp)
+        pre = partition_file_stats(tmp)
+        manifest = compact_partitions(spark, tmp, max_files=1)
+        post = partition_file_stats(tmp)
+        with open(os.path.join(tmp, "_pre_stats.json"), "w") as fh:
+            json.dump(pre, fh)
+        with open(os.path.join(tmp, "_compact_manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        with open(os.path.join(tmp, "_post_stats.json"), "w") as fh:
+            json.dump(post, fh)
+
+    materialize_once(path, _write)
+    return path
+
+
+@query("ann_ivf_cell_compaction", oracle=_ivf_delta_probe_oracle(COMPACT_QUERY_VEC_ID))
+def ann_ivf_cell_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the COMPACTED incrementally-maintained IVF index — the
+    read-side proof that closes the r14 append/compact maintenance
+    loop: delta appends fragmented the hot cells (base file + delta
+    file each), compact_partitions merged exactly those cells back to
+    one file (build manifests prove untouched cells byte-identical —
+    tests/test_round15_ops.py), and this top-k probe over the repaired
+    layout hashes against the same full-corpus kmeans oracle as
+    ann_ivf_delta_append: compaction is invisible to values, visible
+    only to file counts.
+
+    Determinism: identical arithmetic to ann_ivf_cell_probe /
+    ann_ivf_delta_append (rounded-L2 probe ranking with cid ties, 6 dp
+    cosines, (cosine DESC, vec_id) total order); the query vector is a
+    different delta-slice member so the three rows stay distinct
+    results over distinct layouts.
+
+    Plan/scale: the probe is byte-for-byte the delta row's plan —
+    static `PartitionFilters: [cell IN (...)]`, pinned schema, 1-row
+    query broadcast, TakeOrdered top-k — but each probed cell is now
+    ONE file instead of N+1: at 10^9 vectors with daily deltas,
+    scheduled cell compaction is what keeps probe open-cost flat while
+    appends stay O(|delta|). Maintenance cost is O(fragmented cells'
+    bytes): the stats rule reads driver-side listing metadata only."""
+    from .kmeans import SEMDEDUP_SEED_IDS, _trained_codebook
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents_rows = _trained_codebook(spark, emb, sf_dir, SEMDEDUP_SEED_IDS)
+    path = _ivf_compacted_index_path(spark, sf_dir, cents_rows)
+
+    cents_df = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in vec]) for cid, vec in cents_rows],)],
+        "cents array<struct<cid:int,cvec:array<double>>>",
+    )
+    probe_expr = (
+        "transform(slice(array_sort(transform(cents, c -> struct("
+        "round(aggregate(zip_with(qv, c.cvec, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, p) -> acc + p), 6) AS d, c.cid AS cid))), "
+        f"1, {IVF_RECALL_NPROBE}), s -> s.cid)"
+    )
+    q_row = (
+        emb.where(F.col("vec_id") == COMPACT_QUERY_VEC_ID)
+        .select(F.col("v").alias("qv"))
+        .join(F.broadcast(cents_df))
+        .select("qv", F.expr(probe_expr).alias("probed"))
+        .collect()
+    )[0]
+    probed_cells = sorted(int(c) for c in q_row.probed)
+
+    idx = read_ivf_index(spark, path).where(F.col("cell").isin(probed_cells))
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            [([float(x) for x in q_row.qv],)], "qv array<double>"
+        ).withColumn("qn", F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
+    )
+    return (
+        idx.where(F.col("vec_id") != COMPACT_QUERY_VEC_ID)
         .join(q_df)
         .withColumn(
             "cosine",

@@ -1,0 +1,85 @@
+"""Round-15 surfaces: the compacted IVF cell index, the streaming
+compaction-trigger sink row, snapshot time travel under compaction, and
+the bloom-index incremental delta merge."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyspark.sql.functions as F
+from conftest import SF_DIR
+
+
+def test_ivf_compacted_index_selective_and_lossless(spark):
+    """The compacted index's own build manifests prove the maintenance
+    contract: exactly the fragmented (appended-to) cells were
+    rewritten, each to one file; never-fragmented cells kept identical
+    (size, mtime) files; and the compacted content equals the
+    uncompacted delta index row-for-row."""
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.kmeans import (
+        SEMDEDUP_SEED_IDS,
+        _trained_codebook,
+    )
+    from dend_covid19_spark.operators.similarity import (
+        _ivf_compacted_index_path,
+        _ivf_delta_index_path,
+        read_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = _trained_codebook(spark, emb, SF_DIR, SEMDEDUP_SEED_IDS)
+    path = _ivf_compacted_index_path(spark, SF_DIR, cents)
+
+    with open(os.path.join(path, "_pre_stats.json")) as fh:
+        pre = json.load(fh)
+    with open(os.path.join(path, "_compact_manifest.json")) as fh:
+        manifest = json.load(fh)
+    with open(os.path.join(path, "_post_stats.json")) as fh:
+        post = json.load(fh)
+
+    fragmented = {p for p, s in pre.items() if s["n_files"] > 1}
+    rewritten = {p for p, rec in manifest.items() if rec["rewritten"]}
+    assert rewritten == fragmented and rewritten, (rewritten, fragmented)
+    for p in rewritten:
+        assert post[p]["n_files"] == 1, (p, post[p])
+    for p in set(pre) - fragmented:
+        assert post[p]["files"] == pre[p]["files"], f"healthy cell touched: {p}"
+
+    # content identity with the uncompacted delta index
+    src = _ivf_delta_index_path(spark, SF_DIR, cents)
+
+    def content(p):
+        return sorted(
+            (r.vec_id, r.cell, r.nrm, tuple(r.v))
+            for r in read_ivf_index(spark, p).collect()
+        )
+
+    assert content(path) == content(src)
+
+
+def test_ivf_compacted_probe_pruning_and_delta_rows(spark):
+    """The probe over the compacted index keeps the static cell IN-list
+    partition pruning, each probed cell is one file, and delta-slice
+    rows are still servable (compaction must not lose appends)."""
+    from dend_covid19_spark.operators.similarity import (
+        IVF_RECALL_NPROBE,
+        ann_ivf_cell_compaction,
+    )
+
+    df = ann_ivf_cell_compaction(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, f"no static cell IN-list partition filter in plan\n{plan}"
+    probed = [int(c) for c in m.group(1).split(",")]
+    assert len(probed) == IVF_RECALL_NPROBE and len(set(probed)) == len(probed)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert any(r.is_delta for r in rows), "delta rows lost by compaction"
