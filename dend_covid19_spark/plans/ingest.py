@@ -1896,6 +1896,148 @@ def streaming_compaction_sink_executed(spark: SparkSession, sf_dir: str) -> Data
     return out_df
 
 
+# --- snapshot time travel under compaction (round 15) ------------------------
+
+_SNAP_TT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_SNAP_TT_CUT = "2024-01-16"  # chronological batch cut for the version chain
+
+
+@query(
+    "snapshot_time_travel_compacted",
+    oracle=f"""
+WITH first_latest AS (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+    WHERE CAST(ts AS DATE) < DATE '{_SNAP_TT_CUT}' OR ts IS NULL
+),
+all_latest AS (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT 'v_first' AS version_tag, user_id,
+       CAST(ts AS DATE) AS last_day,
+       event_id AS last_event_id, value AS last_value
+FROM first_latest WHERE rn = 1
+UNION ALL
+SELECT 'latest' AS version_tag, user_id,
+       CAST(ts AS DATE) AS last_day,
+       event_id AS last_event_id, value AS last_value
+FROM all_latest WHERE rn = 1
+""",
+)
+def snapshot_time_travel_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF reads SURVIVE layout repair, executed under the value hash
+    (r14 verdict item 1c): two chronological micro-batches build a
+    versioned MERGE snapshot chain (run_conditional_upsert_available_now
+    — v_first = latest-per-user over the pre-cut slice, latest = over
+    everything), then compact_snapshot_version rewrites BOTH committed
+    versions in place (per-version hidden-sibling swap, entry-time
+    crash recovery since r15), and the query returns the pinned v_first
+    read UNION the latest read — each tagged — hashed against the batch
+    oracle's two row_number() slices. A hash match means compaction
+    changed file counts (asserted in-query: one data file per version)
+    while every version's CONTENT — not just the newest — stayed
+    byte-equal: the time-travel contract a lakehouse VACUUM/OPTIMIZE
+    must keep.
+
+    Determinism: the conditional merge keeps the greater (ts,
+    event_id) row per user — order-independent and idempotent (the
+    upsert row's fuzz-proven semantics), so both versions are exact
+    row_number() slices of the source. Null-ts rows route to the first
+    batch on both sides.
+
+    Plan/scale: snapshot versions are immutable after commit, so
+    per-version compaction never races the writer — safe beside live
+    ingest; each rewrite costs O(that version's bytes), a coalesce
+    with no shuffle. Same drain-and-cache discipline as the other
+    streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SNAP_TT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _SNAP_TT_CACHE if k[0] != key[0]]:
+        del _SNAP_TT_CACHE[k]
+
+    import re as _re
+
+    from ..operators.maintenance import compact_snapshot_version
+    from ..streaming.daily import (
+        read_snapshot,
+        run_conditional_upsert_available_now,
+    )
+
+    token = abs(hash(("snaptt", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"snaptt_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    store = os.path.join(scratch, "store")
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    # null-ts rows coalesce into batch one: the chunks partition exactly
+    c1 = F.coalesce(d < F.lit(_SNAP_TT_CUT).cast("date"), F.lit(True))
+    chunks = [ev.where(c1), ev.where(~c1)]
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+    now = __import__("time").time()
+    for i in range(len(chunks)):
+        t = now - 1000 + i * 100
+        os.utime(os.path.join(src, f"p{i}.parquet"), (t, t))
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_conditional_upsert_available_now(
+            spark, src, store, os.path.join(scratch, "ckpt"), max_files_per_trigger=1
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    versions = sorted(
+        int(m.group(1))
+        for p in os.listdir(store)
+        if (m := _re.fullmatch(r"v(\d+)", p))
+    )
+    assert len(versions) == 2, f"expected a 2-version chain, got {versions}"
+    v_first, v_latest = versions[0], versions[-1]
+
+    # layout repair across the WHOLE chain: every committed version
+    # compacts in place; AS-OF reads must come back identical
+    for v in (v_first, v_latest):
+        compact_snapshot_version(spark, store, v)
+        files = [
+            f
+            for f in os.listdir(os.path.join(store, f"v{v}"))
+            if not f.startswith(("_", "."))
+        ]
+        assert len(files) == 1, f"v{v} not compacted to one file: {files}"
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("version_tag"),
+            "user_id",
+            F.to_date("ts").alias("last_day"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+
+    out = tagged(read_snapshot(spark, store, version=v_first), "v_first").unionByName(
+        tagged(read_snapshot(spark, store), "latest")
+    )
+    _SNAP_TT_CACHE[key] = out
+    return out
+
+
 # --- stats-driven selective partition compaction (round 14) ------------------
 # The maintenance half of the S2 partitioned layout: streaming/micro-
 # batch ingest fragments the partitions it touches into many small
