@@ -474,15 +474,11 @@ def _bloom_words(bench: DataFrame) -> DataFrame:
     )
 
 
-def _decon_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The packed bloom filter of the pseudo-eval slice's n-gram hashes,
-    materialized ONCE per (sf_dir, data mtime) beside the shingle
-    scratch (r13 verdict perf item: rebuilding the filter per process
-    cost 6.2 s sweep-cold vs 2-3.5 s warm). Deterministic given the
-    key — xxhash64 positions and bit_or packing are exact integer
-    arithmetic — so cross-process reuse is value-identical by
-    construction; the params ride the key so a constant change can
-    never read a stale filter."""
+def _decon_bloom_words_path(spark: SparkSession, sf_dir: str) -> str:
+    """Publish (idempotently) the packed bloom filter of the BASE
+    pseudo-eval slice's n-gram hashes and return its scratch path —
+    split out of ``_decon_bloom_words`` so the r15 delta-merge plumbing
+    can manifest the base artifact's files without re-deriving them."""
     import os
 
     from ..scratch import materialize_once
@@ -498,7 +494,21 @@ def _decon_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bloom_words(bench).coalesce(1).write.mode("overwrite").parquet(tmp)
 
     materialize_once(path, _write)
-    return spark.read.schema("w bigint, bits bigint").parquet(path)
+    return path
+
+
+def _decon_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed bloom filter of the pseudo-eval slice's n-gram hashes,
+    materialized ONCE per (sf_dir, data mtime) beside the shingle
+    scratch (r13 verdict perf item: rebuilding the filter per process
+    cost 6.2 s sweep-cold vs 2-3.5 s warm). Deterministic given the
+    key — xxhash64 positions and bit_or packing are exact integer
+    arithmetic — so cross-process reuse is value-identical by
+    construction; the params ride the key so a constant change can
+    never read a stale filter."""
+    return spark.read.schema("w bigint, bits bigint").parquet(
+        _decon_bloom_words_path(spark, sf_dir)
+    )
 
 
 @query(
@@ -590,6 +600,122 @@ def _bloom_gate(
         train.crossJoin(F.broadcast(bloom))
         .where(might_contain(F.col("gh")))
         .select("doc_id", "gh")
+    )
+
+
+# --- bloom-index incremental delta merge (round 15) ---------------------------
+# The contamination index's delta path, mirroring ann_ivf_delta_append's
+# no-base-rewrite claim: when a NEW eval slice ships, its n-gram hashes
+# are packed into bloom words and bit_or-MERGED with the standing filter
+# — positionwise bit_or folds are associative/commutative, so the merge
+# is EXACTLY equal to a full rebuild over the union
+# (tests/test_round14_ops.py::test_bloom_words_incremental_merge_equals_
+# rebuild proved the algebra; this makes it a maintained artifact + an
+# oracle row). At 100 TB the standing filter guards a corpus-scale
+# decontamination pass: appending an eval slice costs O(|delta slice|),
+# never a re-derivation of every benchmark already indexed.
+BLOOM_DELTA_REM = 1  # the delta eval slice: doc_id % DECON_MOD == 1
+
+
+def _decon_bloom_delta_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGED packed bloom filter (base slice ∪ delta slice),
+    published as its own scratch artifact beside the base words: the
+    build READS the standing base filter (one ≤16 Ki-row parquet file)
+    and derives words only for the delta slice's hashes, then bit_or-
+    merges per word. ``_base_words_manifest.json`` snapshots the base
+    artifact's data files (size, mtime_ns) before and after the merge
+    so pytest proves the base was never rewritten — the decon mirror of
+    the IVF base-manifest discipline."""
+    import json
+    import os
+
+    from ..scratch import materialize_once
+
+    parent = _decon_scratch_parent(sf_dir)
+    base_path = _decon_bloom_words_path(spark, sf_dir)
+    path = os.path.join(
+        parent,
+        f"bloomwords_b{BLOOM_BITS}_k{BLOOM_K}_m{DECON_MOD}_delta{BLOOM_DELTA_REM}",
+    )
+
+    def _manifest(root: str) -> dict:
+        out = {}
+        for f in sorted(os.listdir(root)):
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f))
+            out[f] = [st.st_size, st.st_mtime_ns]
+        return out
+
+    def _write(tmp: str) -> None:
+        pre = _manifest(base_path)
+        base = spark.read.schema("w bigint, bits bigint").parquet(base_path)
+        sh = _decon_shingle_hashes(spark, sf_dir)
+        delta = sh.where(F.col("doc_id") % DECON_MOD == BLOOM_DELTA_REM).select("gh")
+        merged = (
+            base.unionByName(_bloom_words(delta))
+            .groupBy("w")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_base_words_manifest.json"), "w") as fh:
+            json.dump({"pre": pre, "post": _manifest(base_path)}, fh)
+
+    materialize_once(path, _write)
+    return spark.read.schema("w bigint, bits bigint").parquet(path)
+
+
+@query(
+    "decontaminate_bloom_delta",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {H.duck_tokens("text")} AS toks FROM documents),
+sh AS (
+    SELECT doc_id, unnest({H.duck_shingle_hashes(H.duck_shingles("toks", DECON_NGRAM))}) AS gh
+    FROM tok
+),
+bench AS (SELECT doc_id AS bench_id, gh FROM sh
+          WHERE doc_id % {DECON_MOD} IN (0, {BLOOM_DELTA_REM})),
+train AS (SELECT doc_id, gh FROM sh
+          WHERE doc_id % {DECON_MOD} NOT IN (0, {BLOOM_DELTA_REM}))
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.gh) AS BIGINT) AS n_overlap_ngrams,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM train t JOIN bench b ON t.gh = b.gh
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_bloom_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against the INCREMENTALLY MAINTAINED bloom index
+    (r14 verdict item 1d): a new eval slice (doc_id % 11 == 1) arrived
+    after the standing filter was built, so its words were bit_or-merged
+    into a delta artifact WITHOUT re-deriving the base slice
+    (_decon_bloom_delta_words — base files proven byte-untouched by the
+    build's own manifest), and this row gates the training corpus
+    through the merged filter before the exact equi-join against the
+    UNION bench. The oracle is the exact overlap over both slices:
+    hash-equal because bit_or packing is associative (merge == rebuild,
+    algebra pinned in tests/test_round14_ops.py) and a bloom gate has
+    no false negatives.
+
+    Plan/scale: the merge costs one ≤16 Ki-row read + O(|delta
+    slice|) hashing — the standing index is never re-derived (the
+    decon mirror of ann_ivf_delta_append); the gate itself is the
+    map-side codegen probe of decontaminate_bloom_gated with the same
+    broadcast join after it."""
+    sh = _decon_shingle_hashes(spark, sf_dir)
+    m = F.col("doc_id") % DECON_MOD
+    bench = sh.where((m == 0) | (m == BLOOM_DELTA_REM)).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = sh.where((m != 0) & (m != BLOOM_DELTA_REM))
+    gated = _bloom_gate(train, bench, words=_decon_bloom_delta_words(spark, sf_dir))
+    return (
+        gated.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_overlap_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
     )
 
 

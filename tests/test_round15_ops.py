@@ -83,3 +83,47 @@ def test_ivf_compacted_probe_pruning_and_delta_rows(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert any(r.is_delta for r in rows), "delta rows lost by compaction"
+
+
+def test_bloom_delta_artifact_equals_rebuild_and_no_base_rewrite(spark):
+    """The published merged filter is bit-identical to a full rebuild
+    over the union slice (the r14 algebra, now as a maintained
+    artifact), and the build's own manifest proves the standing base
+    filter's data files were never rewritten by the merge."""
+    from dend_covid19_spark.plans.llm_pipeline import (
+        BLOOM_DELTA_REM,
+        DECON_MOD,
+        _bloom_words,
+        _decon_bloom_delta_words,
+        _decon_scratch_parent,
+        _decon_shingle_hashes,
+    )
+
+    merged = _decon_bloom_delta_words(spark, SF_DIR)
+    sh = _decon_shingle_hashes(spark, SF_DIR)
+    union_bench = sh.where(
+        (F.col("doc_id") % DECON_MOD == 0)
+        | (F.col("doc_id") % DECON_MOD == BLOOM_DELTA_REM)
+    ).select("gh")
+    want = sorted(map(tuple, _bloom_words(union_bench).collect()))
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want and len(want) > 0
+
+    # the delta slice is non-trivial: merging it changed the filter
+    base_only = sorted(
+        map(
+            tuple,
+            _bloom_words(
+                sh.where(F.col("doc_id") % DECON_MOD == 0).select("gh")
+            ).collect(),
+        )
+    )
+    assert got != base_only
+
+    import glob
+
+    parent = _decon_scratch_parent(SF_DIR)
+    [delta_dir] = glob.glob(os.path.join(parent, "bloomwords_*_delta*"))
+    with open(os.path.join(delta_dir, "_base_words_manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["pre"] and man["pre"] == man["post"], "base filter rewritten"
