@@ -103,7 +103,12 @@ def compact_partitions(
     single-writer maintenance-window semantics, the same contract as
     Hive/plain-parquet compaction; a lakehouse table format turns this
     swap into an atomic metadata commit and that is the production
-    deployment for concurrent readers. coalesce (not repartition) keeps
+    deployment for concurrent readers. The minimal form of that commit
+    (immutable data files + immutable manifests + an atomic pointer
+    flip, readers pin a manifest) is prototyped in
+    ``operators/lakehouse.py`` with the concurrent-reader property
+    under test — the upgrade path when this table must serve reads
+    DURING maintenance. coalesce (not repartition) keeps
     the rewrite shuffle-free: each output task reads whole input files.
     """
     import os

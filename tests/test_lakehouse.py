@@ -1,0 +1,91 @@
+"""The manifest-commit prototype's load-bearing property: a reader
+pinned BEFORE a compaction commit reads identical content AFTER it —
+the concurrent-reader guarantee the directory-swap compaction cannot
+give (its documented single-writer window)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dend_covid19_spark.catalog import load_table
+from dend_covid19_spark.operators.lakehouse import (
+    append_manifest_table,
+    compact_manifest_table,
+    current_manifest,
+    read_manifest_table,
+    vacuum_manifest_table,
+    write_manifest_table,
+)
+
+from conftest import SF_DIR
+
+
+def _digest(df):
+    return sorted(
+        (r.o_orderkey, r.o_custkey, float(r.o_totalprice)) for r in df.collect()
+    )
+
+
+def test_pinned_reader_survives_compaction_commit(spark, tmp_path):
+    root = str(tmp_path / "mt")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    half1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    half2 = orders.where(F.col("o_orderkey") % 2 == 1)
+
+    write_manifest_table(spark, half1, root, n_files=4)
+    append_manifest_table(spark, half2, root, n_files=4)
+
+    # reader A pins the fragmented manifest (8 files)
+    pin = current_manifest(root)
+    assert pin["version"] == 2 and len(pin["files"]) == 8
+    before = _digest(read_manifest_table(spark, root, pin))
+
+    # compaction commits a new manifest mid-"scan"
+    rec = compact_manifest_table(spark, root, target_file_bytes=1 << 40)
+    assert rec["files_before"] == 8 and rec["files_after"] == 1
+
+    # reader A's pinned view: byte-identical, files all still present
+    assert all(os.path.exists(os.path.join(root, f)) for f in pin["files"])
+    assert _digest(read_manifest_table(spark, root, pin)) == before
+    # reader B (fresh pin): same content through one file
+    assert _digest(read_manifest_table(spark, root)) == before
+    assert len(current_manifest(root)["files"]) == 1
+
+    # retention: with keep_last=1, the superseded files are reaped and
+    # the latest read is unaffected
+    deleted = vacuum_manifest_table(root, keep_last=1)
+    assert len([d for d in deleted if d.startswith("data/")]) == 8
+    assert _digest(read_manifest_table(spark, root)) == before
+
+
+def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
+    """Orphaned data files and a temp manifest (death before the
+    os.replace) never change what readers resolve; vacuum reaps the
+    orphans."""
+    root = str(tmp_path / "mt2")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_manifest_table(spark, orders, root, n_files=2)
+    want = _digest(read_manifest_table(spark, root))
+    v1 = current_manifest(root)
+
+    # simulate a compaction that died before its commit: stage debris +
+    # an orphan data file + a temp manifest, pointer untouched
+    os.makedirs(os.path.join(root, ".stage.999.deadbeef"))
+    with open(os.path.join(root, "data", "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"not a real file, never referenced")
+    with open(os.path.join(root, "_manifests", ".m2.json.tmp.999"), "w") as fh:
+        fh.write("{}")
+
+    assert current_manifest(root) == v1
+    assert _digest(read_manifest_table(spark, root)) == want
+
+    deleted = vacuum_manifest_table(root, keep_last=1)
+    assert "data/part-orphan.parquet" in deleted
+    assert any(d.startswith(".stage.") for d in deleted)
+    assert _digest(read_manifest_table(spark, root)) == want
