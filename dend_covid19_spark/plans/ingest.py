@@ -2038,6 +2038,115 @@ def snapshot_time_travel_compacted(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
+# --- manifest-commit table round-trip (round 15) -----------------------------
+
+_LAKEHOUSE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_LAKEHOUSE_CUT = "2024-01-16"  # append boundary for the two commits
+
+
+@query(
+    "lakehouse_manifest_roundtrip",
+    oracle=f"""
+WITH pre AS (
+    SELECT * FROM events
+    WHERE CAST(ts AS DATE) < DATE '{_LAKEHOUSE_CUT}' OR ts IS NULL
+)
+SELECT 'v1' AS version_tag, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM pre GROUP BY event_type
+UNION ALL
+SELECT 'latest' AS version_tag, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY event_type
+""",
+)
+def lakehouse_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-commit protocol executed under the value hash: the
+    events corpus lands in a manifest table (operators/lakehouse.py) as
+    two commits — initial write (pre-cut slice) then append — a reader
+    PINS the v1 manifest, compaction commits a new manifest over the
+    fragmented file set, and the query returns the pinned-v1 read UNION
+    the post-compaction latest read, hashed against the batch oracle's
+    two slices. The hash match certifies the protocol's whole contract
+    at once: appends never touched v1's files (the pinned read still
+    serves the pre-append slice), the compaction rewrite was lossless,
+    and — asserted in-query — every v1 file still exists AFTER the
+    compaction commit, the concurrent-reader guarantee the directory-
+    swap operators document as out of scope (their single-writer
+    window). Null-ts rows route to the first commit on both sides.
+
+    Plan/scale: this is Delta/Iceberg's commit shape reduced to its
+    minimum on plain parquet — file listing moves into an immutable
+    manifest, "commit" is an atomic pointer flip, so maintenance can
+    run DURING reads with zero coordination; at 100 TB the flip
+    becomes a conditional PUT / catalog swap and the manifest gains
+    file stats for pruning (the protocol is unchanged). Reads plan
+    from the pinned file list — no directory listing at all. Same
+    build-and-cache discipline as the other side-effecting rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LAKEHOUSE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _LAKEHOUSE_CACHE if k[0] != key[0]]:
+        del _LAKEHOUSE_CACHE[k]
+
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("lakehouse", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"lakehouse_{token}")
+    root = os.path.join(scratch, "table")
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = F.to_date("ts")
+    c1 = F.coalesce(d < F.lit(_LAKEHOUSE_CUT).cast("date"), F.lit(True))
+
+    if not os.path.exists(os.path.join(root, "_latest")):
+        write_manifest_table(spark, ev.where(c1), root, n_files=4)
+    pin_v1 = current_manifest(root)
+    if pin_v1["version"] == 1:
+        append_manifest_table(spark, ev.where(~c1), root, n_files=4)
+        rec = compact_manifest_table(spark, root)
+        assert rec["files_after"] < rec["files_before"], rec
+    # the concurrent-reader property: v1's files survive the commits
+    assert all(
+        os.path.exists(os.path.join(root, f)) for f in pin_v1["files"]
+    ), "append/compaction touched a pinned manifest's files"
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        ).select(F.lit(tag).alias("version_tag"), "*")
+
+    out = digest(read_manifest_table(spark, root, pin_v1), "v1").unionByName(
+        digest(read_manifest_table(spark, root), "latest")
+    )
+    _LAKEHOUSE_CACHE[key] = out
+    return out
+
+
 # --- stats-driven selective partition compaction (round 14) ------------------
 # The maintenance half of the S2 partitioned layout: streaming/micro-
 # batch ingest fragments the partitions it touches into many small
