@@ -217,6 +217,32 @@ def generate(seed: int, out: str) -> None:
     ets[36], users[36], etypes[36] = t3, 21, ETYPES[4]
     ets[37], users[37], etypes[37] = t3 + 3_600_000_000, 21, ETYPES[2]
     ets[38], users[38], etypes[38] = t3 + 3_600_000_001, 21, ETYPES[2]
+    # Snapshot time-travel cut boundary (r15): user 22 exists ONLY
+    # through these events, so snapshot_time_travel_compacted's
+    # version-chain cut (_SNAP_TT_CUT = 2024-01-16, the same instant as
+    # the CDC evo boundary) is DECISIVE for them: their v_first latest
+    # is a 1-us-before-cut row UNDER a same-ts event_id tie (the
+    # (ts DESC, event_id DESC) total order must pick the higher id at
+    # the pinned version), and a row exactly AT the cut becomes their
+    # overall latest — so v_first and latest DIFFER for user 22 on
+    # every seed, across two independently compacted version dirs.
+    ets[39], users[39], etypes[39] = evo - 1, 22, ETYPES[0]
+    ets[40], users[40], etypes[40] = evo - 1, 22, ETYPES[4]  # same-ts tie
+    ets[41], users[41], etypes[41] = evo, 22, ETYPES[2]  # latest, AT cut
+    # Compaction-sink overlap boundaries (r15): the
+    # streaming_compaction_sink_executed chunks split the 2024-01-14..16
+    # overlap window by event_id PARITY — indices are event_ids, so 42
+    # (even -> batch one) and 43 (odd -> batch two) land at the SAME
+    # first instant of the overlap window: day=2024-01-14 is written by
+    # BOTH micro-batches and re-compacted by the second (the keeps-pace
+    # overlap guaranteed on every seed); 44 sits at the window's last
+    # microsecond, 45 one us past it (routed to batch two by date, not
+    # parity) — the day-boundary routing class.
+    cut_lo = base_ev + 13 * DAY_US  # 2024-01-14 00:00:00
+    ets[42], users[42], etypes[42] = cut_lo, 23, ETYPES[1]
+    ets[43], users[43], etypes[43] = cut_lo, 23, ETYPES[3]
+    ets[44], users[44], etypes[44] = evo - 1, 23, ETYPES[4]  # last us of window
+    ets[45], users[45], etypes[45] = evo, 23, ETYPES[4]  # first us past
     w("events", pa.table({
         "event_id": pa.array(range(N_EVENTS), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),
@@ -259,6 +285,24 @@ def generate(seed: int, out: str) -> None:
     # must include the pair, every seed.
     texts[47] = " ".join(VOCAB[:10])
     texts[48] = " ".join(VOCAB[:18])
+    # Bloom delta-merge adversaries (r15): decontaminate_bloom_delta's
+    # bench is doc_id % 11 IN (0, 1) — base slice 0, DELTA slice 1.
+    # Doc 56 (56 % 11 == 1, delta) carries a distinctive 5-gram that
+    # doc 57 (train) shares: 57 is flagged ONLY if the delta slice's
+    # words actually merged into the standing filter (it shares nothing
+    # with the base slice, so the base-only rows must NOT flag it).
+    # Doc 55 (55 % 11 == 0, base) carries phrase B shared by doc 58
+    # (train) — flagged by base-only AND delta rows alike. Doc 59
+    # (train) STRADDLES: one 5-gram from the base phrase, one from the
+    # delta phrase — n_bench_docs must count both slices after the
+    # merge. Distinct non-VOCAB tokens keep the planted 5-grams unique.
+    phrase_delta = "zebra quill umbra vortex nimbus"
+    phrase_base = "gale ember crag fjord talus"
+    texts[56] = phrase_delta
+    texts[55] = phrase_base
+    texts[57] = phrase_delta + " " + " ".join(VOCAB[:4])
+    texts[58] = phrase_base + " " + " ".join(VOCAB[4:8])
+    texts[59] = phrase_base + " " + phrase_delta
     w("documents", pa.table({
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
         "text": texts,
@@ -295,6 +339,12 @@ def generate(seed: int, out: str) -> None:
     # base/delta file boundary on every seed. The hot cell above already
     # contains delta ids (63/68/73/78), stressing appends into a
     # dominating cell and cells created by the append alone.
+    # (r15: vec 13 is ALSO ann_ivf_cell_compaction's query vector — the
+    # compacted-index probe's top-1 is this exact base duplicate at
+    # cosine 1.0, so the (cosine DESC, vec_id) tie-break crosses a
+    # freshly COMPACTED file boundary on every seed, and the hot cell's
+    # base+delta fragmentation guarantees the compaction pass always
+    # has multi-file cells to merge.)
     emb[13] = emb[12]
     w("embeddings", pa.table({
         "vec_id": pa.array(range(N_EMB), pa.int64()),
