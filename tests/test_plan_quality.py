@@ -309,6 +309,9 @@ _NESTED_LOOP_ALLOWED = {
     "ann_ivf_cell_probe",  # one-row query-vector broadcast onto the pruned index scan
     "ann_ivf_delta_append",  # same shape over the incrementally maintained index
     "hard_negative_mining",  # |panel|-row anchor broadcast (non-equi label filter)
+    # round 15
+    "ann_ivf_cell_compaction",  # one-row query-vector broadcast onto the compacted index
+    "decontaminate_bloom_delta",  # one-row packed-bloom-filter broadcast (merged filter)
 }
 
 # Queries allowed to plan a Window with an EMPTY partition spec (the
