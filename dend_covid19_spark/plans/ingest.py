@@ -1858,6 +1858,13 @@ def streaming_compaction_sink_executed(spark: SparkSession, sf_dir: str) -> Data
         os.utime(os.path.join(src, f"p{i}.parquet"), (t, t))
 
     manifests: list = []
+    ckpt = os.path.join(scratch, "ckpt")
+    # re-entry in the same process (appId changed, cache evicted): the
+    # checkpoint has committed both batches, so the drain below is a
+    # no-op against a complete sink — the manifest asserts only apply
+    # to a FRESH drain (the funnel/resume rows' idempotent-re-entry
+    # discipline)
+    fresh = not os.path.exists(ckpt)
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
@@ -1866,7 +1873,7 @@ def streaming_compaction_sink_executed(spark: SparkSession, sf_dir: str) -> Data
             spark,
             src,
             out,
-            os.path.join(scratch, "ckpt"),
+            ckpt,
             max_files=0,  # always-compact-touched: every batch maintains
             manifests=manifests,
             max_files_per_trigger=1,
@@ -1874,10 +1881,11 @@ def streaming_compaction_sink_executed(spark: SparkSession, sf_dir: str) -> Data
     finally:
         spark.conf.set(conf_key, old_parts)
 
-    assert len(manifests) == 2, f"expected 2 micro-batches, got {len(manifests)}"
-    for _bid, m in manifests:
-        assert all(rec["rewritten"] for rec in m.values()), m
-        assert all(rec["files_after"] == 1 for rec in m.values()), m
+    if fresh:
+        assert len(manifests) == 2, f"expected 2 micro-batches, got {len(manifests)}"
+        for _bid, m in manifests:
+            assert all(rec["rewritten"] for rec in m.values()), m
+            assert all(rec["files_after"] == 1 for rec in m.values()), m
 
     out_df = (
         spark.read.parquet(out)
@@ -2119,11 +2127,16 @@ def lakehouse_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not os.path.exists(os.path.join(root, "_latest")):
         write_manifest_table(spark, ev.where(c1), root, n_files=4)
-    pin_v1 = current_manifest(root)
-    if pin_v1["version"] == 1:
         append_manifest_table(spark, ev.where(~c1), root, n_files=4)
         rec = compact_manifest_table(spark, root)
         assert rec["files_after"] < rec["files_before"], rec
+    # pin v1 by NAME from the immutable manifest log (not the current
+    # pointer), so re-entry in the same process — appId changed, cache
+    # evicted, scratch already built — pins the same version it always
+    # did; manifests are immutable and vacuum never runs here
+    with open(os.path.join(root, "_manifests", "m1.json")) as fh:
+        pin_v1 = json.load(fh)
+    assert current_manifest(root)["version"] == 3
     # the concurrent-reader property: v1's files survive the commits
     assert all(
         os.path.exists(os.path.join(root, f)) for f in pin_v1["files"]

@@ -127,3 +127,28 @@ def test_bloom_delta_artifact_equals_rebuild_and_no_base_rewrite(spark):
     with open(os.path.join(delta_dir, "_base_words_manifest.json")) as fh:
         man = json.load(fh)
     assert man["pre"] and man["pre"] == man["post"], "base filter rewritten"
+
+
+def test_side_effecting_rows_are_reentrant(spark):
+    """Re-entry in the SAME process with the query cache evicted (the
+    appId-changed path): the scratch is already built and the streaming
+    checkpoint already committed, so a second invocation must return
+    the same result — the lakehouse row must pin v1 by name (not the
+    advanced current pointer) and the sink row must not assert a fresh
+    drain's manifests against a no-op drain."""
+    from dend_covid19_spark.plans.ingest import (
+        _LAKEHOUSE_CACHE,
+        _STREAM_COMPACT_CACHE,
+        lakehouse_manifest_roundtrip,
+        streaming_compaction_sink_executed,
+    )
+
+    def digest(df):
+        return sorted(map(tuple, df.collect()))
+
+    first_lh = digest(lakehouse_manifest_roundtrip(spark, SF_DIR))
+    first_sc = digest(streaming_compaction_sink_executed(spark, SF_DIR))
+    _LAKEHOUSE_CACHE.clear()
+    _STREAM_COMPACT_CACHE.clear()
+    assert digest(lakehouse_manifest_roundtrip(spark, SF_DIR)) == first_lh
+    assert digest(streaming_compaction_sink_executed(spark, SF_DIR)) == first_sc
