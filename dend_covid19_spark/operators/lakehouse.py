@@ -59,26 +59,56 @@ def _read_json(path: str) -> dict:
         return json.load(fh)
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic
+    concurrency): re-resolve the current manifest and retry the
+    operation against it — the table-format MVCC loop."""
+
+
 def _publish_pointer(root: str, manifest_name: str) -> None:
-    """Atomically flip ``_latest`` to ``manifest_name`` (write a temp,
-    os.replace — readers see the old pointer or the new, never a
-    partial write)."""
+    """Refresh the ``_latest`` convenience pointer (write a temp,
+    os.replace). The pointer is a CACHE for humans/tooling — resolution
+    authority is the manifest log itself (see ``current_manifest``), so
+    two racing committers whose pointer writes land out of order can
+    never regress what readers resolve."""
     tmp = os.path.join(root, f".{_LATEST}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         fh.write(manifest_name)
     os.replace(tmp, os.path.join(root, _LATEST))
 
 
-def _commit(root: str, files: list[str], parent: int) -> str:
-    """Write manifest m{parent+1} (immutable) and flip the pointer."""
+def _commit(
+    root: str, files: list[str], parent: int, file_stats: dict | None = None
+) -> str:
+    """Commit manifest m{parent+1} with EXCLUSIVE creation (os.link of
+    a temp onto the final name fails atomically if the version already
+    exists) — the optimistic-concurrency gate: two writers racing the
+    same parent produce exactly one winner; the loser gets
+    CommitConflict and must retry against the winner's manifest. This
+    is the minimal local form of a conditional PUT / rename-if-absent
+    commit on an object store or a catalog CAS."""
     version = parent + 1
     name = f"m{version}.json"
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".{name}.tmp.{os.getpid()}")
+    tmp = os.path.join(mdir, f".{name}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": sorted(files)}, fh)
-    os.replace(tmp, os.path.join(mdir, name))
+        json.dump(
+            {
+                "version": version,
+                "files": sorted(files),
+                "file_stats": file_stats or {},
+            },
+            fh,
+        )
+    try:
+        os.link(tmp, os.path.join(mdir, name))
+    except FileExistsError:
+        raise CommitConflict(
+            f"manifest v{version} already committed under {root}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     _publish_pointer(root, name)
     return name
 
@@ -86,10 +116,70 @@ def _commit(root: str, files: list[str], parent: int) -> str:
 def current_manifest(root: str) -> dict:
     """Resolve and load the current manifest — the reader's PIN: scan
     exactly these files afterwards and no concurrent commit can change
-    or lose them (invariants 1-3)."""
-    with open(os.path.join(root, _LATEST)) as fh:
-        name = fh.read().strip()
-    return _read_json(os.path.join(root, _MANIFESTS, name))
+    or lose them (invariants 1-3). Authority is the highest committed
+    ``m{N}.json`` in the log (manifest creation is exclusive-atomic, so
+    a version exists iff its commit won), never the ``_latest`` cache —
+    pointer write order between racing committers is irrelevant."""
+    import re
+
+    mdir = os.path.join(root, _MANIFESTS)
+    best, best_v = None, -1
+    for n in os.listdir(mdir):
+        m = re.fullmatch(r"m(\d+)\.json", n)
+        if m and int(m.group(1)) > best_v:
+            best_v, best = int(m.group(1)), n
+    if best is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    return _read_json(os.path.join(mdir, best))
+
+
+def _json_stat(v):
+    """Parquet footer min/max -> JSON-comparable scalar (isoformat for
+    date/timestamp sorts correctly as a string; bytes decode or drop)."""
+    import datetime
+
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] from the file's own parquet footer —
+    driver-side metadata only, the write-time stats collection every
+    table format does (Iceberg manifests, Delta add-file stats). A
+    column whose footer lacks usable stats is omitted (readers must
+    treat missing stats as 'file may match')."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                out[col.path_in_schema] = None  # poison: no stats
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                out[col.path_in_schema] = None
+                continue
+            prev = out.get(col.path_in_schema)
+            if prev is None and col.path_in_schema in out:
+                continue  # already poisoned
+            if prev is None:
+                out[col.path_in_schema] = [lo, hi]
+            else:
+                out[col.path_in_schema] = [min(prev[0], lo), max(prev[1], hi)]
+    return {c: mm for c, mm in out.items() if mm is not None}
 
 
 def _stage_files(
@@ -98,54 +188,116 @@ def _stage_files(
     root: str,
     n_files: int,
     shuffle: bool = True,
-) -> list[str]:
+    cluster_by: list[str] | None = None,
+) -> tuple[list[str], dict]:
     """Write ``df`` as ``n_files`` fresh uniquely-named immutable data
-    files under root/data, returning their manifest-relative paths.
-    ``shuffle=False`` (the compaction path) uses coalesce so the
-    rewrite stays shuffle-free; ingest writes repartition so the
-    requested width holds even from a single input split."""
+    files under root/data, returning (manifest-relative paths,
+    per-file footer stats). ``shuffle=False`` (the compaction path)
+    uses coalesce so the rewrite stays shuffle-free; ingest writes
+    repartition so the requested width holds even from a single input
+    split; ``cluster_by`` range-partitions + sorts on the keys so each
+    file owns a disjoint key range — what makes the manifest's min/max
+    stats selective (the cluster_by_range move, committed with stats)."""
     stage = os.path.join(root, f".stage.{os.getpid()}.{uuid.uuid4().hex[:8]}")
-    shaped = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    if cluster_by:
+        shaped = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    elif shuffle:
+        shaped = df.repartition(n_files)
+    else:
+        shaped = df.coalesce(n_files)
     shaped.write.parquet(stage)
     ddir = os.path.join(root, _DATA)
     os.makedirs(ddir, exist_ok=True)
-    rels = []
+    rels, stats = [], {}
     for f in sorted(os.listdir(stage)):
         if f.startswith(("_", ".")) or not f.endswith(".parquet"):
             continue
         rel = f"{_DATA}/part-{uuid.uuid4().hex}.parquet"
         os.rename(os.path.join(stage, f), os.path.join(root, rel))
         rels.append(rel)
+        stats[rel] = _footer_stats(os.path.join(root, rel))
     shutil.rmtree(stage, ignore_errors=True)
-    return rels
+    return rels, stats
 
 
 def write_manifest_table(
-    spark: SparkSession, df: DataFrame, root: str, n_files: int = 4
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    n_files: int = 4,
+    cluster_by: list[str] | None = None,
 ) -> str:
-    """Create a manifest table at ``root`` with ``df`` as version 1."""
+    """Create a manifest table at ``root`` with ``df`` as version 1.
+    Raises CommitConflict if the table already has a v1 (two creators
+    raced)."""
     os.makedirs(root, exist_ok=True)
-    return _commit(root, _stage_files(spark, df, root, n_files), parent=0)
+    files, stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
+    return _commit(root, files, parent=0, file_stats=stats)
+
+
+_COMMIT_RETRIES = 8
 
 
 def append_manifest_table(
-    spark: SparkSession, df: DataFrame, root: str, n_files: int = 1
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    n_files: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> str:
     """Append ``df``: new data files + a manifest that is old ∪ new —
-    the incremental-ingest commit (no existing file touched)."""
-    cur = current_manifest(root)
-    new = _stage_files(spark, df, root, n_files)
-    return _commit(root, cur["files"] + new, parent=cur["version"])
+    the incremental-ingest commit (no existing file touched). On
+    CommitConflict the loser re-resolves the winner's manifest and
+    retries the COMMIT only — its staged files are already immutable
+    and unreferenced, so no data work is redone (the optimistic-
+    concurrency loop every table format runs)."""
+    new, new_stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
+    for _ in range(_COMMIT_RETRIES):
+        cur = current_manifest(root)
+        try:
+            return _commit(
+                root,
+                cur["files"] + new,
+                parent=cur["version"],
+                file_stats={**cur.get("file_stats", {}), **new_stats},
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append lost {_COMMIT_RETRIES} commit races under {root}")
+
+
+def prune_files(manifest: dict, column: str, lo, hi) -> list[str]:
+    """The stats-pruning half of the protocol: files of ``manifest``
+    whose footer [min, max] for ``column`` overlaps [lo, hi] — plus any
+    file with no recorded stats for it (missing stats must widen, never
+    narrow). Driver-side metadata only; at 10^6 files this is the
+    manifest scan a table format does before planning."""
+    keep = []
+    stats = manifest.get("file_stats", {})
+    for f in manifest["files"]:
+        mm = stats.get(f, {}).get(column)
+        if mm is None or (mm[0] <= hi and mm[1] >= lo):
+            keep.append(f)
+    return keep
 
 
 def read_manifest_table(
-    spark: SparkSession, root: str, manifest: dict | None = None
+    spark: SparkSession,
+    root: str,
+    manifest: dict | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Scan the table as of ``manifest`` (default: pin the current one).
     The returned plan lists EXACTLY the pinned files — no directory
-    listing, so a concurrent compaction commit is invisible."""
+    listing, so a concurrent compaction commit is invisible. With
+    ``prune=(column, lo, hi)`` the scan plans ONLY the files whose
+    manifest stats can match (a superset of the rows; apply the exact
+    predicate on top — pruning is an optimization, never a filter)."""
     m = manifest if manifest is not None else current_manifest(root)
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    files = prune_files(m, *prune) if prune else m["files"]
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
 
 def compact_manifest_table(
@@ -159,22 +311,32 @@ def compact_manifest_table(
     exact operation ``compact_partitions`` performs with a directory
     swap, minus the lost-file window: the swap is a pointer flip.
 
-    Crash-safety: a death before the pointer flip leaves only orphaned
-    data files / a temp manifest — the pointer still names the old
-    manifest, so readers are unaffected and vacuum reaps the orphans."""
-    cur = current_manifest(root)
-    total = sum(
-        os.path.getsize(os.path.join(root, f)) for f in cur["files"]
-    )
-    n_out = max(1, -(-total // target_file_bytes))
-    df = read_manifest_table(spark, root, cur)
-    new = _stage_files(spark, df, root, n_out, shuffle=False)
-    name = _commit(root, new, parent=cur["version"])
-    return {
-        "manifest": name,
-        "files_before": len(cur["files"]),
-        "files_after": len(new),
-    }
+    Crash-safety: a death before the commit leaves only orphaned data
+    files / a temp manifest — the log still resolves to the old
+    manifest, so readers are unaffected and vacuum reaps the orphans.
+    On CommitConflict (a concurrent append won the version) the
+    compacted set is STALE — unlike an append, the data work must be
+    redone against the winner's manifest (rewritten files don't contain
+    the appended rows), so the loop re-reads and re-compacts; the
+    abandoned files await vacuum."""
+    for _ in range(_COMMIT_RETRIES):
+        cur = current_manifest(root)
+        total = sum(
+            os.path.getsize(os.path.join(root, f)) for f in cur["files"]
+        )
+        n_out = max(1, -(-total // target_file_bytes))
+        df = read_manifest_table(spark, root, cur)
+        new, stats = _stage_files(spark, df, root, n_out, shuffle=False)
+        try:
+            name = _commit(root, new, parent=cur["version"], file_stats=stats)
+        except CommitConflict:
+            continue
+        return {
+            "manifest": name,
+            "files_before": len(cur["files"]),
+            "files_after": len(new),
+        }
+    raise CommitConflict(f"compaction lost {_COMMIT_RETRIES} commit races under {root}")
 
 
 def vacuum_manifest_table(root: str, keep_last: int = 2) -> list[str]:

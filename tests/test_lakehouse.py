@@ -89,3 +89,79 @@ def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
     assert "data/part-orphan.parquet" in deleted
     assert any(d.startswith(".stage.") for d in deleted)
     assert _digest(read_manifest_table(spark, root)) == want
+
+
+def test_stats_pruned_scan_plans_fewer_files(spark, tmp_path):
+    """The commit records per-file footer min/max stats; a clustered
+    write makes them disjoint, so a selective range read plans a strict
+    subset of the files — and the pruned scan plus the exact predicate
+    equals the full scan plus the same predicate (pruning is an
+    optimization, never a filter). A column with no recorded stats must
+    widen to all files."""
+    from dend_covid19_spark.operators.lakehouse import prune_files
+
+    root = str(tmp_path / "mt3")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_manifest_table(spark, orders, root, n_files=4, cluster_by=["o_orderkey"])
+    m = current_manifest(root)
+    assert len(m["files"]) == 4
+    assert all(
+        "o_orderkey" in m["file_stats"][f] for f in m["files"]
+    ), m["file_stats"]
+
+    lo_key = min(r.o_orderkey for r in read_manifest_table(spark, root).collect())
+    pruned = prune_files(m, "o_orderkey", lo_key, lo_key + 5)
+    assert 1 <= len(pruned) < len(m["files"]), pruned
+
+    got = _digest(
+        read_manifest_table(spark, root, prune=("o_orderkey", lo_key, lo_key + 5))
+        .where(F.col("o_orderkey").between(lo_key, lo_key + 5))
+    )
+    want = _digest(
+        read_manifest_table(spark, root).where(
+            F.col("o_orderkey").between(lo_key, lo_key + 5)
+        )
+    )
+    assert got == want and got
+    # no stats for a column -> every file kept (missing stats widen)
+    assert prune_files(m, "no_such_col", 0, 1) == m["files"]
+
+
+def test_commit_conflict_one_winner_and_retry(spark, tmp_path):
+    """Optimistic concurrency: two commits racing the same parent
+    produce exactly one winner (exclusive manifest creation); the
+    append path retries against the winner's manifest so both appends'
+    rows land, and nothing is lost or doubled."""
+    import pytest
+
+    from dend_covid19_spark.operators.lakehouse import (
+        CommitConflict,
+        _commit,
+        _stage_files,
+    )
+
+    root = str(tmp_path / "mt4")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 3 == 0)
+    a = orders.where(F.col("o_orderkey") % 3 == 1)
+    b = orders.where(F.col("o_orderkey") % 3 == 2)
+    write_manifest_table(spark, base, root, n_files=2)
+
+    # simulate the race at the _commit layer: both writers staged
+    # against parent=1; exactly one v2 commit may win
+    cur = current_manifest(root)
+    files_a, stats_a = _stage_files(spark, a, root, 1)
+    files_b, stats_b = _stage_files(spark, b, root, 1)
+    _commit(root, cur["files"] + files_a, parent=cur["version"], file_stats=stats_a)
+    with pytest.raises(CommitConflict):
+        _commit(root, cur["files"] + files_b, parent=cur["version"], file_stats=stats_b)
+
+    # the public append path retries and lands b's rows on top of a's
+    append_manifest_table(spark, b, root, n_files=1)
+    final = current_manifest(root)
+    assert final["version"] == 3
+    assert _digest(read_manifest_table(spark, root)) == _digest(orders)
