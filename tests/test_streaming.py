@@ -625,3 +625,88 @@ def test_snapshot_compaction_preserves_time_travel(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_snapshot_version(spark, str(snaps), 9999)
+
+
+def test_partitioned_sink_compaction_resumes_incrementally(spark, tmp_path):
+    """Maintenance keeps pace ACROSS A RESTART (r16 candidate proven at
+    the library level): after a two-batch drain compacts its days, a
+    third source file arrives and a NEW streaming query on the SAME
+    checkpoint drains exactly one more micro-batch — its manifest's
+    touched set is only the late file's days (already-maintained
+    history is never re-listed, O(touched) holds across restarts), the
+    re-touched days re-compact to one file, and the sink equals a
+    batch read of everything."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import (
+        run_partitioned_sink_with_compaction,
+    )
+
+    src = tmp_path / "cpr_src"
+    src.mkdir()
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+    cut1, cut2 = "2024-01-11", "2024-01-21"
+    chunks = [
+        ev.where(d < cut1),
+        ev.where((d >= cut1) & (d < cut2)),
+        ev.where(d >= cut2),  # the late arrival, staged after drain one
+    ]
+    for i, chunk in enumerate(chunks[:2]):
+        _stage_single_parquet(
+            chunk, str(tmp_path / f"cpr_stage{i}"), str(src / f"p{i}.parquet")
+        )
+    now = time.time()
+    for i in range(2):
+        os.utime(src / f"p{i}.parquet", (now - 100 + i * 10, now - 100 + i * 10))
+
+    out, ckpt = tmp_path / "cpr_out", tmp_path / "cpr_ckpt"
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_partitioned_sink_with_compaction(
+            spark, str(src), str(out), str(ckpt),
+            max_files=0, manifests=manifests, max_files_per_trigger=1,
+        )
+        assert len(manifests) == 2
+
+        # the late file arrives; a NEW query on the SAME checkpoint
+        _stage_single_parquet(
+            chunks[2], str(tmp_path / "cpr_stage2"), str(src / "p2.parquet")
+        )
+        os.utime(src / "p2.parquet", (now, now))
+        run_partitioned_sink_with_compaction(
+            spark, str(src), str(out), str(ckpt),
+            max_files=0, manifests=manifests, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    assert len(manifests) == 3, [m[0] for m in manifests]
+    late_days = {
+        f"day={r.d}" for r in chunks[2].select(d.alias("d")).distinct().collect()
+    }
+    _bid, late_manifest = manifests[-1]
+    assert set(late_manifest) == late_days
+    assert all(rec["rewritten"] and rec["files_after"] == 1
+               for rec in late_manifest.values())
+    # history days were not re-listed by the restart batch
+    early_days = {
+        f"day={r.d}"
+        for c in chunks[:2]
+        for r in c.select(d.alias("d")).distinct().collect()
+    }
+    assert not (set(late_manifest) & early_days)
+
+    got = spark.read.parquet(str(out)).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    want = ev.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (want.n, want.s)
