@@ -60,6 +60,16 @@ def test_pinned_reader_survives_compaction_commit(spark, tmp_path):
     deleted = vacuum_manifest_table(root, keep_last=1)
     assert len([d for d in deleted if d.startswith("data/")]) == 8
     assert _digest(read_manifest_table(spark, root)) == before
+    # the retention contract's negative path: a reader still pinned to
+    # the vacuumed manifest now fails LOUDLY (missing files), never
+    # silently serves partial data — which is why retention must
+    # outlive the longest scan (count here, age + lease in production)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((AnalysisException, Py4JJavaError)):
+        read_manifest_table(spark, root, pin).collect()
 
 
 def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
