@@ -127,6 +127,14 @@ def compact_partitions(
         # e.g. {"event_date=2024-01-03"}.
         stats = {}
         for part in sorted(only_partitions):
+            # a touched "partition" must be a relative path strictly
+            # inside the root: "." / "" / ".." / an absolute path would
+            # make the swap below retire the dataset root (or a dir
+            # outside it) wholesale — reject loudly, these can only be
+            # caller bugs
+            norm = os.path.normpath(part)
+            if norm in (".", "") or norm.startswith("..") or os.path.isabs(norm):
+                raise ValueError(f"invalid touched-partition path {part!r}")
             live = os.path.join(root, part)
             _recover_swap_debris(live)
             ent = partition_file_stats(live).get(".")

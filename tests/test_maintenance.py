@@ -513,3 +513,26 @@ def test_compact_partitions_merges_evolved_schema(spark, tmp_path):
     assert set(got.columns) == {"a", "b", "k"}
     rows = {(r.a, r.b) for r in got.collect()}
     assert rows == {(0, None), (1, None), (2, None), (3, "3"), (4, "4"), (5, "5")}
+
+
+def test_compact_partitions_rejects_escaping_touched_paths(spark, tmp_path):
+    """A touched-partition entry of '.', '', '..'-prefixed or absolute
+    would make the scoped swap retire the dataset root (or a directory
+    outside it) wholesale — refused loudly as a caller bug."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import compact_partitions
+
+    root = str(tmp_path / "part")
+    load_table(spark, "orders", SF_DIR).limit(200).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    ).write.partitionBy("bucket").parquet(root)
+
+    for bad in (".", "", "..", "../elsewhere", "/abs/path", "a/../.."):
+        with pytest.raises(ValueError, match="invalid touched-partition"):
+            compact_partitions(spark, root, max_files=0, only_partitions={bad})
+    # a valid rel path still works
+    m = compact_partitions(spark, root, max_files=0, only_partitions={"bucket=0"})
+    assert set(m) == {"bucket=0"}
