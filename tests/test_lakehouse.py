@@ -175,3 +175,39 @@ def test_commit_conflict_one_winner_and_retry(spark, tmp_path):
     final = current_manifest(root)
     assert final["version"] == 3
     assert _digest(read_manifest_table(spark, root)) == _digest(orders)
+
+
+def test_prune_files_soundness_property():
+    """Hypothesis property (pure metadata, no Spark): for ANY file
+    layout of integer rows and ANY query range, prune_files keeps
+    every file that contains a matching row — pruning may over-keep
+    (missing stats, wide files) but can NEVER drop a file whose rows
+    the exact predicate would select."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dend_covid19_spark.operators.lakehouse import prune_files
+
+    rows_per_file = st.lists(
+        st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(files=rows_per_file, lo=st.integers(-60, 60), span=st.integers(0, 30),
+           drop_stats=st.sets(st.integers(0, 5)))
+    def check(files, lo, span, drop_stats):
+        hi = lo + span
+        names = [f"data/f{i}.parquet" for i in range(len(files))]
+        stats = {
+            n: ({} if i in drop_stats or not rs else {"k": [min(rs), max(rs)]})
+            for i, (n, rs) in enumerate(zip(names, files))
+        }
+        manifest = {"files": names, "file_stats": stats}
+        kept = set(prune_files(manifest, "k", lo, hi))
+        for n, rs in zip(names, files):
+            if any(lo <= v <= hi for v in rs):
+                assert n in kept, (n, rs, lo, hi, stats[n])
+
+    check()
