@@ -288,16 +288,34 @@ def read_manifest_table(
     root: str,
     manifest: dict | None = None,
     prune: tuple | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Scan the table as of ``manifest`` (default: pin the current one).
     The returned plan lists EXACTLY the pinned files — no directory
     listing, so a concurrent compaction commit is invisible. With
     ``prune=(column, lo, hi)`` the scan plans ONLY the files whose
     manifest stats can match (a superset of the rows; apply the exact
-    predicate on top — pruning is an optimization, never a filter)."""
+    predicate on top — pruning is an optimization, never a filter). A
+    prune that eliminates EVERY file is a legitimate outcome (query
+    range disjoint from all recorded stats): the scan returns an empty
+    DataFrame with the table's schema — one footer read, zero rows.
+    ``merge_schema=True`` unions the schema across every planned file's
+    footer — required whenever appends may have EVOLVED the schema (a
+    column present only in newer files), because the default
+    single-footer read would silently drop that column."""
     m = manifest if manifest is not None else current_manifest(root)
     files = prune_files(m, *prune) if prune else m["files"]
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    if not files:
+        full = m["files"]
+        if not full:
+            raise FileNotFoundError(f"manifest v{m['version']} references no files")
+        schema_reader = (
+            spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+        )
+        src = [os.path.join(root, f) for f in (full if merge_schema else full[:1])]
+        return schema_reader.parquet(*src).limit(0)
+    return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
 def compact_manifest_table(
@@ -318,14 +336,21 @@ def compact_manifest_table(
     compacted set is STALE — unlike an append, the data work must be
     redone against the winner's manifest (rewritten files don't contain
     the appended rows), so the loop re-reads and re-compacts; the
-    abandoned files await vacuum."""
+    abandoned files await vacuum.
+
+    The rewrite reads with mergeSchema: appends may have EVOLVED the
+    table's schema (a column present only in newer files), and the
+    default single-footer read would silently drop that column from
+    every file that had it — a lossy "lossless" compaction (the same
+    hazard compact_partitions closes the same way). One footer per
+    planned file, driver-side metadata only."""
     for _ in range(_COMMIT_RETRIES):
         cur = current_manifest(root)
         total = sum(
             os.path.getsize(os.path.join(root, f)) for f in cur["files"]
         )
         n_out = max(1, -(-total // target_file_bytes))
-        df = read_manifest_table(spark, root, cur)
+        df = read_manifest_table(spark, root, cur, merge_schema=True)
         new, stats = _stage_files(spark, df, root, n_out, shuffle=False)
         try:
             name = _commit(root, new, parent=cur["version"], file_stats=stats)
@@ -339,13 +364,40 @@ def compact_manifest_table(
     raise CommitConflict(f"compaction lost {_COMMIT_RETRIES} commit races under {root}")
 
 
-def vacuum_manifest_table(root: str, keep_last: int = 2) -> list[str]:
+def vacuum_manifest_table(
+    root: str, keep_last: int = 2, grace_seconds: float = 24 * 3600
+) -> list[str]:
     """Delete data files referenced by NONE of the newest ``keep_last``
     manifests, plus older manifests and crash orphans. Retention must
     outlive the longest running scan (count-based here; production uses
-    age + a reader lease). Returns deleted paths."""
+    age + a reader lease). Returns deleted paths.
+
+    ``grace_seconds`` protects IN-FLIGHT writers: an append/compaction
+    moves its staged files into data/ BEFORE committing the manifest
+    that references them, so for that window they look exactly like
+    crash orphans — a vacuum deleting them would let the writer commit
+    a manifest pointing at missing files (silent data loss on read).
+    Any unreferenced data file, stage dir, or temp manifest YOUNGER
+    than the grace horizon is therefore skipped (it is either an
+    in-flight write, which will be referenced shortly, or a fresh
+    orphan the next vacuum reaps once aged) — the same age-based
+    retention Delta VACUUM / Iceberg remove_orphan_files use. Committed
+    manifests are immutable and never in-flight, so count-based
+    retention governs them regardless of age. Pass ``grace_seconds=0``
+    only when no writer can be concurrent (tests, single-writer
+    maintenance windows)."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the live manifest)")
+    horizon = time.time() - grace_seconds
+
+    def _aged(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= horizon
+        except OSError:
+            return False  # vanished mid-vacuum: nothing to delete
+
     mdir = os.path.join(root, _MANIFESTS)
     manifests = sorted(
         (int(n[1:-5]), n)
@@ -360,18 +412,18 @@ def vacuum_manifest_table(root: str, keep_last: int = 2) -> list[str]:
     ddir = os.path.join(root, _DATA)
     for f in sorted(os.listdir(ddir)):
         rel = f"{_DATA}/{f}"
-        if rel not in live:
+        if rel not in live and _aged(os.path.join(ddir, f)):
             os.remove(os.path.join(ddir, f))
             deleted.append(rel)
     for _, name in manifests[:-keep_last]:
         os.remove(os.path.join(mdir, name))
         deleted.append(f"{_MANIFESTS}/{name}")
     for n in os.listdir(mdir):  # crash orphans: temp manifests
-        if n.startswith("."):
+        if n.startswith(".") and _aged(os.path.join(mdir, n)):
             os.remove(os.path.join(mdir, n))
             deleted.append(f"{_MANIFESTS}/{n}")
     for n in os.listdir(root):  # crash orphans: unfinished stage dirs
-        if n.startswith(".stage."):
+        if n.startswith(".stage.") and _aged(os.path.join(root, n)):
             shutil.rmtree(os.path.join(root, n), ignore_errors=True)
             deleted.append(n)
     return deleted

@@ -132,8 +132,15 @@ def compact_partitions(
             # make the swap below retire the dataset root (or a dir
             # outside it) wholesale — reject loudly, these can only be
             # caller bugs
+            # reject exactly the traversal forms ('..' itself or a
+            # '../'-prefixed path) — a partition VALUE that merely
+            # begins with two dots (key=..x) is a legal leaf dir name
             norm = os.path.normpath(part)
-            if norm in (".", "") or norm.startswith("..") or os.path.isabs(norm):
+            if (
+                norm in (".", "", "..")
+                or norm.startswith(".." + os.sep)
+                or os.path.isabs(norm)
+            ):
                 raise ValueError(f"invalid touched-partition path {part!r}")
             live = os.path.join(root, part)
             _recover_swap_debris(live)

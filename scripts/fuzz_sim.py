@@ -235,14 +235,20 @@ def generate(seed: int, out: str) -> None:
     # (even -> batch one) and 43 (odd -> batch two) land at the SAME
     # first instant of the overlap window: day=2024-01-14 is written by
     # BOTH micro-batches and re-compacted by the second (the keeps-pace
-    # overlap guaranteed on every seed); 44 sits at the window's last
-    # microsecond, 45 one us past it (routed to batch two by date, not
-    # parity) — the day-boundary routing class.
+    # overlap guaranteed on every seed). The window is DATE-inclusive
+    # of 2024-01-16 (d <= hi), so its true last microsecond is
+    # 2024-01-16 23:59:59.999999 — event 44 sits exactly there (even ->
+    # still parity-routed to batch one); 45 is one us later, the first
+    # instant PAST the inclusive window (2024-01-17 00:00:00, routed to
+    # batch two by date, not parity) — the day-boundary routing class.
+    # (r16 fix: these two previously sat at `evo` = day 16's FIRST
+    # instant, inside the window, so the past-window class never ran.)
     cut_lo = base_ev + 13 * DAY_US  # 2024-01-14 00:00:00
+    win_end = base_ev + 17 * DAY_US  # 2024-01-17 00:00:00, first us past
     ets[42], users[42], etypes[42] = cut_lo, 23, ETYPES[1]
     ets[43], users[43], etypes[43] = cut_lo, 23, ETYPES[3]
-    ets[44], users[44], etypes[44] = evo - 1, 23, ETYPES[4]  # last us of window
-    ets[45], users[45], etypes[45] = evo, 23, ETYPES[4]  # first us past
+    ets[44], users[44], etypes[44] = win_end - 1, 23, ETYPES[4]  # last us of window
+    ets[45], users[45], etypes[45] = win_end, 23, ETYPES[4]  # first us past
     w("events", pa.table({
         "event_id": pa.array(range(N_EVENTS), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),

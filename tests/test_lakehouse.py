@@ -55,9 +55,10 @@ def test_pinned_reader_survives_compaction_commit(spark, tmp_path):
     assert _digest(read_manifest_table(spark, root)) == before
     assert len(current_manifest(root)["files"]) == 1
 
-    # retention: with keep_last=1, the superseded files are reaped and
-    # the latest read is unaffected
-    deleted = vacuum_manifest_table(root, keep_last=1)
+    # retention: with keep_last=1 (and no in-flight writers, so no
+    # grace needed), the superseded files are reaped and the latest
+    # read is unaffected
+    deleted = vacuum_manifest_table(root, keep_last=1, grace_seconds=0)
     assert len([d for d in deleted if d.startswith("data/")]) == 8
     assert _digest(read_manifest_table(spark, root)) == before
     # the retention contract's negative path: a reader still pinned to
@@ -95,7 +96,14 @@ def test_crash_before_pointer_flip_is_invisible(spark, tmp_path):
     assert current_manifest(root) == v1
     assert _digest(read_manifest_table(spark, root)) == want
 
-    deleted = vacuum_manifest_table(root, keep_last=1)
+    # grace period first: the "orphans" are seconds old — exactly what
+    # an in-flight append's just-moved staged files look like — so a
+    # graceful vacuum must SKIP them (the writer-race protection)
+    deleted = vacuum_manifest_table(root, keep_last=1, grace_seconds=3600)
+    assert not any(d.startswith(("data/", ".stage.")) for d in deleted), deleted
+    assert os.path.exists(os.path.join(root, "data", "part-orphan.parquet"))
+    # once aged past the horizon they are true crash orphans: reaped
+    deleted = vacuum_manifest_table(root, keep_last=1, grace_seconds=0)
     assert "data/part-orphan.parquet" in deleted
     assert any(d.startswith(".stage.") for d in deleted)
     assert _digest(read_manifest_table(spark, root)) == want
@@ -137,6 +145,57 @@ def test_stats_pruned_scan_plans_fewer_files(spark, tmp_path):
     assert got == want and got
     # no stats for a column -> every file kept (missing stats widen)
     assert prune_files(m, "no_such_col", 0, 1) == m["files"]
+
+
+def test_compaction_preserves_evolved_schema(spark, tmp_path):
+    """An append that EVOLVED the schema (a column present only in the
+    newer files) must survive compaction: the rewrite reads with
+    mergeSchema, so the evolved column lands NULL-filled for
+    pre-evolution rows instead of being silently dropped (the lossy-
+    'lossless' hazard compact_partitions closes the same way). Plain
+    reads of the mixed-schema manifest expose the same option."""
+    root = str(tmp_path / "mt5")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 2 == 0)
+    new = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "ingest_batch", F.lit("b2")
+    )
+    write_manifest_table(spark, old, root, n_files=2)
+    append_manifest_table(spark, new, root, n_files=2)
+
+    merged = read_manifest_table(spark, root, merge_schema=True)
+    assert "ingest_batch" in merged.columns
+    want_tagged = sorted(
+        (r.o_orderkey, r.ingest_batch) for r in merged.collect()
+    )
+
+    rec = compact_manifest_table(spark, root, target_file_bytes=1 << 40)
+    assert rec["files_after"] == 1
+    after = read_manifest_table(spark, root)
+    # one compacted file: the evolved column survives even a plain read
+    assert "ingest_batch" in after.columns
+    assert sorted((r.o_orderkey, r.ingest_batch) for r in after.collect()) == (
+        want_tagged
+    )
+    # pre-evolution rows are NULL-filled, post-evolution rows keep b2
+    tags = {r.ingest_batch for r in after.select("ingest_batch").distinct().collect()}
+    assert tags == {None, "b2"}
+
+
+def test_fully_pruned_scan_returns_empty(spark, tmp_path):
+    """A prune whose range is disjoint from every file's stats plans
+    zero files — a legitimate outcome that must return an EMPTY
+    DataFrame with the table's schema, not raise on a zero-path read."""
+    root = str(tmp_path / "mt6")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_manifest_table(spark, orders, root, n_files=3, cluster_by=["o_orderkey"])
+    out = read_manifest_table(spark, root, prune=("o_orderkey", -10**12, -10**11))
+    assert out.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert out.count() == 0
 
 
 def test_commit_conflict_one_winner_and_retry(spark, tmp_path):
