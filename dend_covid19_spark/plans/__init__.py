@@ -334,6 +334,16 @@ RECHECK: dict[str, int] = {
     # stays in, per the r13 verdict's item-1 budget.
     "decontaminate_ngram_overlap": 13,
     "ngram_novelty_by_batch": 13,
+    # r16, admission reason (a): compact_manifest_table now reads its
+    # rewrite input with mergeSchema (the r15 advice's lossy-'lossless'
+    # hazard), which changes this row's compaction read plan AFTER its
+    # r15 green row. Values are identical by construction on a uniform
+    # schema (mergeSchema is a schema-union, not a value transform) —
+    # verified hash-green builder-side at sf0.01 AND sf0.1; the driver
+    # row re-proves it. Window budget per the r15 verdict item 4: this
+    # recheck takes the fifth new-op slot (4 new rows + 1 recheck), so
+    # all 35 r9-stale names still rotate through the r16 window.
+    "lakehouse_manifest_roundtrip": 15,
 }
 
 

@@ -2282,3 +2282,505 @@ def compaction_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+
+
+# --- lakehouse round 16: pruned scan / racing commit / schema evolution ------
+# The r15 verdict's owed oracle rows on the manifest-commit protocol
+# (operators/lakehouse.py), each proven at the library level in r15
+# (tests/test_lakehouse.py) and put under the cross-engine value hash
+# here. They share one build-and-cache discipline with the other
+# side-effecting rows: the table builds once per (process, sf) into a
+# pid-stamped scratch, every invocation re-runs the metadata asserts
+# (driver-side, cheap), and the digest hashes against a DuckDB oracle
+# over the ORIGINAL events parquet.
+
+_LH_PRUNE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LH_PRUNE_FILES = 8  # clustered width: disjoint event_id ranges
+
+
+@query(
+    "lakehouse_pruned_scan",
+    oracle="""
+WITH b AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events, b
+WHERE event_id BETWEEN b.mn + (b.mx - b.mn) // 10
+                   AND b.mn + (3 * (b.mx - b.mn)) // 10
+GROUP BY event_type
+""",
+)
+def lakehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-pruned manifest SCAN under the value hash (r15 verdict
+    item a — the Iceberg/Delta file-skipping read path, the single
+    biggest 100 TB read lever): the events corpus commits into a
+    manifest table CLUSTERED by event_id (repartitionByRange + sort, so
+    each of the 8 files owns a disjoint key range and the write-time
+    parquet-footer min/max stats recorded in the manifest are
+    selective), and a range query over ~20% of the key span plans via
+    ``read_manifest_table(prune=("event_id", lo, hi))`` — ONLY the
+    files whose recorded stats can match, asserted in-query to be a
+    STRICT subset of the manifest (0 < planned < total). The exact
+    predicate applies on top (pruning is an optimization, never a
+    filter; missing stats widen, never narrow — property-tested in
+    tests/test_lakehouse.py), and the digest hashes against the DuckDB
+    oracle over the FULL original table with the same predicate: a
+    match proves the skipped files contained no matching rows.
+
+    The prune bounds derive from the manifest's own stats (driver-side
+    metadata, no data scan): lo/hi = min + 10%/30% of the recorded key
+    span, integer arithmetic identical on both engines (// floor div).
+
+    Plan/scale: at 10^6 files this is the manifest pruning pass a
+    table format runs before planning — O(manifest) driver metadata
+    buys an O(selectivity) scan; the clustered write is what makes
+    stats disjoint (Delta OPTIMIZE ZORDER / Iceberg sort orders), and
+    the planned-file assertion is the regression guard that the stats
+    actually prune."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LH_PRUNE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _LH_PRUNE_CACHE if k[0] != key[0]]:
+        del _LH_PRUNE_CACHE[k]
+
+    from ..operators.lakehouse import (
+        current_manifest,
+        prune_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("lhprune", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"lhprune_{token}")
+    root = os.path.join(scratch, "table")
+
+    if not os.path.exists(os.path.join(root, "_manifests", "m1.json")):
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_manifest_table(
+            spark, ev, root, n_files=_LH_PRUNE_FILES, cluster_by=["event_id"]
+        )
+
+    m = current_manifest(root)
+    stats = m["file_stats"]
+    assert all(
+        "event_id" in stats.get(f, {}) for f in m["files"]
+    ), "clustered write must record event_id stats for every file"
+    mn = min(stats[f]["event_id"][0] for f in m["files"])
+    mx = max(stats[f]["event_id"][1] for f in m["files"])
+    span = mx - mn
+    lo = mn + span // 10
+    hi = mn + (3 * span) // 10
+
+    planned = prune_files(m, "event_id", lo, hi)
+    assert 0 < len(planned) < len(m["files"]), (
+        f"stats did not prune: planned {len(planned)} of {len(m['files'])} files"
+    )
+
+    out = (
+        read_manifest_table(spark, root, m, prune=("event_id", lo, hi))
+        .where(F.col("event_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+    _LH_PRUNE_CACHE[key] = out
+    return out
+
+
+_LH_RACE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "lakehouse_concurrent_commit",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+""",
+)
+def lakehouse_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency COMMIT race under the value hash (r15
+    verdict item c): two writers race one manifest version and the
+    table still ends exactly-once. The choreography is deterministic
+    at the commit layer: the table starts as v1 (event_id % 3 == 0),
+    writer B stages its files (% 3 == 2) and resolves parent v1, then
+    writer A lands a full append (% 3 == 1) winning v2 — B's commit
+    against the stale parent MUST raise CommitConflict (manifest
+    creation is exclusive: os.link onto the final name), asserted
+    in-query, and B retries COMMIT-ONLY against the winner: its staged
+    files are immutable and verified byte-unchanged between attempts
+    (no data work redone — the append-retry asymmetry vs compaction,
+    whose rewrite is stale on conflict and must redo). The final read
+    hashing equal to the whole corpus proves one winner + retry lost
+    no row and doubled none; resolution authority is the highest
+    committed manifest in the log, so racing pointer writes can never
+    regress the read (tests/test_lakehouse.py pins the library
+    properties).
+
+    Plan/scale: this is the MVCC loop every table format runs — at
+    100 TB the exclusive create becomes a conditional PUT / catalog
+    CAS and a lost append race costs one metadata round-trip, never a
+    data rewrite. Same build-and-cache discipline as the other
+    side-effecting rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LH_RACE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _LH_RACE_CACHE if k[0] != key[0]]:
+        del _LH_RACE_CACHE[k]
+
+    from ..operators.lakehouse import (
+        CommitConflict,
+        _commit,
+        _stage_files,
+        append_manifest_table,
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("lhrace", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"lhrace_{token}")
+    root = os.path.join(scratch, "table")
+
+    if not os.path.exists(os.path.join(root, "_manifests", "m1.json")):
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        base = ev.where(F.col("event_id") % 3 == 0)
+        slice_a = ev.where(F.col("event_id") % 3 == 1)
+        slice_b = ev.where(F.col("event_id") % 3 == 2)
+
+        write_manifest_table(spark, base, root, n_files=2)  # v1
+        # writer B: data work done, parent resolved — then it stalls
+        parent_b = current_manifest(root)
+        files_b, stats_b = _stage_files(spark, slice_b, root, 1)
+        sizes_b = {
+            f: os.path.getsize(os.path.join(root, f)) for f in files_b
+        }
+        # writer A: full append wins v2 while B is stalled
+        append_manifest_table(spark, slice_a, root, n_files=1)
+        # writer B: commit against the stale parent -> MUST conflict
+        saw_conflict = False
+        try:
+            _commit(
+                root,
+                parent_b["files"] + files_b,
+                parent=parent_b["version"],
+                file_stats={**parent_b.get("file_stats", {}), **stats_b},
+            )
+        except CommitConflict:
+            saw_conflict = True
+        assert saw_conflict, "racing commit against a taken version must conflict"
+        # retry is COMMIT-only: staged files byte-unchanged, no re-stage
+        assert sizes_b == {
+            f: os.path.getsize(os.path.join(root, f)) for f in files_b
+        }, "conflict retry must not redo the append's data work"
+        winner = current_manifest(root)
+        assert winner["version"] == 2
+        _commit(
+            root,
+            winner["files"] + files_b,
+            parent=winner["version"],
+            file_stats={**winner.get("file_stats", {}), **stats_b},
+        )
+
+    assert current_manifest(root)["version"] == 3, (
+        "race choreography must end at v3 (v1 + winner's append + retried append)"
+    )
+
+    out = (
+        read_manifest_table(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+    _LH_RACE_CACHE[key] = out
+    return out
+
+
+_LH_EVOLVE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_LH_EVOLVE_CUT = "2024-01-16"  # schema-evolving append boundary
+
+
+@query(
+    "lakehouse_schema_evolution",
+    oracle=f"""
+SELECT CASE WHEN ts IS NOT NULL AND CAST(ts AS DATE) >= DATE '{_LH_EVOLVE_CUT}'
+            THEN 'b2' ELSE 'v1' END AS batch_tag,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY 1, 2
+""",
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION survives compaction, under the value hash (the
+    r16 advice's lossy-'lossless' hazard made executable): the pre-cut
+    events slice commits as v1, the post-cut slice appends WITH a new
+    ``ingest_batch`` column the v1 files don't have (evolving the table
+    schema in place — no rewrite of old files), and compaction rewrites
+    the mixed-schema file set reading with mergeSchema, so the evolved
+    column lands NULL-filled for pre-evolution rows instead of being
+    silently dropped by a single-footer read. The digest groups by
+    ``coalesce(ingest_batch, 'v1')`` — the hash match against the
+    oracle's ts-derived CASE proves every post-cut row kept its tag
+    THROUGH the compaction rewrite and every pre-cut row surfaced as
+    NULL: exactly the column a lossy compaction would zero out.
+    Null-ts rows route to v1 on both sides. Asserted in-query: the
+    chain is v3 (write, evolving append, compaction) and compaction
+    reduced the file count.
+
+    Plan/scale: schema evolution by metadata is how a 100 TB table
+    adds a column (rewriting history is off the table); the mergeSchema
+    read costs one footer per planned file of the compaction input —
+    driver metadata — and nothing for steady-state reads of compacted
+    files, which carry the full schema in one footer. Library pin:
+    tests/test_lakehouse.py::test_compaction_preserves_evolved_schema."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LH_EVOLVE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _LH_EVOLVE_CACHE if k[0] != key[0]]:
+        del _LH_EVOLVE_CACHE[k]
+
+    from ..operators.lakehouse import (
+        compact_manifest_table,
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+        append_manifest_table,
+    )
+
+    token = abs(hash(("lhevolve", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"lhevolve_{token}")
+    root = os.path.join(scratch, "table")
+
+    if not os.path.exists(os.path.join(root, "_manifests", "m1.json")):
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        d = F.to_date("ts")
+        c1 = F.coalesce(d < F.lit(_LH_EVOLVE_CUT).cast("date"), F.lit(True))
+        write_manifest_table(spark, ev.where(c1), root, n_files=3)
+        append_manifest_table(
+            spark,
+            ev.where(~c1).withColumn("ingest_batch", F.lit("b2")),
+            root,
+            n_files=3,
+        )
+        rec = compact_manifest_table(spark, root)
+        assert rec["files_after"] < rec["files_before"], rec
+
+    assert current_manifest(root)["version"] == 3
+
+    latest = read_manifest_table(spark, root)
+    assert "ingest_batch" in latest.columns, (
+        "compaction dropped the evolved column (single-footer read?)"
+    )
+    out = latest.groupBy(
+        F.coalesce(F.col("ingest_batch"), F.lit("v1")).alias("batch_tag"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )
+    _LH_EVOLVE_CACHE[key] = out
+    return out
+
+
+# --- streaming compaction sink restart (round 16) -----------------------------
+
+_STREAM_COMPACT_RESTART_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# restart choreography boundaries: two chronological batches drain and
+# compact, then a LATE file (everything >= _RESTART_CUT2 plus the odd
+# half of _RESTART_OVERLAP_DAY, a day the first drain already
+# compacted) arrives and a NEW query on the SAME checkpoint resumes
+_RESTART_CUT1 = "2024-01-11"
+_RESTART_CUT2 = "2024-01-21"
+_RESTART_OVERLAP_DAY = "2024-01-20"
+
+
+@query(
+    "streaming_compaction_restart_executed",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_compaction_restart_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance keeps pace ACROSS A RESTART, executed under the
+    value hash (r15 verdict item b; the 15th executed streaming row):
+    two chronologically staged micro-batches drain through
+    run_partitioned_sink_with_compaction and compact their days, the
+    drain COMPLETES, then a late file arrives — everything past
+    2024-01-21 plus the odd-event_id half of 2024-01-20, a day the
+    first drain already compacted — and a NEW streaming query on the
+    SAME checkpoint resumes with exactly one more micro-batch.
+    Asserted in-query on a fresh drain: the restart batch's compaction
+    manifest names ONLY the late file's days (already-maintained
+    history is never re-listed — the O(touched) listing holds across
+    restarts, not just within one query), every touched day rewrites
+    to one file, and the re-touched overlap day re-compacts. The
+    digest over the restarted sink hashing equal to the batch oracle
+    over the ORIGINAL events proves resume-from-checkpoint ingested
+    the late file exactly once (n_events == n_distinct_events catches
+    both replay and loss).
+
+    Foundation: tests/test_streaming.py::
+    test_partitioned_sink_compaction_resumes_incrementally (the r15
+    library pin). Null-ts rows route to the first batch (coalesce) so
+    the three staged files PARTITION the corpus exactly on adversarial
+    data.
+
+    Plan/scale: restart is the normal state of a long-lived ingest
+    (deploys, failures) — checkpoint resume plus touched-day-scoped
+    maintenance means a 100 TB sink's compaction debt stays O(one
+    trigger) through any number of restarts; nothing in the resume
+    path lists history. Shuffle width scoped to 8 around the drains.
+    Same drain-and-cache discipline as the other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STREAM_COMPACT_RESTART_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _STREAM_COMPACT_RESTART_CACHE if k[0] != key[0]]:
+        del _STREAM_COMPACT_RESTART_CACHE[k]
+
+    import time as _time
+
+    from ..streaming.daily import run_partitioned_sink_with_compaction
+
+    token = abs(hash(("compactrestart", os.path.abspath(sf_dir), os.getpid()))) % (
+        1 << 32
+    )
+    scratch = _scratch(f"streamcres_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    out = os.path.join(scratch, "sink")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    late = F.coalesce(
+        (d >= F.lit(_RESTART_CUT2).cast("date"))
+        | (
+            (d == F.lit(_RESTART_OVERLAP_DAY).cast("date"))
+            & (F.col("event_id") % 2 == 1)
+        ),
+        F.lit(False),
+    )
+    early1 = ~late & F.coalesce(d < F.lit(_RESTART_CUT1).cast("date"), F.lit(True))
+    chunks = [ev.where(early1), ev.where(~late & ~early1), ev.where(late)]
+
+    fresh = not os.path.exists(ckpt)
+    now = _time.time()
+    # batches one and two stage BEFORE the first drain; the late file
+    # only after it completes (that is the restart under test)
+    for i in (0, 1):
+        _stage_single_parquet(
+            chunks[i], os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+        t = now - 1000 + i * 100
+        os.utime(os.path.join(src, f"p{i}.parquet"), (t, t))
+
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_partitioned_sink_with_compaction(
+            spark, src, out, ckpt,
+            max_files=0, manifests=manifests, max_files_per_trigger=1,
+        )
+        if fresh:
+            assert len(manifests) == 2, f"first drain: {len(manifests)} batches"
+        # the late file arrives AFTER the completed drain; a NEW query
+        # on the SAME checkpoint resumes (re-entry with a committed
+        # checkpoint stages it too, then both drains are no-ops)
+        _stage_single_parquet(
+            chunks[2], os.path.join(scratch, "stage2"), os.path.join(src, "p2.parquet")
+        )
+        os.utime(os.path.join(src, "p2.parquet"), (now, now))
+        run_partitioned_sink_with_compaction(
+            spark, src, out, ckpt,
+            max_files=0, manifests=manifests, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    if fresh:
+        assert len(manifests) == 3, f"restart must add exactly one batch: {manifests}"
+        late_days = {
+            f"day={r.d}"
+            for r in chunks[2].select(d.alias("d")).distinct().collect()
+            if r.d is not None
+        }
+        _bid, late_manifest = manifests[-1]
+        assert set(late_manifest) == late_days, (
+            "restart batch re-listed maintained history: "
+            f"{sorted(set(late_manifest) ^ late_days)}"
+        )
+        assert all(
+            rec["rewritten"] and rec["files_after"] == 1
+            for rec in late_manifest.values()
+        ), late_manifest
+        assert f"day={_RESTART_OVERLAP_DAY}" in late_manifest, (
+            "the re-touched overlap day must re-compact after the restart"
+        )
+
+    out_df = (
+        spark.read.parquet(out)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+    _STREAM_COMPACT_RESTART_CACHE[key] = out_df
+    return out_df
