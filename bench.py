@@ -121,6 +121,10 @@ HEADLINE = [
     # crawl-batch n-gram novelty curve over the shared decon scratch
     "ann_ivf_cell_probe",
     "ngram_novelty_by_batch",
+    # round 16 addition: the stats-pruned manifest scan (the
+    # Iceberg/Delta file-skipping read path — steady-state cost is the
+    # pruned read; the table builds once per process)
+    "lakehouse_pruned_scan",
 ]
 
 

@@ -249,6 +249,24 @@ def generate(seed: int, out: str) -> None:
     ets[43], users[43], etypes[43] = cut_lo, 23, ETYPES[3]
     ets[44], users[44], etypes[44] = win_end - 1, 23, ETYPES[4]  # last us of window
     ets[45], users[45], etypes[45] = win_end, 23, ETYPES[4]  # first us past
+    # Restart-sink boundaries (r16): streaming_compaction_restart_
+    # executed routes everything >= 2024-01-21 plus the ODD half of
+    # 2024-01-20 to the LATE file that arrives after the first drain
+    # completes. 46 (even) and 47 (odd) sit at the overlap day's first
+    # instant — the same microsecond splits across the RESTART boundary
+    # by parity, so the resumed query re-compacts a day the completed
+    # drain already compacted on every seed; 48 (even -> pre-restart)
+    # at the overlap day's last microsecond; 49 at cut2's first instant
+    # (routed late by DATE — parity is irrelevant past the overlap day).
+    # The pruned-scan row needs no planting: event_ids are dense
+    # 0..N-1, so rows sit exactly AT its lo/hi bounds (59/179 here) and
+    # BETWEEN-inclusivity is exercised on every seed.
+    r16_lo = base_ev + 19 * DAY_US  # 2024-01-20 00:00:00
+    r16_cut = base_ev + 20 * DAY_US  # 2024-01-21 00:00:00
+    ets[46], users[46], etypes[46] = r16_lo, 24, ETYPES[1]
+    ets[47], users[47], etypes[47] = r16_lo, 24, ETYPES[3]
+    ets[48], users[48], etypes[48] = r16_cut - 1, 24, ETYPES[4]  # last us of 01-20
+    ets[49], users[49], etypes[49] = r16_cut, 24, ETYPES[2]  # first us of the cut
     w("events", pa.table({
         "event_id": pa.array(range(N_EVENTS), pa.int64()),
         "ts": pa.array(ets, pa.timestamp("us")),

@@ -270,3 +270,102 @@ def test_prune_files_soundness_property():
                 assert n in kept, (n, rs, lo, hi, stats[n])
 
     check()
+
+
+def test_stripped_stats_widen_into_executed_scan(spark, tmp_path):
+    """A file whose manifest entry LOST its stats (older writer version,
+    stats collection disabled, unsupported type) must widen INTO the
+    planned set — executed end-to-end: the widened pruned scan plus the
+    exact predicate still equals the full scan plus the predicate, and
+    the stats-stripped file is provably in the plan."""
+    from dend_covid19_spark.operators.lakehouse import prune_files
+
+    root = str(tmp_path / "mt7")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_manifest_table(spark, orders, root, n_files=4, cluster_by=["o_orderkey"])
+    m = current_manifest(root)
+    lo_key = min(r.o_orderkey for r in read_manifest_table(spark, root).collect())
+    rng = (lo_key, lo_key + 5)
+
+    # the file with the HIGHEST keys cannot overlap the low range —
+    # pruned out while its stats exist
+    far = max(m["files"], key=lambda f: m["file_stats"][f]["o_orderkey"][1])
+    assert far not in prune_files(m, "o_orderkey", *rng)
+
+    stripped = {
+        "version": m["version"],
+        "files": m["files"],
+        "file_stats": {f: (
+            {k: v for k, v in s.items() if k != "o_orderkey"} if f == far else s
+        ) for f, s in m["file_stats"].items()},
+    }
+    planned = prune_files(stripped, "o_orderkey", *rng)
+    assert far in planned, "missing stats must widen, never narrow"
+
+    got = _digest(
+        read_manifest_table(spark, root, stripped, prune=("o_orderkey", *rng))
+        .where(F.col("o_orderkey").between(*rng))
+    )
+    want = _digest(
+        read_manifest_table(spark, root).where(F.col("o_orderkey").between(*rng))
+    )
+    assert got == want and got
+
+
+def test_randomized_commit_interleavings_exactly_once(spark, tmp_path):
+    """Seeded random MVCC choreographies: several writers stage disjoint
+    slices, then attempt commits in a random interleaving where each
+    writer resolved its parent at a random earlier point (arbitrarily
+    stale). Whatever the schedule, every writer lands via the
+    conflict-retry loop and the final table is the exact union — no
+    slice lost, none doubled, version == 1 + n_writers."""
+    import random
+
+    from dend_covid19_spark.operators.lakehouse import (
+        CommitConflict,
+        _commit,
+        _stage_files,
+    )
+
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_writers = 4
+    for seed in (16, 163, 1663):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"race{seed}")
+        write_manifest_table(
+            spark, orders.where(F.col("o_orderkey") % (n_writers + 1) == 0),
+            root, n_files=1,
+        )
+        staged = []
+        for w in range(n_writers):
+            files, stats = _stage_files(
+                spark,
+                orders.where(F.col("o_orderkey") % (n_writers + 1) == w + 1),
+                root, 1,
+            )
+            # each writer pinned its parent BEFORE any of this round's
+            # commits — maximal staleness for later committers
+            staged.append((files, stats, current_manifest(root)))
+        order = list(range(n_writers))
+        rng.shuffle(order)
+        for w in order:
+            files, stats, parent = staged[w]
+            for _ in range(n_writers + 1):
+                try:
+                    _commit(
+                        root, parent["files"] + files,
+                        parent=parent["version"],
+                        file_stats={**parent.get("file_stats", {}), **stats},
+                    )
+                    break
+                except CommitConflict:
+                    parent = current_manifest(root)
+            else:
+                raise AssertionError(f"writer {w} never landed (seed {seed})")
+        final = current_manifest(root)
+        assert final["version"] == 1 + n_writers, (seed, final["version"])
+        assert _digest(read_manifest_table(spark, root)) == _digest(orders), seed
