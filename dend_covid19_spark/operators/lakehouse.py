@@ -113,7 +113,11 @@ def _publish_pointer(root: str, manifest_name: str) -> None:
 
 
 def _commit(
-    root: str, files: list[str], parent: int, file_stats: dict | None = None
+    root: str,
+    files: list[str],
+    parent: int,
+    file_stats: dict | None = None,
+    txns: dict | None = None,
 ) -> str:
     """Commit manifest m{parent+1} with EXCLUSIVE creation (os.link of
     a temp onto the final name fails atomically if the version already
@@ -121,7 +125,13 @@ def _commit(
     same parent produce exactly one winner; the loser gets
     CommitConflict and must retry against the winner's manifest. This
     is the minimal local form of a conditional PUT / rename-if-absent
-    commit on an object store or a catalog CAS."""
+    commit on an object store or a catalog CAS.
+
+    ``txns`` is the idempotent-writer watermark map (app_id -> highest
+    committed batch_id, Delta's txnAppId/txnVersion shape): every
+    commit carries the full map forward so a replayed batch can detect
+    its own prior commit no matter how many appends/compactions landed
+    in between."""
     version = parent + 1
     name = f"m{version}.json"
     mdir = os.path.join(root, _MANIFESTS)
@@ -133,6 +143,7 @@ def _commit(
                 "version": version,
                 "files": sorted(files),
                 "file_stats": file_stats or {},
+                "txns": txns or {},
             },
             fh,
         )
@@ -281,22 +292,46 @@ def append_manifest_table(
     root: str,
     n_files: int = 1,
     cluster_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> str:
     """Append ``df``: new data files + a manifest that is old ∪ new —
     the incremental-ingest commit (no existing file touched). On
     CommitConflict the loser re-resolves the winner's manifest and
     retries the COMMIT only — its staged files are already immutable
     and unreferenced, so no data work is redone (the optimistic-
-    concurrency loop every table format runs)."""
+    concurrency loop every table format runs).
+
+    ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT per writer
+    (Delta's txnAppId/txnVersion): if the current manifest already
+    records a batch_id >= this one for app_id, the append is a
+    replay — nothing commits and the current manifest name returns.
+    This is what upgrades an at-least-once micro-batch sink to
+    exactly-once: a retried foreachBatch finds its own watermark and
+    skips. Batch ids per app must be monotonically increasing (the
+    streaming checkpoint's contract). A replay detected AFTER staging
+    (a concurrent duplicate of ourselves won the race) leaves orphaned
+    staged files for vacuum — data-loss-free either way."""
+    if txn is not None:
+        app_id, batch_id = txn
+        cur = current_manifest(root)
+        if cur.get("txns", {}).get(app_id, -1) >= batch_id:
+            return f"m{cur['version']}.json"
     new, new_stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
     for _ in range(_COMMIT_RETRIES):
         cur = current_manifest(root)
+        txns = dict(cur.get("txns", {}))
+        if txn is not None:
+            app_id, batch_id = txn
+            if txns.get(app_id, -1) >= batch_id:
+                return f"m{cur['version']}.json"  # raced replay: skip
+            txns[app_id] = batch_id
         try:
             return _commit(
                 root,
                 cur["files"] + new,
                 parent=cur["version"],
                 file_stats={**cur.get("file_stats", {}), **new_stats},
+                txns=txns,
             )
         except CommitConflict:
             continue
@@ -353,8 +388,27 @@ def read_manifest_table(
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
+def files_for_values(manifest: dict, column: str, values) -> list[str]:
+    """Files whose recorded stats can contain ANY of ``values`` for
+    ``column`` — the partition-membership resolution of the convergence
+    design (the per-file min/max doubles as partition metadata when
+    ingest clusters by the partition column: a micro-batch's files then
+    carry exactly its touched values). Missing stats widen, never
+    narrow, same soundness rule as prune_files."""
+    keep = []
+    stats = manifest.get("file_stats", {})
+    for f in manifest["files"]:
+        mm = stats.get(f, {}).get(column)
+        if mm is None or any(mm[0] <= v <= mm[1] for v in values):
+            keep.append(f)
+    return keep
+
+
 def compact_manifest_table(
-    spark: SparkSession, root: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    only_values: tuple | None = None,
 ) -> dict:
     """OPTIMIZE under the commit protocol: rewrite the current file set
     into ~target-size NEW files and commit a manifest referencing only
@@ -378,23 +432,63 @@ def compact_manifest_table(
     default single-footer read would silently drop that column from
     every file that had it — a lossy "lossless" compaction (the same
     hazard compact_partitions closes the same way). One footer per
-    planned file, driver-side metadata only."""
+    planned file, driver-side metadata only.
+
+    ``only_values=(column, values)`` is the INCREMENTAL OPTIMIZE of the
+    convergence design — compact_partitions(only_partitions=...) with a
+    commit instead of a swap: only the files whose recorded stats can
+    contain one of the given values (a micro-batch's touched days) are
+    rewritten — clustered back on ``column`` so the rewritten files
+    stay selective — and every untouched file carries over into the new
+    manifest verbatim, its stats entry included. Data work is O(touched
+    bytes), never O(table); membership resolution is O(manifest) driver
+    metadata (files_for_values); pinned readers are unaffected — no
+    per-directory swap window. Committed writer watermarks (``txns``)
+    carry forward so a replayed ingest batch still detects itself after
+    any number of compactions."""
     for _ in range(_COMMIT_RETRIES):
         cur = current_manifest(root)
-        total = sum(
-            os.path.getsize(os.path.join(root, f)) for f in cur["files"]
-        )
+        if only_values is not None:
+            col, values = only_values
+            touched = files_for_values(cur, col, values)
+            carried = [f for f in cur["files"] if f not in set(touched)]
+            cluster = [col]
+        else:
+            touched, carried, cluster = list(cur["files"]), [], None
+        if not touched:
+            return {
+                "manifest": f"m{cur['version']}.json",
+                "files_before": len(cur["files"]),
+                "files_after": len(cur["files"]),
+                "files_rewritten": 0,
+            }
+        total = sum(os.path.getsize(os.path.join(root, f)) for f in touched)
         n_out = max(1, -(-total // target_file_bytes))
-        df = read_manifest_table(spark, root, cur, merge_schema=True)
-        new, stats = _stage_files(spark, df, root, n_out, shuffle=False)
+        df = read_manifest_table(
+            spark, root, {**cur, "files": touched}, merge_schema=True
+        )
+        new, stats = _stage_files(
+            spark, df, root, n_out, shuffle=cluster is not None, cluster_by=cluster
+        )
+        old_stats = cur.get("file_stats", {})
         try:
-            name = _commit(root, new, parent=cur["version"], file_stats=stats)
+            name = _commit(
+                root,
+                carried + new,
+                parent=cur["version"],
+                file_stats={
+                    **{f: old_stats[f] for f in carried if f in old_stats},
+                    **stats,
+                },
+                txns=cur.get("txns", {}),
+            )
         except CommitConflict:
             continue
         return {
             "manifest": name,
             "files_before": len(cur["files"]),
-            "files_after": len(new),
+            "files_after": len(carried) + len(new),
+            "files_rewritten": len(touched),
         }
     raise CommitConflict(f"compaction lost {_COMMIT_RETRIES} commit races under {root}")
 

@@ -370,6 +370,98 @@ def run_partitioned_sink_with_compaction(
     q.awaitTermination()
 
 
+def run_manifest_sink_with_compaction(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str = "manifest_sink",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    manifests: list | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The convergence sink (r16 design note, r17 candidate): the
+    day-partitioned ingest committed through the MANIFEST protocol
+    instead of the directory swap — one maintenance story, plus the
+    two guarantees foreachBatch alone cannot give:
+
+    - EXACTLY-ONCE: each batch appends via ``append_manifest_table``
+      with ``txn=(app_id, batch_id)``; a replayed batch (foreachBatch
+      is at-least-once) finds its own committed watermark and skips —
+      the Delta txnAppId/txnVersion move, so no downstream dedup and
+      no batch_id-keyed directory convention.
+    - MAINTENANCE DURING READS: each batch then runs the incremental
+      OPTIMIZE scoped to exactly the day values it touched
+      (``compact_manifest_table(only_values=("day", touched))``) —
+      O(touched bytes) data work like the swap sink, but committed as
+      a pointer flip: pinned readers keep their files, no per-dir
+      single-writer window.
+
+    Ingest clusters each batch's files by ``day`` so the recorded
+    footer stats double as partition metadata (files_for_values
+    resolves touched membership from the manifest alone). ``manifests``
+    collects (batch_id, optimize-record) per batch for audits/tests.
+    The table must exist (write_manifest_table) — the streaming query
+    only ever appends and compacts."""
+    from ..operators.lakehouse import append_manifest_table, compact_manifest_table
+
+    events = read_events_stream(spark, src_dir, max_files_per_trigger)
+    with_day = events.withColumn("day", F.to_date("ts")).select(
+        "event_id", "user_id", "event_type", "value", "day"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            before = _lh_current_version(table_root)
+            append_manifest_table(
+                spark,
+                batch_df,
+                table_root,
+                n_files=1,
+                cluster_by=["day"],
+                txn=(app_id, batch_id),
+            )
+            if _lh_current_version(table_root) == before:
+                return  # replayed batch: its append already committed
+            touched = sorted(
+                r.day.isoformat()
+                for r in batch_df.select("day").distinct().collect()
+                if r.day is not None
+            )
+            # an all-null-day batch touched no day value: nothing to
+            # maintain (a bare only_values=None would compact the TABLE)
+            rec = (
+                compact_manifest_table(
+                    spark,
+                    table_root,
+                    target_file_bytes=target_file_bytes,
+                    only_values=("day", touched),
+                )
+                if touched
+                else None
+            )
+            if manifests is not None:
+                manifests.append((batch_id, rec))
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        with_day.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _lh_current_version(root: str) -> int:
+    from ..operators.lakehouse import current_manifest
+
+    return current_manifest(root)["version"]
+
+
 def _latest_snapshot(target_dir: str) -> str | None:
     """Newest COMMITTED snapshot version under ``target_dir`` (highest
     v{batch_id} carrying a _SUCCESS marker), or None before the first

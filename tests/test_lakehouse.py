@@ -369,3 +369,97 @@ def test_randomized_commit_interleavings_exactly_once(spark, tmp_path):
         final = current_manifest(root)
         assert final["version"] == 1 + n_writers, (seed, final["version"])
         assert _digest(read_manifest_table(spark, root)) == _digest(orders), seed
+
+
+def test_incremental_optimize_rewrites_only_named_values(spark, tmp_path):
+    """compact_manifest_table(only_values=...) is the convergence
+    OPTIMIZE: only the files whose recorded stats can contain a touched
+    value are rewritten; every other file carries over verbatim (same
+    name, size, mtime — never re-read), content parity holds, and the
+    carried files keep their stats entries in the new manifest."""
+    from dend_covid19_spark.operators.lakehouse import files_for_values
+
+    root = str(tmp_path / "mt8")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    base = ev.where(F.col("day") <= F.lit("2024-01-10").cast("date"))
+    batch = ev.where(F.col("day").isin("2024-01-11", "2024-01-12", "2024-01-13"))
+
+    write_manifest_table(spark, base, root, n_files=2, cluster_by=["day"])
+    base_files = set(current_manifest(root)["files"])
+    append_manifest_table(spark, batch, root, n_files=3, cluster_by=["day"])
+    m = current_manifest(root)
+    batch_files = set(m["files"]) - base_files
+    assert len(base_files) >= 2 and len(batch_files) >= 2, m["files"]
+
+    def inv(files):
+        return {
+            f: (os.path.getsize(os.path.join(root, f)),
+                os.path.getmtime(os.path.join(root, f)))
+            for f in files
+        }
+
+    touched_vals = ["2024-01-11", "2024-01-12", "2024-01-13"]
+    touched = files_for_values(m, "day", touched_vals)
+    carried = [f for f in m["files"] if f not in set(touched)]
+    # the stats resolve touched membership exactly: the batch's files
+    # and only them (base days 01..10 cannot contain 11..13)
+    assert set(touched) == batch_files and set(carried) == base_files
+    carried_before = inv(carried)
+    want = sorted(map(tuple, read_manifest_table(spark, root).collect()))
+
+    rec = compact_manifest_table(
+        spark, root, target_file_bytes=1 << 40, only_values=("day", touched_vals)
+    )
+    assert rec["files_rewritten"] == len(batch_files)
+    assert rec["files_after"] == len(base_files) + 1  # carried + 1 rewritten
+
+    m2 = current_manifest(root)
+    assert set(carried) < set(m2["files"])
+    assert inv(carried) == carried_before, "untouched files were rewritten"
+    for f in carried:
+        assert m2["file_stats"][f] == m["file_stats"][f]
+    assert sorted(map(tuple, read_manifest_table(spark, root).collect())) == want
+    # a touched set matching nothing is a no-op commit-free pass
+    rec2 = compact_manifest_table(
+        spark, root, only_values=("day", ["1999-01-01"])
+    )
+    assert rec2["files_rewritten"] == 0
+    assert current_manifest(root)["version"] == m2["version"]
+
+
+def test_txn_append_idempotent_across_compaction(spark, tmp_path):
+    """txn=(app_id, batch_id) makes appends replay-safe: a duplicate
+    batch commits nothing, the watermark survives compaction (txns
+    carry forward), and only a HIGHER batch_id lands."""
+    root = str(tmp_path / "mt9")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b0 = orders.where(F.col("o_orderkey") % 3 == 0)
+    b1 = orders.where(F.col("o_orderkey") % 3 == 1)
+
+    write_manifest_table(spark, b0, root, n_files=1)
+    append_manifest_table(spark, b1, root, n_files=1, txn=("sink", 0))
+    v_after = current_manifest(root)["version"]
+    want = _digest(read_manifest_table(spark, root))
+
+    # replay of batch 0: no commit, no duplicate rows
+    append_manifest_table(spark, b1, root, n_files=1, txn=("sink", 0))
+    assert current_manifest(root)["version"] == v_after
+    assert _digest(read_manifest_table(spark, root)) == want
+
+    # the watermark survives a full compaction
+    compact_manifest_table(spark, root, target_file_bytes=1 << 40)
+    append_manifest_table(spark, b1, root, n_files=1, txn=("sink", 0))
+    m = current_manifest(root)
+    assert m["version"] == v_after + 1  # compaction only
+    assert _digest(read_manifest_table(spark, root)) == want
+    assert m["txns"] == {"sink": 0}
+
+    # a higher batch id is new work and lands
+    b2 = orders.where(F.col("o_orderkey") % 3 == 2)
+    append_manifest_table(spark, b2, root, n_files=1, txn=("sink", 1))
+    assert _digest(read_manifest_table(spark, root)) == _digest(orders)
+    assert current_manifest(root)["txns"] == {"sink": 1}

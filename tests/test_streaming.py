@@ -710,3 +710,104 @@ def test_partitioned_sink_compaction_resumes_incrementally(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
     ).collect()[0]
     assert (got.n, got.s) == (want.n, want.s)
+
+
+def test_manifest_sink_exactly_once_and_scoped_optimize(spark, tmp_path):
+    """The convergence sink (r16 design note): micro-batches commit
+    through the manifest protocol — each batch appends with a
+    txn=(app, batch_id) watermark and runs the incremental OPTIMIZE
+    scoped to its touched days. Proven here: (a) sink == batch read;
+    (b) bootstrap files never rewritten by batch maintenance (their
+    days are untouched); (c) a FULL replay — same source, fresh
+    checkpoint, so foreachBatch re-delivers every batch — commits
+    NOTHING (the txn watermarks survive in the manifest): the
+    exactly-once property foreachBatch alone cannot give."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.lakehouse import (
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import (
+        run_manifest_sink_with_compaction,
+    )
+
+    src = tmp_path / "ms_src"
+    src.mkdir()
+    root = str(tmp_path / "ms_table")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    cut0, cut1 = "2024-01-08", "2024-01-15"
+    d = F.col("day")
+    bootstrap = ev.where(d < cut0)
+    chunks = [
+        ev.where((d >= cut0) & (d < cut1)),
+        ev.where(d >= cut1),
+    ]
+    write_manifest_table(spark, bootstrap, root, n_files=2, cluster_by=["day"])
+    boot_files = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in current_manifest(root)["files"]
+    }
+
+    src_ev = tmp_path / "ms_src_ev"
+    src_ev.mkdir()
+    evraw = load_table(spark, "events", SF_DIR)
+    draw = F.to_date("ts")
+    raw_chunks = [
+        evraw.where((draw >= cut0) & (draw < cut1)),
+        evraw.where(draw >= cut1),
+    ]
+    now = time.time()
+    for i, chunk in enumerate(raw_chunks):
+        _stage_single_parquet(
+            chunk, str(tmp_path / f"ms_stage{i}"), str(src_ev / f"p{i}.parquet")
+        )
+        os.utime(src_ev / f"p{i}.parquet", (now - 100 + i * 10, now - 100 + i * 10))
+
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, str(src_ev), root, str(tmp_path / "ms_ckpt"),
+            manifests=manifests, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    assert len(manifests) == 2
+    assert all(rec is not None and rec["files_rewritten"] >= 1 for _, rec in manifests)
+
+    def digest(df):
+        return sorted(map(tuple, df.select(ev.columns).collect()))
+
+    want = digest(ev)
+    assert digest(read_manifest_table(spark, root)) == want
+    # bootstrap files: carried through every batch's scoped OPTIMIZE
+    m = current_manifest(root)
+    for f, mt in boot_files.items():
+        assert f in set(m["files"]) and os.path.getmtime(
+            os.path.join(root, f)
+        ) == mt, f"bootstrap file rewritten by scoped maintenance: {f}"
+    assert m["txns"] == {"manifest_sink": 1}
+
+    # FULL replay: fresh checkpoint re-delivers batches 0 and 1; the
+    # committed watermarks make both appends no-ops — nothing commits
+    v_before = m["version"]
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, str(src_ev), root, str(tmp_path / "ms_ckpt_replay"),
+            manifests=manifests, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    assert current_manifest(root)["version"] == v_before
+    assert digest(read_manifest_table(spark, root)) == want
