@@ -74,6 +74,44 @@ def read_partitioned(
     return df
 
 
+def read_table_auto(spark: SparkSession, path: str, **eq_filters) -> DataFrame:
+    """One reader across BOTH table layouts (the convergence design's
+    migration shim, operators/lakehouse.py module docstring item 4):
+    if ``path`` carries a manifest log (``_manifests/``), plan from the
+    pinned current manifest — no directory listing, concurrent
+    maintenance invisible, equality filters pruned via the manifest's
+    per-file stats (files_for_values); otherwise fall back to the
+    hive-layout ``read_partitioned`` where Catalyst prunes directories.
+    Callers migrate a table from directory-swap to manifest-commit
+    maintenance without a code change on the read side.
+
+    Single-value stats pruning is exact for a clustered layout and
+    sound for any other (missing/wide stats widen); the exact predicate
+    is still applied on top on both branches."""
+    import os as _os
+
+    if not _os.path.isdir(_os.path.join(path, "_manifests")):
+        return read_partitioned(spark, path, **eq_filters)
+
+    from ..operators.lakehouse import current_manifest, files_for_values
+
+    m = current_manifest(path)
+    files = m["files"]
+    for col, val in eq_filters.items():
+        keep = set(files_for_values({**m, "files": files}, col, [val]))
+        files = [f for f in files if f in keep]
+    df = (
+        spark.read.parquet(*[_os.path.join(path, f) for f in files])
+        if files
+        else spark.read.parquet(
+            *[_os.path.join(path, f) for f in m["files"][:1]]
+        ).limit(0)
+    )
+    for col, val in eq_filters.items():
+        df = df.where(F.col(col) == F.lit(val))
+    return df
+
+
 # RFC-4180 quoting, pinned identically on both CSV sides: quotes escape
 # by doubling, so text containing quotes/commas/newlines survives the
 # round trip with any standards-compliant third party.

@@ -463,3 +463,43 @@ def test_txn_append_idempotent_across_compaction(spark, tmp_path):
     append_manifest_table(spark, b2, root, n_files=1, txn=("sink", 1))
     assert _digest(read_manifest_table(spark, root)) == _digest(orders)
     assert current_manifest(root)["txns"] == {"sink": 1}
+
+
+def test_read_table_auto_resolves_both_layouts(spark, tmp_path):
+    """The migration shim: one reader call serves a hive-partitioned
+    directory (Catalyst dir pruning) and a manifest table (pinned file
+    list + stats pruning) identically — including the equality-filter
+    path and the filter-matches-nothing empty result."""
+    from dend_covid19_spark.sources.readers import read_table_auto
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value", F.to_date("ts").cast("string").alias("day")
+    )
+
+    hive = str(tmp_path / "hive")
+    ev.write.partitionBy("day").parquet(hive)
+    mroot = str(tmp_path / "manifested")
+    write_manifest_table(spark, ev, mroot, n_files=4, cluster_by=["day"])
+
+    def dg(df):
+        return sorted(
+            (r.event_id, r.user_id, float(r.value), str(r.day)) for r in df.collect()
+        )
+
+    want_all = dg(ev)
+    assert dg(read_table_auto(spark, hive)) == want_all
+    assert dg(read_table_auto(spark, mroot)) == want_all
+
+    want_day = dg(ev.where(F.col("day") == "2024-01-05"))
+    assert want_day
+    assert dg(read_table_auto(spark, hive, day="2024-01-05")) == want_day
+    assert dg(read_table_auto(spark, mroot, day="2024-01-05")) == want_day
+    # stats actually pruned the clustered manifest read
+    from dend_covid19_spark.operators.lakehouse import files_for_values
+
+    m = current_manifest(mroot)
+    assert 0 < len(files_for_values(m, "day", ["2024-01-05"])) < len(m["files"])
+    # filter matching nothing: empty frame with the table schema, both
+    assert read_table_auto(spark, hive, day="1999-01-01").count() == 0
+    out = read_table_auto(spark, mroot, day="1999-01-01")
+    assert out.count() == 0 and set(ev.columns) <= set(out.columns)
