@@ -582,6 +582,61 @@ def funnel_skew_shape(spark, k: int):
     return funnel_stages_over(hot)
 
 
+_PRUNE_ROOTS: dict[int, str] = {}
+
+
+def pruned_scan_shape(spark, k: int):
+    """The stats-pruned manifest read's scale story measured directly:
+    a k x events manifest table clustered by event_id (8k files, each a
+    disjoint key range) probed over a FIXED 20% key-span window. The
+    manifest prune keeps the planned file fraction ~constant (asserted:
+    selectivity holds at every k), so wall time should track selected
+    bytes (at-worst-linear in k) while planning stays O(manifest) driver
+    metadata — the Iceberg/Delta file-skipping promise. Unlike the
+    in-plan shapes this one stages real files (pruning is metadata over
+    files); staging happens on the builder's FIRST call per k — the
+    probe's stage pass — so the timed pass hits the cache."""
+    import tempfile
+
+    from dend_covid19_spark.operators.lakehouse import (
+        current_manifest,
+        prune_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    root = _PRUNE_ROOTS.get(k)
+    if root is None:
+        root = os.path.join(
+            tempfile.mkdtemp(prefix=f"probe_prune_x{k}_"), "t"
+        )
+        ev = replicate(
+            load_table(spark, "events", SF_DIR).select(
+                "event_id", "event_type", "value"
+            ),
+            k,
+            ("event_id",),
+        )
+        write_manifest_table(spark, ev, root, n_files=8 * k, cluster_by=["event_id"])
+        _PRUNE_ROOTS[k] = root
+
+    m = current_manifest(root)
+    stats = m["file_stats"]
+    mn = min(stats[f]["event_id"][0] for f in m["files"])
+    mx = max(stats[f]["event_id"][1] for f in m["files"])
+    span = mx - mn
+    lo, hi = mn + span // 10, mn + (3 * span) // 10
+    planned = prune_files(m, "event_id", lo, hi)
+    frac = len(planned) / len(m["files"])
+    assert frac < 0.45, f"selectivity lost at x{k}: {frac:.2f}"
+    return (
+        read_manifest_table(spark, root, m, prune=("event_id", lo, hi))
+        .where(F.col("event_id").between(lo, hi))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -605,9 +660,12 @@ def main() -> None:
         ("span_merge_shape", span_merge_shape),
         ("funnel_shape", funnel_shape),
         ("funnel_skew_shape", funnel_skew_shape),
+        ("pruned_scan_shape", pruned_scan_shape),
     ):
         if only and name not in only:
             continue
+        for k in MULTIPLIERS:  # stage pass: shapes that materialize
+            builder(spark, k)  # files build here, outside the timing
         builder(spark, 1).write.format("noop").mode("overwrite").save()  # codegen warm
         per_k: dict[str, float] = {}
         for k in MULTIPLIERS:

@@ -148,3 +148,24 @@ def test_round16_rows_are_reentrant(spark):
         first = _digest(fn(spark, SF_DIR))
         cache.clear()
         assert _digest(fn(spark, SF_DIR)) == first, fn.__name__
+
+
+def test_pruned_scan_plan_pushes_predicate_to_scan(spark):
+    """Plan-level pin: the exact range predicate reaches the parquet
+    scan (PushedFilters carries both event_id bounds), so the pruned
+    file list AND row-group skipping compose — the two-level skip a
+    100 TB selective read needs."""
+    import re
+
+    from dend_covid19_spark.plans.ingest import lakehouse_pruned_scan
+
+    df = lakehouse_pruned_scan(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in plan\n{plan}"
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(event_id" in pushed, pushed
+    assert "LessThanOrEqual(event_id" in pushed, pushed
