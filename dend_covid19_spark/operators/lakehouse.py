@@ -409,6 +409,7 @@ def compact_manifest_table(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     only_values: tuple | None = None,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE under the commit protocol: rewrite the current file set
     into ~target-size NEW files and commit a manifest referencing only
@@ -445,7 +446,16 @@ def compact_manifest_table(
     metadata (files_for_values); pinned readers are unaffected — no
     per-directory swap window. Committed writer watermarks (``txns``)
     carry forward so a replayed ingest batch still detects itself after
-    any number of compactions."""
+    any number of compactions.
+
+    ``cluster_by`` (full-table mode) rewrites range-partitioned +
+    sorted on the keys instead of the default shuffle-free coalesce —
+    the Delta OPTIMIZE ZORDER move: a bare coalesce of a previously
+    CLUSTERED table interleaves key ranges and silently destroys the
+    manifest stats' selectivity, so a table that serves pruned scans
+    should compact with its cluster keys (one shuffle, the price of
+    keeping reads O(selectivity)). The only_values mode always
+    re-clusters on its own column."""
     for _ in range(_COMMIT_RETRIES):
         cur = current_manifest(root)
         if only_values is not None:
@@ -454,7 +464,7 @@ def compact_manifest_table(
             carried = [f for f in cur["files"] if f not in set(touched)]
             cluster = [col]
         else:
-            touched, carried, cluster = list(cur["files"]), [], None
+            touched, carried, cluster = list(cur["files"]), [], cluster_by
         if not touched:
             return {
                 "manifest": f"m{cur['version']}.json",

@@ -2784,3 +2784,149 @@ def streaming_compaction_restart_executed(spark: SparkSession, sf_dir: str) -> D
     )
     _STREAM_COMPACT_RESTART_CACHE[key] = out_df
     return out_df
+
+
+# --- r17 candidate (PREBUILT, NOT REGISTERED): manifest-commit sink ----------
+# The convergence sink under the value hash. Round 16's window budget
+# (10 bar + 4 new + 1 recheck + 35 rotation = 50) has no slot for it,
+# and round 17 has exactly ONE (SURVEY §8 r16 item 9) — so the function
+# body, oracle twin, and pytest pin land now (the foundation-first
+# discipline) and r17's registration is one @query decorator:
+#
+#   @query("streaming_manifest_sink_executed", oracle=_MANIFEST_SINK_ORACLE)
+#
+# Library foundations: streaming/daily.py::run_manifest_sink_with_
+# compaction (exactly-once via txn watermarks + touched-day OPTIMIZE),
+# proven in tests/test_streaming.py::
+# test_manifest_sink_exactly_once_and_scoped_optimize; this row's own
+# digest parity is pinned in tests/test_round16_ops.py.
+
+_MANIFEST_SINK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_MANIFEST_SINK_CUTS = ("2024-01-08", "2024-01-15")  # bootstrap | b0 | b1
+
+_MANIFEST_SINK_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY 1
+"""
+
+
+def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The convergence SINK executed under the value hash (r17
+    candidate; the design's stage (c) made end-to-end): a bootstrap
+    slice commits a manifest table clustered by day, then two
+    chronological micro-batches drain through
+    run_partitioned_sink_with_compaction's manifest twin
+    (run_manifest_sink_with_compaction) — each batch is an IDEMPOTENT
+    clustered append (txn=(app, batch_id): foreachBatch replays commit
+    nothing) followed by an incremental OPTIMIZE scoped to exactly the
+    day values it touched (files_for_values over the manifest stats —
+    O(touched bytes) data work, carried files verbatim). The digest
+    over the final manifest read hashing equal to the batch oracle
+    over the ORIGINAL events proves ingest + exactly-once + in-band
+    manifest maintenance is lossless and duplicate-free
+    (n_events == n_distinct_events catches replay).
+
+    vs streaming_compaction_sink_executed (the swap sink): same
+    keeps-pace maintenance cost model, but commits are pointer flips —
+    readers pinned mid-scan are unaffected and a replayed batch is
+    detected by its committed watermark instead of relying on
+    availableNow never re-delivering. Null-ts rows ride the bootstrap
+    slice (coalesce) so the staged files PARTITION the corpus exactly.
+
+    Plan/scale: per batch one clustered append (stats double as
+    partition metadata) + one scoped OPTIMIZE; planning is O(manifest)
+    driver metadata; the table serves pruned scans THROUGH ingest and
+    maintenance. Shuffle width scoped to 8 around the drain. Same
+    drain-and-cache discipline as the other streaming rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MANIFEST_SINK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _MANIFEST_SINK_CACHE if k[0] != key[0]]:
+        del _MANIFEST_SINK_CACHE[k]
+
+    import time as _time
+
+    from ..operators.lakehouse import (
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from ..streaming.daily import run_manifest_sink_with_compaction
+
+    token = abs(hash(("manifestsink", os.path.abspath(sf_dir), os.getpid()))) % (
+        1 << 32
+    )
+    scratch = _scratch(f"manifestsink_{token}")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    root = os.path.join(scratch, "table")
+    ckpt = os.path.join(scratch, "ckpt")
+
+    ev = load_table(spark, "events", sf_dir)
+    d = F.to_date("ts")
+    cut0, cut1 = _MANIFEST_SINK_CUTS
+    boot = F.coalesce(d < F.lit(cut0).cast("date"), F.lit(True))
+    mid = ~boot & (d < F.lit(cut1).cast("date"))
+    sel = ["event_id", "user_id", "event_type", "value"]
+
+    if not os.path.exists(os.path.join(root, "_manifests", "m1.json")):
+        write_manifest_table(
+            spark,
+            ev.where(boot).select(*sel, d.alias("day")),
+            root,
+            n_files=2,
+            cluster_by=["day"],
+        )
+    chunks = [ev.where(mid), ev.where(~boot & ~mid)]
+    now = _time.time()
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, os.path.join(scratch, f"stage{i}"), os.path.join(src, f"p{i}.parquet")
+        )
+        t = now - 1000 + i * 100
+        os.utime(os.path.join(src, f"p{i}.parquet"), (t, t))
+
+    fresh = not os.path.exists(ckpt)
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, src, root, ckpt,
+            manifests=manifests, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    if fresh:
+        assert len(manifests) == 2, f"expected 2 micro-batches, got {len(manifests)}"
+        assert all(
+            rec is not None and rec["files_rewritten"] >= 1 for _, rec in manifests
+        ), manifests
+    m = current_manifest(root)
+    assert m["txns"].get("manifest_sink") == 1, m.get("txns")
+
+    out = (
+        read_manifest_table(spark, root)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+    )
+    _MANIFEST_SINK_CACHE[key] = out
+    return out

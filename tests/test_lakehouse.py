@@ -503,3 +503,58 @@ def test_read_table_auto_resolves_both_layouts(spark, tmp_path):
     assert read_table_auto(spark, hive, day="1999-01-01").count() == 0
     out = read_table_auto(spark, mroot, day="1999-01-01")
     assert out.count() == 0 and set(ev.columns) <= set(out.columns)
+
+
+def test_full_optimize_with_cluster_by_keeps_pruning_selective(spark, tmp_path):
+    """OPTIMIZE of a clustered table must keep the manifest stats
+    selective: compacting with cluster_by re-sorts into disjoint key
+    ranges (strict-subset pruning survives, parity holds), while the
+    default coalesce of interleaved appends produces full-span files —
+    the documented reason pruned tables compact with their keys."""
+    from dend_covid19_spark.operators.lakehouse import prune_files
+
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = str(tmp_path / "mt10")
+    # interleaved ingest: each append spans the whole key range
+    write_manifest_table(
+        spark, orders.where(F.col("o_orderkey") % 2 == 0), root, n_files=2
+    )
+    append_manifest_table(
+        spark, orders.where(F.col("o_orderkey") % 2 == 1), root, n_files=2
+    )
+    keys = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+    lo, hi = keys[0], keys[len(keys) // 10]
+    want = _digest(
+        read_manifest_table(spark, root).where(F.col("o_orderkey").between(lo, hi))
+    )
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for f in current_manifest(root)["files"]
+    )
+    target = max(1, total // 4)  # force ~4 output files either way
+
+    # default coalesce: interleaved inputs -> full-span outputs -> no
+    # file can be skipped for the low range
+    compact_manifest_table(spark, root, target_file_bytes=target)
+    m = current_manifest(root)
+    assert len(m["files"]) >= 2
+    assert prune_files(m, "o_orderkey", lo, hi) == m["files"], (
+        "expected coalesce to lose selectivity on interleaved input"
+    )
+
+    # clustered OPTIMIZE: selectivity restored, parity preserved
+    compact_manifest_table(
+        spark, root, target_file_bytes=target, cluster_by=["o_orderkey"]
+    )
+    m2 = current_manifest(root)
+    assert len(m2["files"]) >= 2
+    pruned = prune_files(m2, "o_orderkey", lo, hi)
+    assert 0 < len(pruned) < len(m2["files"]), (pruned, m2["files"])
+    got = _digest(
+        read_manifest_table(spark, root, prune=("o_orderkey", lo, hi)).where(
+            F.col("o_orderkey").between(lo, hi)
+        )
+    )
+    assert got == want and got

@@ -169,3 +169,46 @@ def test_pruned_scan_plan_pushes_predicate_to_scan(spark):
     pushed = m.group(1)
     assert "GreaterThanOrEqual(event_id" in pushed, pushed
     assert "LessThanOrEqual(event_id" in pushed, pushed
+
+
+def test_prebuilt_manifest_sink_row_matches_batch(spark):
+    """The r17 candidate row (prebuilt, unregistered — SURVEY §8 r16
+    item 9): the manifest-commit sink's digest equals the batch digest
+    over the source, and its DuckDB twin is syntactically ready (the
+    r17 registration is one decorator). Also pins re-entrancy."""
+    import duckdb
+    from dend_covid19_spark.plans.ingest import (
+        _MANIFEST_SINK_CACHE,
+        _MANIFEST_SINK_ORACLE,
+        streaming_manifest_sink_executed,
+    )
+
+    got = streaming_manifest_sink_executed(spark, SF_DIR)
+    ev = load_table(spark, "events", SF_DIR)
+    want = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )
+    assert _digest(got) == _digest(want)
+
+    # the oracle twin runs on DuckDB and agrees with the Spark digest
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    oracle = sorted(
+        tuple(r) for r in con.execute(_MANIFEST_SINK_ORACLE).fetchall()
+    )
+    cols = ["day", "n_events", "n_distinct_events", "total_cents",
+            "min_event_id", "max_event_id"]
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    assert spark_rows == oracle
+
+    first = _digest(got)
+    _MANIFEST_SINK_CACHE.clear()
+    assert _digest(streaming_manifest_sink_executed(spark, SF_DIR)) == first
