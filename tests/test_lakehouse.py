@@ -558,3 +558,42 @@ def test_full_optimize_with_cluster_by_keeps_pruning_selective(spark, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_compaction_conflict_redoes_data_work(spark, tmp_path, monkeypatch):
+    """The MVCC asymmetry's OTHER side: when a concurrent append wins
+    the version mid-compaction, the compactor's rewritten files are
+    STALE (they don't contain the appended rows) — the retry loop must
+    re-read the winner's manifest and re-compact, never commit the
+    stale set. Injected deterministically: the first compaction commit
+    attempt is preceded by a racing append, forcing CommitConflict."""
+    import dend_covid19_spark.operators.lakehouse as lh
+
+    root = str(tmp_path / "mt11")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 2 == 0)
+    extra = orders.where(F.col("o_orderkey") % 2 == 1)
+    write_manifest_table(spark, base, root, n_files=4)
+
+    real_commit = lh._commit
+    state = {"injected": False}
+
+    def racing_commit(root_, files, parent, file_stats=None, txns=None):
+        if not state["injected"]:
+            state["injected"] = True
+            lh.append_manifest_table(spark, extra, root_, n_files=1)
+        return real_commit(root_, files, parent, file_stats=file_stats, txns=txns)
+
+    monkeypatch.setattr(lh, "_commit", racing_commit)
+    rec = compact_manifest_table(spark, root, target_file_bytes=1 << 40)
+    assert state["injected"]
+    # the retry saw the winner's 5-file manifest, not the stale 4
+    assert rec["files_before"] == 5, rec
+    assert rec["files_after"] == 1
+    # v1 base, v2 the racing append, v3 the re-done compaction
+    final = current_manifest(root)
+    assert final["version"] == 3
+    # nothing lost: the appended rows survived the conflicted compaction
+    assert _digest(read_manifest_table(spark, root)) == _digest(orders)

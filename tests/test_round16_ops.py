@@ -212,3 +212,72 @@ def test_prebuilt_manifest_sink_row_matches_batch(spark):
     first = _digest(got)
     _MANIFEST_SINK_CACHE.clear()
     assert _digest(streaming_manifest_sink_executed(spark, SF_DIR)) == first
+
+def test_migration_equivalence_swap_scenario_through_manifest(spark, tmp_path):
+    """The r17 migration's safety net: compaction_incremental_events'
+    planted-debris scenario (fragmented early dates, healthy later
+    dates) rebuilt through the MANIFEST path — six disjoint debris
+    appends over the fragmented dates, then one only_values OPTIMIZE —
+    must (a) resolve exactly the debris files as touched, (b) leave
+    every healthy file byte-identical, and (c) digest equal to the
+    original events per day: the same lossless-selective contract the
+    swap path proves, minus the single-writer window."""
+    from dend_covid19_spark.operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        current_manifest,
+        files_for_values,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    root = str(tmp_path / "mig")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    frag = F.coalesce(F.dayofmonth("day") <= 10, F.lit(False))
+    healthy, debris = ev.where(~frag), ev.where(frag)
+
+    write_manifest_table(spark, healthy, root, n_files=4, cluster_by=["day"])
+    healthy_files = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in current_manifest(root)["files"]
+    }
+    for i in range(6):  # micro-batch debris: six disjoint full-span files
+        append_manifest_table(
+            spark, debris.where(F.col("event_id") % 6 == i), root, n_files=1
+        )
+    m = current_manifest(root)
+    debris_files = set(m["files"]) - set(healthy_files)
+    assert len(debris_files) == 6
+
+    frag_days = sorted(
+        r.day.isoformat() for r in debris.select("day").distinct().collect()
+    )
+    assert set(files_for_values(m, "day", frag_days)) == debris_files
+
+    rec = compact_manifest_table(
+        spark, root, target_file_bytes=1 << 40, only_values=("day", frag_days)
+    )
+    assert rec["files_rewritten"] == 6 and rec["files_after"] == len(healthy_files) + 1
+
+    m2 = current_manifest(root)
+    for f, mt in healthy_files.items():
+        assert f in set(m2["files"])
+        assert os.path.getmtime(os.path.join(root, f)) == mt, (
+            f"healthy file rewritten by the debris OPTIMIZE: {f}"
+        )
+
+    got = (
+        read_manifest_table(spark, root)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("event_id").cast("bigint").alias("nd"),
+             F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+    )
+    want = ev.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").cast("bigint").alias("nd"),
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi"),
+    )
+    assert _digest(got) == _digest(want)
