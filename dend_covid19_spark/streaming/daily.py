@@ -402,7 +402,16 @@ def run_manifest_sink_with_compaction(
     resolves touched membership from the manifest alone). ``manifests``
     collects (batch_id, optimize-record) per batch for audits/tests.
     The table must exist (write_manifest_table) — the streaming query
-    only ever appends and compacts."""
+    only ever appends and compacts.
+
+    Crash window, documented honestly: a death AFTER the append commit
+    but BEFORE its OPTIMIZE leaves that batch's days fragmented — the
+    redelivered batch detects its committed watermark and (correctly)
+    skips the append, and the early return also skips the OPTIMIZE.
+    Correctness is unaffected (reads serve the appended files); the
+    small-file debt is bounded at ONE batch's files and clears when a
+    later batch touches those days or a manual compact_manifest_table
+    runs. Rows are never doubled."""
     from ..operators.lakehouse import append_manifest_table, compact_manifest_table
 
     events = read_events_stream(spark, src_dir, max_files_per_trigger)
