@@ -159,6 +159,51 @@ def _commit(
     return name
 
 
+def manifest_at_version(root: str, version: int) -> dict:
+    """Load the committed manifest m{version} — the AS-OF-VERSION pin
+    for time travel (manifests are immutable, so this read is stable
+    until vacuum retires the version; a vacuumed pin fails loudly
+    here, never serves partial data)."""
+    path = os.path.join(root, _MANIFESTS, f"m{version}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no committed manifest v{version} under {root} (vacuumed or never won)"
+        )
+    return _read_json(path)
+
+
+def manifest_table_history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY: every retained version oldest-first with its
+    file count, total bytes (live files only — a vacuumed file shows
+    bytes=None), and writer watermarks. Driver-side metadata: one JSON
+    read per retained manifest, no data touched."""
+    import re
+
+    mdir = os.path.join(root, _MANIFESTS)
+    out = []
+    for n in sorted(os.listdir(mdir)):
+        if not re.fullmatch(r"m(\d+)\.json", n):
+            continue
+        m = _read_json(os.path.join(mdir, n))
+        sizes = []
+        for f in m["files"]:
+            try:
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+            except OSError:
+                sizes = None  # vacuum retired a file this pin referenced
+                break
+        out.append(
+            {
+                "version": m["version"],
+                "n_files": len(m["files"]),
+                "bytes": sum(sizes) if sizes is not None else None,
+                "txns": m.get("txns", {}),
+            }
+        )
+    out.sort(key=lambda r: r["version"])
+    return out
+
+
 def current_manifest(root: str) -> dict:
     """Resolve and load the current manifest — the reader's PIN: scan
     exactly these files afterwards and no concurrent commit can change

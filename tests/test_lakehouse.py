@@ -597,3 +597,77 @@ def test_compaction_conflict_redoes_data_work(spark, tmp_path, monkeypatch):
     assert final["version"] == 3
     # nothing lost: the appended rows survived the conflicted compaction
     assert _digest(read_manifest_table(spark, root)) == _digest(orders)
+
+
+def test_version_pin_and_history(spark, tmp_path):
+    """AS-OF-VERSION reads via manifest_at_version are stable through
+    later commits; manifest_table_history reports every retained
+    version's shape; a vacuumed pin fails loudly at resolve time."""
+    import pytest
+
+    from dend_covid19_spark.operators.lakehouse import (
+        manifest_at_version,
+        manifest_table_history,
+    )
+
+    root = str(tmp_path / "mt12")
+    orders = load_table(spark, "orders", SF_DIR).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    h1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    h2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    write_manifest_table(spark, h1, root, n_files=2)
+    append_manifest_table(spark, h2, root, n_files=1, txn=("w", 7))
+    compact_manifest_table(spark, root, target_file_bytes=1 << 40)
+
+    v1_digest = _digest(read_manifest_table(spark, root, manifest_at_version(root, 1)))
+    assert v1_digest == _digest(h1)
+
+    hist = manifest_table_history(root)
+    assert [r["version"] for r in hist] == [1, 2, 3]
+    assert hist[0]["n_files"] == 2 and hist[1]["n_files"] == 3
+    assert hist[2]["n_files"] == 1  # compacted
+    assert hist[1]["txns"] == {"w": 7} and hist[2]["txns"] == {"w": 7}
+    assert all(r["bytes"] and r["bytes"] > 0 for r in hist)
+
+    vacuum_manifest_table(root, keep_last=1, grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        manifest_at_version(root, 1)
+    assert [r["version"] for r in manifest_table_history(root)] == [3]
+    assert _digest(read_manifest_table(spark, root)) == _digest(orders)
+
+
+def test_files_for_values_soundness_property():
+    """Hypothesis property (pure metadata): for ANY file layout and ANY
+    value set, files_for_values keeps every file containing a matching
+    row — it may over-keep (missing stats, wide files) but can never
+    drop one the values actually live in (the only_values OPTIMIZE's
+    lossless-membership guarantee)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dend_covid19_spark.operators.lakehouse import files_for_values
+
+    rows_per_file = st.lists(
+        st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(files=rows_per_file,
+           values=st.sets(st.integers(-60, 60), min_size=1, max_size=6),
+           drop_stats=st.sets(st.integers(0, 5)))
+    def check(files, values, drop_stats):
+        names = [f"data/f{i}.parquet" for i in range(len(files))]
+        stats = {
+            n: ({} if i in drop_stats or not rs else {"k": [min(rs), max(rs)]})
+            for i, (n, rs) in enumerate(zip(names, files))
+        }
+        manifest = {"files": names, "file_stats": stats}
+        kept = set(files_for_values(manifest, "k", sorted(values)))
+        for n, rs in zip(names, files):
+            if any(v in values for v in rs):
+                assert n in kept, (n, rs, sorted(values), stats[n])
+
+    check()
