@@ -379,6 +379,8 @@ def run_manifest_sink_with_compaction(
     target_file_bytes: int = 128 * 1024 * 1024,
     manifests: list | None = None,
     max_files_per_trigger: int | None = None,
+    vacuum_keep_last: int | None = None,
+    vacuum_grace_seconds: float = 24 * 3600,
 ) -> None:
     """The convergence sink (r16 design note, r17 candidate): the
     day-partitioned ingest committed through the MANIFEST protocol
@@ -411,8 +413,21 @@ def run_manifest_sink_with_compaction(
     Correctness is unaffected (reads serve the appended files); the
     small-file debt is bounded at ONE batch's files and clears when a
     later batch touches those days or a manual compact_manifest_table
-    runs. Rows are never doubled."""
-    from ..operators.lakehouse import append_manifest_table, compact_manifest_table
+    runs. Rows are never doubled.
+
+    ``vacuum_keep_last`` (off by default) closes the lifecycle: after
+    each batch's OPTIMIZE, retention reaps data files referenced by
+    none of the newest N manifests — so a long-lived ingest doesn't
+    accumulate superseded files without bound. The age grace
+    (``vacuum_grace_seconds``) stays on its safe default: this sink is
+    single-writer by checkpoint, but grace also protects any EXTERNAL
+    ad-hoc writer racing the sink's vacuum. Retention must outlive the
+    longest reader scan (the vacuum contract)."""
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        vacuum_manifest_table,
+    )
 
     events = read_events_stream(spark, src_dir, max_files_per_trigger)
     with_day = events.withColumn("day", F.to_date("ts")).select(
@@ -452,6 +467,12 @@ def run_manifest_sink_with_compaction(
             )
             if manifests is not None:
                 manifests.append((batch_id, rec))
+            if vacuum_keep_last is not None:
+                vacuum_manifest_table(
+                    table_root,
+                    keep_last=vacuum_keep_last,
+                    grace_seconds=vacuum_grace_seconds,
+                )
         finally:
             batch_df.unpersist()
 

@@ -811,3 +811,72 @@ def test_manifest_sink_exactly_once_and_scoped_optimize(spark, tmp_path):
         spark.conf.set(conf_key, old_parts)
     assert current_manifest(root)["version"] == v_before
     assert digest(read_manifest_table(spark, root)) == want
+
+
+def test_manifest_sink_inband_retention(spark, tmp_path):
+    """vacuum_keep_last closes the sink lifecycle: superseded data
+    files are reaped in-band after each batch's OPTIMIZE (with
+    grace_seconds=0 here — no external writers in the test), the
+    manifest log trims to the retention horizon, and the final read is
+    untouched."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.lakehouse import (
+        manifest_table_history,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import (
+        run_manifest_sink_with_compaction,
+    )
+
+    root = str(tmp_path / "mr_table")
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+    cut0, cut1 = "2024-01-08", "2024-01-15"
+    sel = ["event_id", "user_id", "event_type", "value"]
+    write_manifest_table(
+        spark,
+        ev.where(d < cut0).select(*sel, d.alias("day")),
+        root, n_files=2, cluster_by=["day"],
+    )
+    src = tmp_path / "mr_src"
+    src.mkdir()
+    chunks = [ev.where((d >= cut0) & (d < cut1)), ev.where(d >= cut1)]
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        _stage_single_parquet(
+            chunk, str(tmp_path / f"mr_stage{i}"), str(src / f"p{i}.parquet")
+        )
+        os.utime(src / f"p{i}.parquet", (now - 100 + i * 10, now - 100 + i * 10))
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, str(src), root, str(tmp_path / "mr_ckpt"),
+            max_files_per_trigger=1,
+            vacuum_keep_last=2, vacuum_grace_seconds=0,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    hist = manifest_table_history(root)
+    assert len(hist) == 2  # retention trimmed the 5-version chain
+    assert all(r["bytes"] is not None for r in hist)  # kept pins servable
+    # only files referenced by a RETAINED manifest remain on disk
+    # (superseded ingest files reaped)
+    from dend_covid19_spark.operators.lakehouse import manifest_at_version
+
+    live = set()
+    for r in hist:
+        live |= set(manifest_at_version(root, r["version"])["files"])
+    on_disk = {f"data/{f}" for f in os.listdir(os.path.join(root, "data"))}
+    assert on_disk == live
+    got = sorted(r.event_id for r in read_manifest_table(spark, root).collect())
+    want = sorted(r.event_id for r in ev.collect())
+    assert got == want
