@@ -241,36 +241,58 @@ def _json_stat(v):
     return None
 
 
+# Explicit null-range marker: the column is entirely NULL in this file.
+# Distinct from a MISSING stats entry (unknown -> must widen): an all-null
+# file can never contain a non-null probe value, so pruning may SKIP it.
+# Without the marker, a stat-less all-null file is widened into every
+# files_for_values touched set and re-rewritten by each scoped OPTIMIZE
+# forever (the rewrite yields no stats either) — O(file) wasted work per
+# batch that never clears.
+_ALL_NULL = "__all_null__"
+
+
 def _footer_stats(path: str) -> dict:
     """Per-column [min, max] from the file's own parquet footer —
     driver-side metadata only, the write-time stats collection every
     table format does (Iceberg manifests, Delta add-file stats). A
     column whose footer lacks usable stats is omitted (readers must
-    treat missing stats as 'file may match')."""
+    treat missing stats as 'file may match'); a column that is entirely
+    NULL records the explicit ``_ALL_NULL`` marker instead, so pruning
+    for any non-null value can skip the file. An all-null ROW GROUP in
+    an otherwise-valued column contributes nothing to the merged range
+    (the range still bounds every non-null value in the file)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    out: dict = {}
+    merged: dict = {}  # col -> [lo, hi]
+    poisoned: set = set()  # values present but no usable stats
+    seen: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
+            name = col.path_in_schema
+            seen.add(name)
             st = col.statistics
+            if st is not None and st.num_values == 0:
+                continue  # all-null chunk: no range, no poison
             if st is None or not st.has_min_max:
-                out[col.path_in_schema] = None  # poison: no stats
+                poisoned.add(name)
                 continue
             lo, hi = _json_stat(st.min), _json_stat(st.max)
             if lo is None or hi is None:
-                out[col.path_in_schema] = None
+                poisoned.add(name)
                 continue
-            prev = out.get(col.path_in_schema)
-            if prev is None and col.path_in_schema in out:
-                continue  # already poisoned
-            if prev is None:
-                out[col.path_in_schema] = [lo, hi]
-            else:
-                out[col.path_in_schema] = [min(prev[0], lo), max(prev[1], hi)]
-    return {c: mm for c, mm in out.items() if mm is not None}
+            prev = merged.get(name)
+            merged[name] = (
+                [lo, hi] if prev is None else [min(prev[0], lo), max(prev[1], hi)]
+            )
+    out: dict = {}
+    for name in seen:
+        if name in poisoned:
+            continue  # omitted entry: reader must widen
+        out[name] = merged.get(name, _ALL_NULL)
+    return out
 
 
 def _stage_files(
@@ -387,12 +409,20 @@ def prune_files(manifest: dict, column: str, lo, hi) -> list[str]:
     """The stats-pruning half of the protocol: files of ``manifest``
     whose footer [min, max] for ``column`` overlaps [lo, hi] — plus any
     file with no recorded stats for it (missing stats must widen, never
-    narrow). Driver-side metadata only; at 10^6 files this is the
+    narrow). Bounds normalize through the same JSON encoding as the
+    recorded stats (date/timestamp -> isoformat), so natural Python
+    values compare correctly; an un-encodable bound disables pruning
+    (sound). Driver-side metadata only; at 10^6 files this is the
     manifest scan a table format does before planning."""
+    lo, hi = _json_stat(lo), _json_stat(hi)
+    if lo is None or hi is None:
+        return list(manifest["files"])  # un-encodable bound: cannot prune
     keep = []
     stats = manifest.get("file_stats", {})
     for f in manifest["files"]:
         mm = stats.get(f, {}).get(column)
+        if mm == _ALL_NULL:
+            continue  # column entirely null here: cannot match [lo, hi]
         if mm is None or (mm[0] <= hi and mm[1] >= lo):
             keep.append(f)
     return keep
@@ -425,11 +455,15 @@ def read_manifest_table(
         full = m["files"]
         if not full:
             raise FileNotFoundError(f"manifest v{m['version']} references no files")
-        schema_reader = (
-            spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+        # Full-schema empty result, unconditionally mergeSchema over
+        # EVERY file (footer-only cost under limit(0)): a single-footer
+        # read would pick the lexically-first uuid-named file, making
+        # the empty schema nondeterministic after schema evolution.
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(root, f) for f in full])
+            .limit(0)
         )
-        src = [os.path.join(root, f) for f in (full if merge_schema else full[:1])]
-        return schema_reader.parquet(*src).limit(0)
     return reader.parquet(*[os.path.join(root, f) for f in files])
 
 
@@ -439,12 +473,18 @@ def files_for_values(manifest: dict, column: str, values) -> list[str]:
     design (the per-file min/max doubles as partition metadata when
     ingest clusters by the partition column: a micro-batch's files then
     carry exactly its touched values). Missing stats widen, never
-    narrow, same soundness rule as prune_files."""
+    narrow; probe values normalize like prune_files' bounds, same
+    soundness rules throughout."""
+    vals = [_json_stat(v) for v in values]
+    if any(v is None for v in vals):
+        return list(manifest["files"])  # un-encodable probe: cannot prune
     keep = []
     stats = manifest.get("file_stats", {})
     for f in manifest["files"]:
         mm = stats.get(f, {}).get(column)
-        if mm is None or any(mm[0] <= v <= mm[1] for v in values):
+        if mm == _ALL_NULL:
+            continue  # column entirely null here: no non-null value matches
+        if mm is None or any(mm[0] <= v <= mm[1] for v in vals):
             keep.append(f)
     return keep
 
@@ -609,5 +649,11 @@ def vacuum_manifest_table(
     for n in os.listdir(root):  # crash orphans: unfinished stage dirs
         if n.startswith(".stage.") and _aged(os.path.join(root, n)):
             shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+            deleted.append(n)
+    # crash orphans: pointer temps (_publish_pointer dying between its
+    # temp write and os.replace leaks one in the table root forever)
+    for n in os.listdir(root):
+        if n.startswith(f".{_LATEST}.tmp.") and _aged(os.path.join(root, n)):
+            os.remove(os.path.join(root, n))
             deleted.append(n)
     return deleted

@@ -2188,7 +2188,12 @@ def _compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
     prefixed: invisible to scans) snapshot the file inventory around the
     rewrite so pytest can prove selectivity — breaching partitions
     collapse, healthy partitions keep identical (name, size, mtime)
-    files — instead of asserting it."""
+    files — instead of asserting it.
+
+    Since r17 this build backs only the PYTEST pins of the swap
+    compactor's selective/lossless contract (test_round14_ops.py) — the
+    registered row migrated to the manifest-commit build below
+    (_manifest_compacted_events_root), one maintenance story."""
     import hashlib
 
     from ..operators.maintenance import compact_partitions, partition_file_stats
@@ -2237,6 +2242,107 @@ def _compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _manifest_compacted_events_root(spark: SparkSession, sf_dir: str) -> str:
+    """(sf, mtime)-keyed scratch: the compaction_incremental_events
+    scenario rebuilt through the MANIFEST-COMMIT path (the r16->r17
+    swap->manifest migration; equivalence pinned first in
+    tests/test_round16_ops.py::test_migration_equivalence_swap_scenario_
+    through_manifest): the healthy slice (day-of-month >
+    _COMPACT_FRAG_DOM, plus null dates) commits as version 1 CLUSTERED
+    by event_date, six disjoint micro-batch debris appends plant the
+    fragmented dates, and ONE incremental OPTIMIZE scoped to exactly the
+    fragmented day values (``only_values`` -> files_for_values over the
+    manifest stats) repairs them — committed as a pointer flip, no
+    per-directory swap window, untouched files carried verbatim.
+
+    ``_migration_audit.json`` (root-level, underscore-prefixed:
+    invisible to the manifest protocol) snapshots the build — untouched
+    files with mtimes, staged debris files, fragmented days, the
+    OPTIMIZE record and the pre-compact touched resolution — so the
+    registered row re-proves selectivity on every invocation (driver-
+    side metadata asserts) instead of trusting the build."""
+    import hashlib
+
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        current_manifest,
+        files_for_values,
+        write_manifest_table,
+    )
+    from ..scratch import SCRATCH_ROOT, materialize_once
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
+    token = hashlib.md5(
+        f"mcompactev{_COMPACT_DEMO_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
+        f"{_COMPACT_FRAG_FILES}:{_COMPACT_FRAG_DOM}".encode()
+    ).hexdigest()[:12]
+    parent = os.path.join(SCRATCH_ROOT, f"mcompactev_{token}")
+    os.makedirs(parent, exist_ok=True)
+    path = os.path.join(parent, "table")
+
+    def _write(tmp: str) -> None:
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "event_type", "value",
+            F.to_date("ts").alias("event_date"),
+        )
+        # coalesce(False): NULL dates ride the healthy slice so the two
+        # slices PARTITION the corpus exactly (same rule as the swap
+        # build); an all-null-date healthy file records the _ALL_NULL
+        # stats marker and prunes out of every scoped OPTIMIZE.
+        frag = F.coalesce(
+            F.dayofmonth("event_date") <= _COMPACT_FRAG_DOM, F.lit(False)
+        )
+        write_manifest_table(
+            spark, ev.where(~frag), tmp, n_files=4, cluster_by=["event_date"]
+        )
+        untouched_candidates = {
+            f: os.path.getmtime(os.path.join(tmp, f))
+            for f in current_manifest(tmp)["files"]
+        }
+        debris = ev.where(frag)
+        for i in range(_COMPACT_FRAG_FILES):  # six disjoint full-span appends
+            append_manifest_table(
+                spark, debris.where(F.col("event_id") % _COMPACT_FRAG_FILES == i),
+                tmp, n_files=1,
+            )
+        m = current_manifest(tmp)
+        debris_files = sorted(set(m["files"]) - set(untouched_candidates))
+        frag_days = sorted(
+            r.event_date.isoformat()
+            for r in debris.select("event_date").distinct().collect()
+            if r.event_date is not None
+        )
+        touched = files_for_values(m, "event_date", frag_days) if frag_days else []
+        rec = (
+            compact_manifest_table(
+                spark, tmp, only_values=("event_date", frag_days)
+            )
+            if frag_days
+            else None
+        )
+        untouched = {
+            f: mt for f, mt in untouched_candidates.items() if f not in set(touched)
+        }
+        with open(os.path.join(tmp, "_migration_audit.json"), "w") as fh:
+            json.dump(
+                {
+                    "untouched": untouched,
+                    "debris_files": debris_files,
+                    "frag_days": frag_days,
+                    "touched": touched,
+                    "rec": rec,
+                    "final_version": current_manifest(tmp)["version"],
+                },
+                fh,
+            )
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    materialize_once(path, _write)
+    return path
+
+
 @query(
     "compaction_incremental_events",
     oracle="""
@@ -2251,28 +2357,55 @@ GROUP BY 1
 """,
 )
 def compaction_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read-side proof of the SELECTIVE small-file compaction
-    (operators/maintenance.py::compact_partitions): the events table is
-    staged date-partitioned with planted micro-batch debris, only the
-    breaching partitions are rewritten (stats-driven, coalesce
-    shuffle-free, per-partition swap), and this query digests the
-    COMPACTED layout per date against an oracle over the ORIGINAL
-    parquet — the hash match certifies the rewrite is lossless while
-    the build manifests prove healthy partitions were never touched
-    (pinned in tests/test_round14_ops.py).
+    """Read-side proof of the SELECTIVE small-file compaction, committed
+    through the MANIFEST protocol since r17 (the swap->manifest
+    migration, r16 verdict item 3; the swap twin of this scenario stays
+    pinned in tests/test_round14_ops.py as compact_partitions' library
+    contract): the events table commits clustered by event_date, six
+    micro-batch debris appends fragment the early dates, and ONE
+    incremental OPTIMIZE scoped to those day values repairs them —
+    old files carried verbatim, commit is a pointer flip (no
+    single-writer window), pinned readers unaffected. This query
+    digests the final manifest read per date against an oracle over the
+    ORIGINAL parquet — the hash match certifies append + scoped rewrite
+    is lossless — and re-proves selectivity from the build audit on
+    every invocation: every staged debris file resolved into the
+    touched set, every untouched file is still referenced byte-
+    identical (mtime-stable), and the OPTIMIZE rewrote exactly the
+    touched resolution.
 
-    Scale: the breach rule reads driver-side listing metadata only, and
-    each rewrite costs O(that partition's bytes) with no shuffle — so
-    daily maintenance of a 100 TB table costs O(yesterday's fragmented
-    partitions), not O(table). The per-partition dir swap is the
-    single-writer projection of a lakehouse metadata commit (see the
-    operator docstring for the concurrent-reader contract).
+    Scale: membership resolution is O(manifest) driver metadata
+    (files_for_values over write-time footer stats — no directory
+    listing), the rewrite costs O(fragmented bytes) re-clustered on
+    event_date so the repaired files stay prunable — daily maintenance
+    of a 100 TB table costs O(yesterday's fragmented partitions), not
+    O(table), and unlike the swap it is concurrency-safe under MVCC.
 
     Sibling of ann_ivf_delta_append (round 14's incremental-maintenance
     pair: index append without base rewrite / layout repair without
     table rewrite)."""
-    path = _compacted_events_path(spark, sf_dir)
-    df = spark.read.parquet(path)
+    from ..operators.lakehouse import current_manifest, read_manifest_table
+
+    root = _manifest_compacted_events_root(spark, sf_dir)
+    with open(os.path.join(root, "_migration_audit.json")) as fh:
+        audit = json.load(fh)
+    m = current_manifest(root)
+    assert m["version"] == audit["final_version"], (m["version"], audit)
+    live = set(m["files"])
+    for f in audit["debris_files"]:
+        assert f in set(audit["touched"]), (
+            f"debris file escaped the touched resolution: {f}"
+        )
+        assert f not in live, f"debris file survived the scoped OPTIMIZE: {f}"
+    for f, mt in audit["untouched"].items():
+        assert f in live, f"untouched file dropped by the OPTIMIZE commit: {f}"
+        assert os.path.getmtime(os.path.join(root, f)) == mt, (
+            f"untouched file rewritten: {f}"
+        )
+    if audit["rec"] is not None:
+        assert audit["rec"]["files_rewritten"] == len(audit["touched"]), audit["rec"]
+
+    df = read_manifest_table(spark, root)
     return df.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
@@ -2786,20 +2919,13 @@ def streaming_compaction_restart_executed(spark: SparkSession, sf_dir: str) -> D
     return out_df
 
 
-# --- r17 candidate (PREBUILT, NOT REGISTERED): manifest-commit sink ----------
-# The convergence sink under the value hash. Round 16's window budget
-# (10 bar + 4 new + 1 recheck + 35 rotation = 50) has no slot for it,
-# and round 17 has exactly ONE (SURVEY §8 r16 item 9) — so the function
-# body, oracle twin, and pytest pin land now (the foundation-first
-# discipline) and r17's registration is one @query decorator:
-#
-#   @query("streaming_manifest_sink_executed", oracle=_MANIFEST_SINK_ORACLE)
-#
-# Library foundations: streaming/daily.py::run_manifest_sink_with_
-# compaction (exactly-once via txn watermarks + touched-day OPTIMIZE),
-# proven in tests/test_streaming.py::
-# test_manifest_sink_exactly_once_and_scoped_optimize; this row's own
-# digest parity is pinned in tests/test_round16_ops.py.
+# --- manifest-commit sink (prebuilt r16, REGISTERED r17) ----------------------
+# The convergence sink under the value hash, registered into r17's one
+# open window slot (r16 verdict item 1). Library foundations:
+# streaming/daily.py::run_manifest_sink_with_compaction (exactly-once
+# via txn watermarks + touched-day OPTIMIZE), proven in
+# tests/test_streaming.py::test_manifest_sink_exactly_once_and_scoped_
+# optimize; digest parity pinned in tests/test_round16_ops.py.
 
 _MANIFEST_SINK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -2817,9 +2943,10 @@ GROUP BY 1
 """
 
 
+@query("streaming_manifest_sink_executed", oracle=_MANIFEST_SINK_ORACLE)
 def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The convergence SINK executed under the value hash (r17
-    candidate; the design's stage (c) made end-to-end): a bootstrap
+    """The convergence SINK executed under the value hash (the r16
+    design's stage (c) made end-to-end): a bootstrap
     slice commits a manifest table clustered by day, then two
     chronological micro-batches drain through
     run_partitioned_sink_with_compaction's manifest twin
@@ -2831,7 +2958,12 @@ def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFr
     over the final manifest read hashing equal to the batch oracle
     over the ORIGINAL events proves ingest + exactly-once + in-band
     manifest maintenance is lossless and duplicate-free
-    (n_events == n_distinct_events catches replay).
+    (n_events == n_distinct_events catches replay). Exactly-once is
+    ALSO asserted in-band: after the drain, a FULL source replay on a
+    fresh checkpoint re-delivers every batch, and the committed txn
+    watermarks must make every append a no-op — no new manifest
+    version, no maintenance runs (the Delta txnAppId/txnVersion
+    contract, exercised end-to-end each invocation).
 
     vs streaming_compaction_sink_executed (the swap sink): same
     keeps-pace maintenance cost model, but commits are pointer flips —
@@ -2896,6 +3028,7 @@ def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFr
 
     fresh = not os.path.exists(ckpt)
     manifests: list = []
+    replayed: list = []
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
@@ -2903,6 +3036,15 @@ def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFr
         run_manifest_sink_with_compaction(
             spark, src, root, ckpt,
             manifests=manifests, max_files_per_trigger=1,
+        )
+        # FULL source replay on a FRESH checkpoint: foreachBatch
+        # re-delivers every batch, and every append must detect its own
+        # committed txn watermark and skip — the exactly-once property
+        # asserted in-band (no new manifest version, no OPTIMIZE runs)
+        v_drained = current_manifest(root)["version"]
+        run_manifest_sink_with_compaction(
+            spark, src, root, os.path.join(scratch, "ckpt_replay"),
+            manifests=replayed, max_files_per_trigger=1,
         )
     finally:
         spark.conf.set(conf_key, old_parts)
@@ -2912,6 +3054,10 @@ def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFr
         assert all(
             rec is not None and rec["files_rewritten"] >= 1 for _, rec in manifests
         ), manifests
+    assert current_manifest(root)["version"] == v_drained, (
+        "full replay on a fresh checkpoint committed a manifest (replayed append)"
+    )
+    assert not replayed, f"replayed batches ran maintenance: {replayed}"
     m = current_manifest(root)
     assert m["txns"].get("manifest_sink") == 1, m.get("txns")
 

@@ -87,7 +87,17 @@ def read_table_auto(spark: SparkSession, path: str, **eq_filters) -> DataFrame:
 
     Single-value stats pruning is exact for a clustered layout and
     sound for any other (missing/wide stats widen); the exact predicate
-    is still applied on top on both branches."""
+    is still applied on top on both branches.
+
+    The manifest branch reads with mergeSchema: appends may have EVOLVED
+    the schema (a column present only in newer files), and a
+    single-footer read would silently drop it — the same lossy hazard
+    compact_manifest_table closes the same way. Footer-only cost per
+    planned file, driver metadata. A fully-pruned plan returns an empty
+    DataFrame carrying the FULL table schema (mergeSchema over every
+    file under limit(0)); an empty manifest fails loudly like
+    read_manifest_table does, instead of handing Spark a path-less
+    read."""
     import os as _os
 
     if not _os.path.isdir(_os.path.join(path, "_manifests")):
@@ -96,16 +106,19 @@ def read_table_auto(spark: SparkSession, path: str, **eq_filters) -> DataFrame:
     from ..operators.lakehouse import current_manifest, files_for_values
 
     m = current_manifest(path)
+    if not m["files"]:
+        raise FileNotFoundError(
+            f"manifest v{m['version']} references no files under {path}"
+        )
     files = m["files"]
     for col, val in eq_filters.items():
         keep = set(files_for_values({**m, "files": files}, col, [val]))
         files = [f for f in files if f in keep]
+    reader = spark.read.option("mergeSchema", "true")
     df = (
-        spark.read.parquet(*[_os.path.join(path, f) for f in files])
+        reader.parquet(*[_os.path.join(path, f) for f in files])
         if files
-        else spark.read.parquet(
-            *[_os.path.join(path, f) for f in m["files"][:1]]
-        ).limit(0)
+        else reader.parquet(*[_os.path.join(path, f) for f in m["files"]]).limit(0)
     )
     for col, val in eq_filters.items():
         df = df.where(F.col(col) == F.lit(val))
