@@ -73,6 +73,44 @@ path minus its safety:
   Migrating a green swap-based row (e.g. compaction_incremental_events)
   onto (2) changes its executed plan and therefore costs a RECHECK
   window slot — scheduled for r17, not here.
+
+  STATUS r17: (1)-(4) are live and oracle-checked end-to-end —
+  streaming_manifest_sink_executed commits ingest + scoped OPTIMIZE
+  through this module under the value hash with a full-replay
+  no-commit assertion in-band, and compaction_incremental_events
+  committed through append/compact_manifest_table (the swap build
+  survives only as compact_partitions' pytest contract).
+
+DESIGN NOTE — partition-aware manifests (r17 stretch, r18 execution).
+Today partition membership rides the per-file min/max stats duality:
+``files_for_values`` resolves "which files hold day X" by range
+containment, which tests pin to be EXACT on a clustered table
+(tests/test_round17_ops.py::test_files_for_values_exact_on_clustered_
+table) and sound-but-wider on any other layout. The Iceberg move is to
+promote that duality into EXPLICIT partition values:
+
+  1. Manifest entries gain ``"partitions": {file: {"day": "2024-01-03"}}``
+     written by the clustered stagers (one value per file per spec
+     column — a file spanning two spec values is a spec violation the
+     writer rejects, exactly Iceberg's one-partition-per-data-file
+     rule). ``files_for_values`` consults the explicit value first and
+     falls back to range containment for pre-spec files — old tables
+     read unchanged (forward-compatible, like the txns map).
+  2. PARTITION SPEC EVOLUTION (day -> hour): a new spec version is
+     recorded in the manifest (``"spec": [["day"], ["day","hour"]]``);
+     files written under spec v1 keep day-granular values and resolve
+     by day-range for hour probes (widen, never narrow), files under
+     v2 carry both. Readers never rewrite history — the same AS-OF
+     pinning (manifest_at_version) serves both specs, so a table can
+     migrate day->hour with zero data movement and O(manifest)
+     metadata.
+  3. Exactness upgrade: with explicit values, ``only_values`` OPTIMIZE
+     and pruned scans become exact membership even on NON-clustered
+     appends (today they're exact only when ingest clusters), removing
+     the one case where a scoped rewrite touches a neighbor file.
+  First stage (the exactness pytest on the clustered layout) landed
+  r17; the manifest-format change and its oracle row are r18's to
+  schedule (the one-slot window discipline).
 """
 
 from __future__ import annotations

@@ -880,3 +880,233 @@ def test_manifest_sink_inband_retention(spark, tmp_path):
     got = sorted(r.event_id for r in read_manifest_table(spark, root).collect())
     want = sorted(r.event_id for r in ev.collect())
     assert got == want
+
+
+def test_manifest_sink_superset_replay_is_skipped_whole(spark, tmp_path):
+    """Boundary class (r16 verdict item 4a): a replayed micro-batch that
+    carries a SUPERSET of the originally committed rows (a
+    non-deterministic source re-delivering batch N with extra rows)
+    must be skipped WHOLE by its txn watermark — never merged, never
+    partially appended. Exactly-once means the first delivery wins;
+    the superset's extra rows belong to a later batch id or nowhere."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.lakehouse import (
+        append_manifest_table,
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import run_manifest_sink_with_compaction
+
+    root = str(tmp_path / "sr_table")
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+    cut = "2024-01-10"
+    sel = ["event_id", "user_id", "event_type", "value"]
+    write_manifest_table(
+        spark, ev.where(d < cut).select(*sel, d.alias("day")),
+        root, n_files=2, cluster_by=["day"],
+    )
+    src = tmp_path / "sr_src"
+    src.mkdir()
+    batch = ev.where((d >= cut) & (d < "2024-01-15"))
+    _stage_single_parquet(batch, str(tmp_path / "sr_stage"), str(src / "p0.parquet"))
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, str(src), root, str(tmp_path / "sr_ckpt")
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    m = current_manifest(root)
+    assert m["txns"] == {"manifest_sink": 0}
+    want = sorted(r.event_id for r in read_manifest_table(spark, root).collect())
+
+    # the superset replay: same txn (app, batch 0), MORE rows
+    superset = ev.where((d >= cut) & (d < "2024-01-18")).select(
+        *sel, d.alias("day")
+    )
+    assert superset.count() > batch.count()
+    name = append_manifest_table(
+        spark, superset, root, n_files=1, txn=("manifest_sink", 0)
+    )
+    assert name == f"m{m['version']}.json", "superset replay committed a manifest"
+    m2 = current_manifest(root)
+    assert m2["version"] == m["version"] and set(m2["files"]) == set(m["files"])
+    got = sorted(r.event_id for r in read_manifest_table(spark, root).collect())
+    assert got == want, "superset replay changed table content"
+
+
+def test_manifest_sink_allnull_day_batch_appends_without_optimize(spark, tmp_path):
+    """Boundary class (r16 verdict item 4b): a batch whose touched-day
+    set is EMPTY after null filtering (every ts unparseable/null) must
+    append its rows exactly once, run NO maintenance (rec is None, one
+    version bump), record the _ALL_NULL day marker — and a later
+    real-day batch's scoped OPTIMIZE must leave the null file
+    byte-untouched instead of rewriting it forever."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.lakehouse import (
+        _ALL_NULL,
+        current_manifest,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import run_manifest_sink_with_compaction
+
+    root = str(tmp_path / "nn_table")
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+    cut = "2024-01-10"
+    sel = ["event_id", "user_id", "event_type", "value"]
+    write_manifest_table(
+        spark, ev.where(d < cut).select(*sel, d.alias("day")),
+        root, n_files=2, cluster_by=["day"],
+    )
+    src = tmp_path / "nn_src"
+    src.mkdir()
+    null_batch = ev.where(d >= cut).limit(40).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
+    real_batch = ev.where((d >= cut) & (d < "2024-01-15"))
+    now = time.time()
+    _stage_single_parquet(
+        null_batch, str(tmp_path / "nn_stage0"), str(src / "p0.parquet")
+    )
+    os.utime(src / "p0.parquet", (now - 100, now - 100))
+    _stage_single_parquet(
+        real_batch, str(tmp_path / "nn_stage1"), str(src / "p1.parquet")
+    )
+    os.utime(src / "p1.parquet", (now - 50, now - 50))
+
+    v0 = current_manifest(root)["version"]
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, str(src), root, str(tmp_path / "nn_ckpt"),
+            manifests=manifests, max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    # batch 0 (all-null days): append only — rec None, ONE version bump
+    assert manifests[0][0] == 0 and manifests[0][1] is None, manifests
+    # batch 1 (real days): append + scoped OPTIMIZE
+    assert manifests[1][1] is not None and manifests[1][1]["files_rewritten"] >= 1
+    m = current_manifest(root)
+    null_files = [
+        f for f in m["files"] if m["file_stats"].get(f, {}).get("day") == _ALL_NULL
+    ]
+    assert len(null_files) == 1, "all-null-day file must record the _ALL_NULL marker"
+    # version chain: v0 + append(b0) + append(b1) + optimize(b1) = v0+3
+    assert m["version"] == v0 + 3, (v0, m["version"])
+    # the null file survived batch 1's scoped OPTIMIZE untouched
+    assert null_files[0] in set(m["files"])
+    got = read_manifest_table(spark, root)
+    assert got.where(F.col("day").isNull()).count() == 40
+    n_want = ev.where(d < cut).count() + 40 + real_batch.count()
+    assert got.count() == n_want
+
+
+def test_manifest_sink_restart_reoptimizes_already_clustered_day(spark, tmp_path):
+    """Boundary class (r16 verdict item 4c): a restart whose late batch
+    re-touches a day the first drain already compacted to ONE clustered
+    file must re-OPTIMIZE that day — rewriting exactly the clustered
+    file plus the late append back into one file — while every other
+    day's files carry over byte-identical."""
+    import os
+    import time
+
+    from dend_covid19_spark.catalog import load_table
+    from dend_covid19_spark.operators.lakehouse import (
+        current_manifest,
+        files_for_values,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    from dend_covid19_spark.plans.ingest import _stage_single_parquet
+    from dend_covid19_spark.streaming.daily import run_manifest_sink_with_compaction
+
+    root = str(tmp_path / "rc_table")
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+    day_x = "2024-01-12"
+    sel = ["event_id", "user_id", "event_type", "value"]
+    write_manifest_table(
+        spark, ev.where(d < "2024-01-10").select(*sel, d.alias("day")),
+        root, n_files=2, cluster_by=["day"],
+    )
+    src = tmp_path / "rc_src"
+    src.mkdir()
+    on_x = ev.where(d == day_x)
+    first = on_x.where(F.col("event_id") % 2 == 0)
+    late = on_x.where(F.col("event_id") % 2 == 1)
+    assert first.count() > 0 and late.count() > 0
+    now = time.time()
+    _stage_single_parquet(first, str(tmp_path / "rc_stage0"), str(src / "p0.parquet"))
+    os.utime(src / "p0.parquet", (now - 100, now - 100))
+
+    manifests: list = []
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "8")
+        run_manifest_sink_with_compaction(
+            spark, str(src), root, str(tmp_path / "rc_ckpt"), manifests=manifests
+        )
+        m1 = current_manifest(root)
+        assert len(files_for_values(m1, "day", [day_x])) == 1, (
+            "first drain must leave day X as one clustered file"
+        )
+        other_files = {
+            f: os.path.getmtime(os.path.join(root, f))
+            for f in m1["files"]
+            if f not in set(files_for_values(m1, "day", [day_x]))
+        }
+        # the late file arrives after the drain; restart on the SAME ckpt
+        _stage_single_parquet(
+            late, str(tmp_path / "rc_stage1"), str(src / "p1.parquet")
+        )
+        os.utime(src / "p1.parquet", (now, now))
+        run_manifest_sink_with_compaction(
+            spark, str(src), root, str(tmp_path / "rc_ckpt"), manifests=manifests
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+    assert len(manifests) == 2
+    rec = manifests[-1][1]
+    assert rec["files_rewritten"] == 2, (
+        f"restart must rewrite exactly the clustered file + the late append: {rec}"
+    )
+    m2 = current_manifest(root)
+    assert len(files_for_values(m2, "day", [day_x])) == 1, (
+        "re-touched day must re-compact to one file"
+    )
+    for f, mt in other_files.items():
+        assert f in set(m2["files"])
+        assert os.path.getmtime(os.path.join(root, f)) == mt, (
+            f"unrelated file rewritten across the restart: {f}"
+        )
+    got = sorted(
+        r.event_id
+        for r in read_manifest_table(spark, root)
+        .where(F.col("day") == day_x)
+        .collect()
+    )
+    want = sorted(r.event_id for r in on_x.collect())
+    assert got == want
