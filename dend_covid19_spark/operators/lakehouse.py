@@ -156,6 +156,8 @@ def _commit(
     parent: int,
     file_stats: dict | None = None,
     txns: dict | None = None,
+    partitions: dict | None = None,
+    spec: list | None = None,
 ) -> str:
     """Commit manifest m{parent+1} with EXCLUSIVE creation (os.link of
     a temp onto the final name fails atomically if the version already
@@ -169,22 +171,34 @@ def _commit(
     committed batch_id, Delta's txnAppId/txnVersion shape): every
     commit carries the full map forward so a replayed batch can detect
     its own prior commit no matter how many appends/compactions landed
-    in between."""
+    in between.
+
+    ``partitions`` is the EXPLICIT partition-value map (file ->
+    {column: string-encoded value or None for the null partition}) of
+    the partition-aware manifest design — Iceberg's
+    one-partition-per-data-file entries. ``spec`` records the active
+    partition spec (a list of column-name lists, newest last) so a
+    later spec EVOLUTION is detectable. Both are optional and absent
+    from stats-only tables (readers fall back to range containment);
+    omitted keys are simply not written, keeping old manifests
+    byte-compatible."""
     version = parent + 1
     name = f"m{version}.json"
     mdir = os.path.join(root, _MANIFESTS)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{name}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
+    payload = {
+        "version": version,
+        "files": sorted(files),
+        "file_stats": file_stats or {},
+        "txns": txns or {},
+    }
+    if partitions:
+        payload["partitions"] = partitions
+    if spec:
+        payload["spec"] = spec
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "files": sorted(files),
-                "file_stats": file_stats or {},
-                "txns": txns or {},
-            },
-            fh,
-        )
+        json.dump(payload, fh)
     try:
         os.link(tmp, os.path.join(mdir, name))
     except FileExistsError:
@@ -373,17 +387,73 @@ def _stage_files(
     return rels, stats
 
 
+def _stage_partitioned_files(
+    spark: SparkSession, df: DataFrame, root: str, column: str
+) -> tuple[list[str], dict, dict]:
+    """Stage ``df`` with ONE EXPLICIT PARTITION VALUE PER DATA FILE
+    (the Iceberg manifest-entry rule, stage 1 of the partition-aware
+    design): the frame hash-partitions on ``column`` and writes
+    partitionBy a SHADOW string column — so every staged file holds
+    exactly one value of ``column``, the value is read back from the
+    directory name (never sampled from data), and the real column stays
+    IN the data files (unlike a plain hive write, which would strip it
+    and break explicit-file-list reads). Returns (paths, footer stats,
+    explicit values: path -> {column: str | None}), None marking the
+    null partition. One shuffle, one job, ~one file per distinct value
+    — the natural micro-batch append / OPTIMIZE output shape."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    shadow = f"__part_{column}"
+    stage = os.path.join(root, f".stage.{os.getpid()}.{uuid.uuid4().hex[:8]}")
+    (
+        df.withColumn(shadow, F.col(column).cast("string"))
+        .repartition(F.col(column))
+        .write.partitionBy(shadow)
+        .parquet(stage)
+    )
+    ddir = os.path.join(root, _DATA)
+    os.makedirs(ddir, exist_ok=True)
+    rels, stats, values = [], {}, {}
+    for vdir in sorted(os.listdir(stage)):
+        if not vdir.startswith(f"{shadow}="):
+            continue
+        raw = unquote(vdir[len(shadow) + 1 :])
+        val = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+        for f in sorted(os.listdir(os.path.join(stage, vdir))):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            rel = f"{_DATA}/part-{uuid.uuid4().hex}.parquet"
+            os.rename(os.path.join(stage, vdir, f), os.path.join(root, rel))
+            rels.append(rel)
+            stats[rel] = _footer_stats(os.path.join(root, rel))
+            values[rel] = {column: val}
+    shutil.rmtree(stage, ignore_errors=True)
+    return rels, stats, values
+
+
 def write_manifest_table(
     spark: SparkSession,
     df: DataFrame,
     root: str,
     n_files: int = 4,
     cluster_by: list[str] | None = None,
+    partition_by: str | None = None,
 ) -> str:
     """Create a manifest table at ``root`` with ``df`` as version 1.
     Raises CommitConflict if the table already has a v1 (two creators
-    raced)."""
+    raced). ``partition_by`` commits with EXPLICIT per-file partition
+    values and records the partition spec (one value per file — the
+    partition-aware manifest; ``n_files``/``cluster_by`` are ignored in
+    that mode, width is one file per distinct value)."""
     os.makedirs(root, exist_ok=True)
+    if partition_by is not None:
+        files, stats, values = _stage_partitioned_files(spark, df, root, partition_by)
+        return _commit(
+            root, files, parent=0, file_stats=stats,
+            partitions=values, spec=[[partition_by]],
+        )
     files, stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
     return _commit(root, files, parent=0, file_stats=stats)
 
@@ -398,6 +468,7 @@ def append_manifest_table(
     n_files: int = 1,
     cluster_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    partition_by: str | None = None,
 ) -> str:
     """Append ``df``: new data files + a manifest that is old ∪ new —
     the incremental-ingest commit (no existing file touched). On
@@ -421,7 +492,13 @@ def append_manifest_table(
         cur = current_manifest(root)
         if cur.get("txns", {}).get(app_id, -1) >= batch_id:
             return f"m{cur['version']}.json"
-    new, new_stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
+    if partition_by is not None:
+        new, new_stats, new_parts = _stage_partitioned_files(
+            spark, df, root, partition_by
+        )
+    else:
+        new, new_stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
+        new_parts = {}
     for _ in range(_COMMIT_RETRIES):
         cur = current_manifest(root)
         txns = dict(cur.get("txns", {}))
@@ -430,6 +507,12 @@ def append_manifest_table(
             if txns.get(app_id, -1) >= batch_id:
                 return f"m{cur['version']}.json"  # raced replay: skip
             txns[app_id] = batch_id
+        # explicit partition values carry forward; a partitioned append
+        # to a spec-less table (or a new column) EXTENDS the spec list
+        parts = {**cur.get("partitions", {}), **new_parts}
+        spec = list(cur.get("spec", []))
+        if partition_by is not None and [partition_by] not in spec:
+            spec.append([partition_by])
         try:
             return _commit(
                 root,
@@ -437,6 +520,8 @@ def append_manifest_table(
                 parent=cur["version"],
                 file_stats={**cur.get("file_stats", {}), **new_stats},
                 txns=txns,
+                partitions=parts or None,
+                spec=spec or None,
             )
         except CommitConflict:
             continue
@@ -512,13 +597,29 @@ def files_for_values(manifest: dict, column: str, values) -> list[str]:
     ingest clusters by the partition column: a micro-batch's files then
     carry exactly its touched values). Missing stats widen, never
     narrow; probe values normalize like prune_files' bounds, same
-    soundness rules throughout."""
+    soundness rules throughout.
+
+    Files carrying an EXPLICIT partition value for ``column`` (written
+    by the partition-aware stagers) resolve by exact string-encoded
+    membership — one file, one value, no range containment — so probes
+    stay exact even when other appends wrote wide-range files; the
+    null-partition file matches no non-null probe. Files without an
+    explicit entry fall back to stats containment (old manifests and
+    stats-only tables read unchanged)."""
     vals = [_json_stat(v) for v in values]
     if any(v is None for v in vals):
         return list(manifest["files"])  # un-encodable probe: cannot prune
     keep = []
     stats = manifest.get("file_stats", {})
+    parts = manifest.get("partitions", {})
+    val_strs = {str(v) for v in vals}
     for f in manifest["files"]:
+        ent = parts.get(f)
+        if ent is not None and column in ent:
+            pv = ent[column]
+            if pv is not None and pv in val_strs:
+                keep.append(f)
+            continue  # exact membership: null partition / other values skip
         mm = stats.get(f, {}).get(column)
         if mm == _ALL_NULL:
             continue  # column entirely null here: no non-null value matches
@@ -578,16 +679,35 @@ def compact_manifest_table(
     manifest stats' selectivity, so a table that serves pruned scans
     should compact with its cluster keys (one shuffle, the price of
     keeping reads O(selectivity)). The only_values mode always
-    re-clusters on its own column."""
+    re-clusters on its own column.
+
+    PARTITION-AWARE tables (a recorded spec): rewrites stage through
+    the partitioned writer instead — one file per distinct value, each
+    carrying its EXPLICIT partition entry — so compaction preserves
+    exact membership resolution rather than demoting rewritten files
+    back to range containment; carried files keep their entries
+    verbatim, replaced files' entries drop with them
+    (``target_file_bytes`` yields to the one-file-per-value shape in
+    this mode)."""
     for _ in range(_COMMIT_RETRIES):
         cur = current_manifest(root)
+        spec_cols = {c for s in cur.get("spec", []) for c in s}
         if only_values is not None:
             col, values = only_values
             touched = files_for_values(cur, col, values)
             carried = [f for f in cur["files"] if f not in set(touched)]
             cluster = [col]
+            part_col = col if col in spec_cols else None
         else:
             touched, carried, cluster = list(cur["files"]), [], cluster_by
+            # a spec'd table rewrites PARTITIONED on its newest spec
+            # column — a bare coalesce would merge values into one file
+            # and demote explicit membership back to range containment
+            part_col = (
+                cur["spec"][-1][0]
+                if cur.get("spec") and cluster_by is None
+                else None
+            )
         if not touched:
             return {
                 "manifest": f"m{cur['version']}.json",
@@ -600,10 +720,19 @@ def compact_manifest_table(
         df = read_manifest_table(
             spark, root, {**cur, "files": touched}, merge_schema=True
         )
-        new, stats = _stage_files(
-            spark, df, root, n_out, shuffle=cluster is not None, cluster_by=cluster
-        )
+        if part_col is not None:
+            new, stats, new_parts = _stage_partitioned_files(spark, df, root, part_col)
+        else:
+            new, stats = _stage_files(
+                spark, df, root, n_out, shuffle=cluster is not None, cluster_by=cluster
+            )
+            new_parts = {}
         old_stats = cur.get("file_stats", {})
+        old_parts = cur.get("partitions", {})
+        parts = {
+            **{f: old_parts[f] for f in carried if f in old_parts},
+            **new_parts,
+        }
         try:
             name = _commit(
                 root,
@@ -614,6 +743,8 @@ def compact_manifest_table(
                     **stats,
                 },
                 txns=cur.get("txns", {}),
+                partitions=parts or None,
+                spec=cur.get("spec") or None,
             )
         except CommitConflict:
             continue

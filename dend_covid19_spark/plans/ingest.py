@@ -3076,3 +3076,137 @@ def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFr
     )
     _MANIFEST_SINK_CACHE[key] = out
     return out
+
+
+# --- r18 candidate (PREBUILT, NOT REGISTERED): AS-OF version + history --------
+# The time-travel surface of the manifest protocol under the value hash
+# (r16 verdict missing item 3). manifest_at_version / manifest_table_
+# history are pytest-only today (tests/test_lakehouse.py); this row puts
+# the AS-OF pin itself under the cross-engine hash. r17's window had
+# exactly one slot (spent on the manifest sink), so the function body,
+# oracle twin, and pytest pin land now and r18's registration is one
+# @query decorator:
+#
+#   @query("lakehouse_asof_history", oracle=_ASOF_HISTORY_ORACLE)
+
+_ASOF_HISTORY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_ASOF_CUTS = ("2024-01-11", "2024-01-21")  # v1 | v2 append | v3 append
+
+_ASOF_HISTORY_ORACLE = f"""
+WITH asof2 AS (
+    SELECT * FROM events
+    WHERE CAST(ts AS DATE) < DATE '{_ASOF_CUTS[1]}' OR ts IS NULL
+)
+SELECT 'v2' AS version_tag, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM asof2 GROUP BY event_type
+UNION ALL
+SELECT 'latest' AS version_tag, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
+def lakehouse_asof_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-VERSION time travel + DESCRIBE HISTORY under the value hash
+    (r18 candidate): a four-commit chain — v1 write (pre-2024-01-11 +
+    null-ts), v2 append ([01-11, 01-21)), v3 append (>= 01-21), v4
+    compaction — is read back MID-CHAIN via ``manifest_at_version(2)``
+    (not the v1 floor, not the latest: the pin must reconstruct an
+    interior state that no pointer names) and at latest, and the two
+    digests hash against the batch oracle's two slices. A match proves
+    version pinning reconstructs exactly the rows that existed at v2 —
+    through a later append AND a compaction that rewrote the files v2
+    references (invariant 1: they stay on disk untouched until vacuum).
+
+    DESCRIBE HISTORY is asserted in-query (driver-side metadata):
+    manifest_table_history returns exactly versions [1,2,3,4] with
+    every retained version still fully servable (bytes non-null — no
+    file referenced by a retained manifest has been vacuumed),
+    monotone file-count growth across the appends, and the compaction
+    shrinking v4 below v3.
+
+    vs lakehouse_manifest_roundtrip (same protocol family): that row
+    pins v1 BEFORE maintenance runs — the concurrent-reader contract;
+    this row reconstructs an interior version AFTER the chain is fully
+    committed — the audit/rollback contract (Delta VERSION AS OF /
+    Iceberg snapshot-id reads). Null-ts rows route to v1 on both sides.
+
+    Plan/scale: time travel is O(1) manifest reads + a scan of the
+    pinned file list; history is one JSON read per retained version —
+    driver metadata, no data touched until the digest scan. Retention
+    (vacuum keep_last/grace) bounds how far back pins reach; a
+    vacuumed pin fails loudly (manifest_at_version raises), never
+    serves partial data."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ASOF_HISTORY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _ASOF_HISTORY_CACHE if k[0] != key[0]]:
+        del _ASOF_HISTORY_CACHE[k]
+
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        manifest_at_version,
+        manifest_table_history,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("asofhist", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"asofhist_{token}")
+    root = os.path.join(scratch, "table")
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = F.to_date("ts")
+    c1, c2 = _ASOF_CUTS
+    in_v1 = F.coalesce(d < F.lit(c1).cast("date"), F.lit(True))
+    in_v2 = ~in_v1 & (d < F.lit(c2).cast("date"))
+
+    if not os.path.exists(os.path.join(root, "_manifests", "m1.json")):
+        write_manifest_table(spark, ev.where(in_v1), root, n_files=3)
+        append_manifest_table(spark, ev.where(in_v2), root, n_files=3)
+        append_manifest_table(spark, ev.where(~in_v1 & ~in_v2), root, n_files=3)
+        rec = compact_manifest_table(spark, root)
+        assert rec["files_after"] < rec["files_before"], rec
+
+    hist = manifest_table_history(root)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4], hist
+    assert all(h["bytes"] is not None for h in hist), (
+        "a retained version lost a data file (vacuum never ran here)"
+    )
+    assert hist[0]["n_files"] < hist[1]["n_files"] < hist[2]["n_files"], hist
+    assert hist[3]["n_files"] < hist[2]["n_files"], hist  # the compaction
+    pin2 = manifest_at_version(root, 2)
+    assert all(os.path.exists(os.path.join(root, f)) for f in pin2["files"]), (
+        "compaction deleted files a retained version references"
+    )
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        ).select(F.lit(tag).alias("version_tag"), "*")
+
+    out = digest(read_manifest_table(spark, root, pin2), "v2").unionByName(
+        digest(read_manifest_table(spark, root), "latest")
+    )
+    _ASOF_HISTORY_CACHE[key] = out
+    return out

@@ -580,11 +580,11 @@ def test_compaction_conflict_redoes_data_work(spark, tmp_path, monkeypatch):
     real_commit = lh._commit
     state = {"injected": False}
 
-    def racing_commit(root_, files, parent, file_stats=None, txns=None):
+    def racing_commit(root_, files, parent, file_stats=None, txns=None, **kw):
         if not state["injected"]:
             state["injected"] = True
             lh.append_manifest_table(spark, extra, root_, n_files=1)
-        return real_commit(root_, files, parent, file_stats=file_stats, txns=txns)
+        return real_commit(root_, files, parent, file_stats=file_stats, txns=txns, **kw)
 
     monkeypatch.setattr(lh, "_commit", racing_commit)
     rec = compact_manifest_table(spark, root, target_file_bytes=1 << 40)

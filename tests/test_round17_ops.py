@@ -267,3 +267,196 @@ def test_files_for_values_exact_on_clustered_table(spark, tmp_path):
         assert resolved == owners, (
             f"day {day}: resolved {sorted(resolved)} != actual {sorted(owners)}"
         )
+
+
+def test_prebuilt_asof_history_row_matches_batch(spark):
+    """The r18 candidate row (prebuilt, unregistered — SURVEY §8 r17
+    item 10a): AS-OF v2 + latest digests equal the directly-computed
+    batch twins over the source slices, the DuckDB twin is
+    syntactically ready, and re-entry (cache cleared) rebuilds the
+    same digest."""
+    import duckdb
+
+    from dend_covid19_spark.plans.ingest import (
+        _ASOF_CUTS,
+        _ASOF_HISTORY_CACHE,
+        _ASOF_HISTORY_ORACLE,
+        lakehouse_asof_history,
+    )
+
+    got = lakehouse_asof_history(spark, SF_DIR)
+    ev = load_table(spark, "events", SF_DIR)
+    d = F.to_date("ts")
+
+    def twin(df, tag):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        ).select(F.lit(tag).alias("version_tag"), "*")
+
+    asof2 = ev.where(
+        F.coalesce(d < F.lit(_ASOF_CUTS[1]).cast("date"), F.lit(True))
+    )
+    want = twin(asof2, "v2").unionByName(twin(ev, "latest"))
+    assert _digest(got) == _digest(want)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    cols = ["version_tag", "event_type", "n_events", "n_distinct_events",
+            "total_cents", "min_event_id", "max_event_id"]
+    oracle = sorted(tuple(r) for r in con.execute(_ASOF_HISTORY_ORACLE).fetchall())
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    assert spark_rows == oracle
+
+    first = _digest(got)
+    _ASOF_HISTORY_CACHE.clear()
+    assert _digest(lakehouse_asof_history(spark, SF_DIR)) == first
+
+
+def test_partitioned_manifest_exact_membership_and_null_partition(spark, tmp_path):
+    """Partition-aware manifests, stage 2 prebuild (r18 queue item b):
+    write_manifest_table(partition_by=...) records ONE explicit
+    partition value per data file plus the spec; files_for_values
+    resolves by exact membership (the null-partition file matches no
+    non-null probe), the real column stays IN the data files, and the
+    round trip is lossless including null-key rows."""
+    root = str(tmp_path / "pm")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "value", F.to_date("ts").alias("day")
+    )
+    base = ev.where(F.col("day").isNotNull())
+    null_rows = base.limit(25).withColumn("day", F.lit(None).cast("date"))
+    df = base.unionByName(null_rows)
+    write_manifest_table(spark, df, root, partition_by="day")
+
+    m = current_manifest(root)
+    assert m["spec"] == [["day"]]
+    assert set(m["partitions"]) == set(m["files"])
+    vals = [e["day"] for e in m["partitions"].values()]
+    assert sum(1 for v in vals if v is None) >= 1  # the null partition
+    # one value per file, and each value maps to exactly one file here
+    nonnull = [v for v in vals if v is not None]
+    assert len(nonnull) == len(set(nonnull))
+
+    # exact membership against physical ground truth, fallback ignored
+    for f, ent in m["partitions"].items():
+        got_day = (
+            spark.read.parquet(os.path.join(root, f))
+            .select("day").distinct().collect()
+        )
+        assert len(got_day) == 1  # one partition value per data file
+        phys = got_day[0].day
+        assert (ent["day"] is None) == (phys is None)
+        if phys is not None:
+            assert ent["day"] == phys.isoformat()
+            import datetime
+            assert files_for_values(m, "day", [phys]) == [f]
+            assert files_for_values(m, "day", [phys.isoformat()]) == [f]
+
+    got = read_manifest_table(spark, root).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    )
+    want = df.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    )
+    assert _digest(got) == _digest(want)
+
+
+def test_partitioned_append_upgrades_wide_file_on_compact(spark, tmp_path):
+    """A stats-only append whose single file spans EVERY day widens into
+    each probe (sound fallback); one scoped OPTIMIZE rewrites it through
+    the partitioned stager — after which every probe resolves exactly
+    one file and untouched explicit files carry over mtime-identical."""
+    root = str(tmp_path / "pw")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "value", F.to_date("ts").alias("day")
+    ).where(F.col("day").isNotNull())
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    assert len(days) >= 3
+    write_manifest_table(spark, ev, root, partition_by="day")
+    m0 = current_manifest(root)
+    by_day = {e["day"]: f for f, e in m0["partitions"].items()}
+
+    # the wide file: one unpartitioned append spanning all days
+    append_manifest_table(spark, ev.limit(60), root, n_files=1)
+    m1 = current_manifest(root)
+    (wide,) = set(m1["files"]) - set(m0["files"])
+    assert wide not in m1.get("partitions", {})
+    probe = days[1]
+    resolved = set(files_for_values(m1, "day", [probe]))
+    assert resolved == {by_day[probe.isoformat()], wide}, (
+        "wide file must widen in via stats fallback"
+    )
+
+    untouched = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for f in m1["files"]
+        if f not in resolved
+    }
+    rec = compact_manifest_table(spark, root, only_values=("day", [probe]))
+    assert rec["files_rewritten"] == 2
+    m2 = current_manifest(root)
+    # the rewrite re-partitioned: every resulting file carries an
+    # explicit entry, so every probe is now exactly one file...
+    assert set(m2["partitions"]) == set(m2["files"])
+    assert len(files_for_values(m2, "day", [probe])) == 1
+    # ...including days the wide file covered but the probe didn't name
+    other = days[2]
+    assert all(
+        m2["partitions"][f]["day"] == other.isoformat()
+        for f in files_for_values(m2, "day", [other])
+    )
+    for f, mt in untouched.items():
+        assert f in set(m2["files"])
+        assert os.path.getmtime(os.path.join(root, f)) == mt
+
+    got = read_manifest_table(spark, root).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    )
+    want = ev.unionByName(ev.limit(60)).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    )
+    assert _digest(got) == _digest(want)
+
+
+def test_partitioned_full_compaction_preserves_spec_and_membership(spark, tmp_path):
+    """Full-table OPTIMIZE of a spec'd table stages through the
+    partitioned writer (a bare coalesce would merge values into one
+    file and demote exact membership): fragments collapse to one file
+    per value, every file keeps an explicit entry, the spec survives,
+    and the digest is unchanged."""
+    root = str(tmp_path / "pf")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "value", F.to_date("ts").alias("day")
+    ).where(F.col("day").isNotNull())
+    write_manifest_table(
+        spark, ev.where(F.col("event_id") % 2 == 0), root, partition_by="day"
+    )
+    append_manifest_table(
+        spark, ev.where(F.col("event_id") % 2 == 1), root, partition_by="day"
+    )
+    m1 = current_manifest(root)
+    n_days = ev.select("day").distinct().count()
+    assert len(m1["files"]) == 2 * n_days  # two fragments per value
+
+    rec = compact_manifest_table(spark, root)
+    assert rec["files_rewritten"] == 2 * n_days
+    m2 = current_manifest(root)
+    assert m2["spec"] == [["day"]]
+    assert len(m2["files"]) == n_days
+    assert set(m2["partitions"]) == set(m2["files"])
+    for d in (r.day for r in ev.select("day").distinct().collect()):
+        assert len(files_for_values(m2, "day", [d])) == 1
+
+    got = read_manifest_table(spark, root).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    )
+    want = ev.groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+    assert _digest(got) == _digest(want)
