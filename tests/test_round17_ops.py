@@ -460,3 +460,60 @@ def test_partitioned_full_compaction_preserves_spec_and_membership(spark, tmp_pa
     )
     want = ev.groupBy().agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
     assert _digest(got) == _digest(want)
+
+
+def test_partition_spec_evolution_day_to_hour_resolves_soundly(spark, tmp_path):
+    """Spec EVOLUTION (r18 design, provable on today's resolution
+    rules): a table partitioned by day gains an hour-partitioned append
+    — the spec list extends to [[day],[hour]] with zero data movement.
+    Hour probes are EXACT over hour-era files and WIDEN over day-era
+    files (the hour column doesn't exist there — missing stats must
+    widen, never narrow); day probes stay exact over day-era files and
+    fall back to stats over hour-era files that still carry day. Every
+    resolution is sound: no file containing a probed row is ever
+    skipped."""
+    root = str(tmp_path / "se")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "value", F.to_date("ts").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
+    ).where(F.col("day").isNotNull())
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+    old_era = ev.where(F.col("day") < mid).drop("hour")  # pre-evolution files
+    new_era = ev.where(F.col("day") >= mid)
+
+    write_manifest_table(spark, old_era, root, partition_by="day")
+    m1 = current_manifest(root)
+    append_manifest_table(spark, new_era, root, partition_by="hour")
+    m2 = current_manifest(root)
+    assert m2["spec"] == [["day"], ["hour"]]
+    old_files = set(m1["files"])
+    new_files = set(m2["files"]) - old_files
+
+    # hour probe: exact over hour-era, widened over day-era (sound)
+    an_hour = new_era.select("hour").distinct().limit(1).collect()[0].hour
+    resolved = set(files_for_values(m2, "hour", [an_hour]))
+    assert old_files <= resolved, "day-era files must widen into hour probes"
+    exact_new = {
+        f for f in new_files if m2["partitions"][f]["hour"] == an_hour
+    }
+    assert resolved & new_files == exact_new, "hour-era must resolve exactly"
+
+    # day probe: exact over day-era; hour-era resolves by day stats
+    an_old_day = days[0]
+    got = set(files_for_values(m2, "day", [an_old_day]))
+    assert got & old_files == {
+        f for f in old_files if m2["partitions"][f]["day"] == an_old_day.isoformat()
+    }
+    # soundness end-to-end: pruned read + predicate == full read + predicate
+    pruned = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, f) for f in got])
+        .where(F.col("day") == an_old_day)
+    )
+    full = read_manifest_table(spark, root, merge_schema=True).where(
+        F.col("day") == an_old_day
+    )
+    assert sorted(r.event_id for r in pruned.collect()) == sorted(
+        r.event_id for r in full.collect()
+    )
