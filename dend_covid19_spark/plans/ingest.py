@@ -3210,3 +3210,404 @@ def lakehouse_asof_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ASOF_HISTORY_CACHE[key] = out
     return out
+
+
+# --- r18 candidate (PREBUILT, NOT REGISTERED): partition-exact scan ----------
+# The end-to-end oracle row over the stage-2 partition-aware manifest
+# library (SURVEY §8 r17 item 10b): explicit per-file partition values
+# under the value hash — exact membership resolution, the null
+# partition, the stats-only wide file, and its UPGRADE to explicit
+# entries by the first scoped OPTIMIZE that touches it. r18's
+# registration is one @query decorator:
+#
+#   @query("lakehouse_partition_exact_scan", oracle=_PART_EXACT_ORACLE)
+
+_PART_EXACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Probe-day selection is pure rank arithmetic over the sorted distinct
+# non-null days so both engines derive the identical set at any SF:
+# ranks {min(2,n), n//2+1, max(n-1,1)} (1-indexed, deduped).
+_PART_EXACT_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+    FROM events WHERE ts IS NOT NULL
+),
+r AS (
+    SELECT day, row_number() OVER (ORDER BY day) AS rk,
+           count(*) OVER () AS n
+    FROM d
+),
+probe AS (
+    SELECT DISTINCT day FROM r
+    WHERE rk IN (LEAST(2, n), n // 2 + 1, GREATEST(n - 1, 1))
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE CAST(CAST(ts AS DATE) AS VARCHAR) IN (SELECT day FROM probe)
+GROUP BY 1
+"""
+
+
+def lakehouse_partition_exact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT partition-membership scan planning under the value hash
+    (r18 candidate, stage-2 partition-aware manifests end-to-end): the
+    events table commits partition-aware on day — a base write plus a
+    clustered append (two explicit one-value files per day) plus one
+    STATS-ONLY wide append (no explicit entries, the pre-spec legacy
+    shape) — and a three-day probe set resolves through
+    ``files_for_values``. In-query asserts pin the resolution law file
+    by file: every explicit file owning a probed day is in the touched
+    set, every explicit file owning any OTHER value — including the
+    null partition — is skipped (exact membership, not range
+    containment), and the wide file resolves by sound stats fallback.
+    A scoped OPTIMIZE over exactly the probed values then rewrites the
+    touched resolution; afterwards every rewritten file carries an
+    explicit entry (the wide file is UPGRADED the first time
+    maintenance touches it — pre-spec tables heal incrementally, no
+    table-wide migration job), carried files keep their entries
+    verbatim, and each probed day resolves to exactly ONE file. The
+    digest reads the post-OPTIMIZE probe plan + the exact predicate
+    and hashes against the oracle over the ORIGINAL parquet — the
+    match proves exact planning skipped no matching row through the
+    append + upgrade + rewrite chain.
+
+    vs lakehouse_pruned_scan (r16): that row prunes by RANGE
+    containment over write-time footer stats — sound but widened by
+    any wide-range file; this row pins the Iceberg manifest-entry
+    rule (one explicit partition value per file) where probe planning
+    is exact string membership regardless of what other appends wrote.
+
+    Plan/scale: resolution is O(manifest) driver metadata; at 10^6
+    files a day-probe plans |files(day)| scans with zero false
+    positives, the null partition never pollutes non-null probes, and
+    the upgrade path means a 100 TB pre-spec table converts to exact
+    membership at OPTIMIZE pace without a rewrite-the-world migration.
+    Probe days derive from rank arithmetic both engines compute
+    identically (no driver->oracle value smuggling)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PART_EXACT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _PART_EXACT_CACHE if k[0] != key[0]]:
+        del _PART_EXACT_CACHE[k]
+
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        current_manifest,
+        files_for_values,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("pexact", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"pexact_{token}")
+    root = os.path.join(scratch, "table")
+    audit_path = os.path.join(scratch, "_build_audit.json")
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("day", F.to_date("ts").cast("string"))
+    )
+    days = sorted(
+        r.day
+        for r in ev.where(F.col("day").isNotNull()).select("day").distinct().collect()
+    )
+    n = len(days)
+    ranks = sorted({min(2, n), n // 2 + 1, max(n - 1, 1)}) if n else []
+    probe_days = [days[rk - 1] for rk in ranks]
+
+    if not os.path.exists(audit_path):
+        base = ev.where(F.col("event_id") % 2 == 0)
+        second = ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 7 != 3))
+        wide = ev.where((F.col("event_id") % 2 == 1) & (F.col("event_id") % 7 == 3))
+        write_manifest_table(spark, base, root, partition_by="day")
+        append_manifest_table(spark, second, root, partition_by="day")
+        has_wide = bool(wide.take(1))
+        if has_wide:
+            append_manifest_table(spark, wide, root, n_files=1)
+        pre = current_manifest(root)
+        touched = files_for_values(pre, "day", probe_days) if probe_days else []
+        rec = (
+            compact_manifest_table(spark, root, only_values=("day", probe_days))
+            if probe_days
+            else None
+        )
+        with open(audit_path, "w") as fh:
+            json.dump(
+                {
+                    "has_wide": has_wide,
+                    "probe_days": probe_days,
+                    "pre_files": pre["files"],
+                    "pre_partitions": pre.get("partitions", {}),
+                    "touched": touched,
+                    "rec": rec,
+                },
+                fh,
+            )
+
+    with open(audit_path) as fh:
+        audit = json.load(fh)
+    assert audit["probe_days"] == probe_days, "probe derivation not deterministic"
+
+    m = current_manifest(root)
+    parts = m.get("partitions", {})
+    assert m.get("spec") == [["day"]], m.get("spec")
+
+    # Pre-OPTIMIZE resolution law, file by file: explicit entries are
+    # EXACT membership (other values and the null partition skip);
+    # stats-only files resolve by sound containment fallback.
+    pre_parts = audit["pre_partitions"]
+    pset = set(probe_days)
+    touched = set(audit["touched"])
+    for f, ent in pre_parts.items():
+        v = ent.get("day")
+        if v is not None and v in pset:
+            assert f in touched, f"explicit probed-day owner skipped: {f}"
+        else:
+            assert f not in touched, f"exact membership leaked {v!r}: {f}"
+    if audit["has_wide"]:
+        assert any(f not in pre_parts for f in audit["pre_files"]), (
+            "stats-only wide file missing from the pre state"
+        )
+    if audit["rec"] is not None:
+        assert audit["rec"]["files_rewritten"] == len(touched), audit["rec"]
+
+    # Post-OPTIMIZE: rewrites carry explicit entries (the wide-file
+    # UPGRADE), carried entries are verbatim, and each probed day owns
+    # exactly ONE file — the probe plan is one file per touched value.
+    pre_set = set(audit["pre_files"])
+    for f in m["files"]:
+        if f not in pre_set:
+            assert f in parts, f"rewritten file demoted to stats-only: {f}"
+        elif f in pre_parts:
+            assert parts.get(f) == pre_parts[f], f"carried entry mutated: {f}"
+    if probe_days:
+        owners: dict = {}
+        for f in files_for_values(m, "day", probe_days):
+            owners.setdefault(parts.get(f, {}).get("day"), []).append(f)
+        assert set(owners) == pset, (set(owners), pset)
+        assert all(len(v) == 1 for v in owners.values()), owners
+        resolved = files_for_values(m, "day", probe_days)
+        src = read_manifest_table(spark, root, {**m, "files": resolved}).where(
+            F.col("day").isin(probe_days)
+        )
+    else:
+        src = read_manifest_table(spark, root).where(F.lit(False))
+
+    out = src.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )
+    _PART_EXACT_CACHE[key] = out
+    return out
+
+
+# --- r18 candidate (PREBUILT, NOT REGISTERED): spec evolution scan -----------
+# Partition-spec EVOLUTION (day -> hour) under the value hash (SURVEY
+# §8 r17 item 10c): a day-partitioned table gains an hour-partitioned
+# append with ZERO data movement, and probes at BOTH granularities
+# resolve soundly across the era boundary. Registration is one
+# decorator:
+#
+#   @query("lakehouse_spec_evolution_scan", oracle=_SPEC_EVO_ORACLE)
+
+_SPEC_EVO_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# The probe hour is rank n//2+1 over sorted distinct hours (the first
+# new-era hour by construction); the probe day is the global min day —
+# both pure arithmetic either engine computes identically.
+_SPEC_EVO_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d-%H') AS hr
+    FROM events WHERE ts IS NOT NULL
+),
+r AS (
+    SELECT hr, row_number() OVER (ORDER BY hr) AS rk,
+           count(*) OVER () AS n
+    FROM h
+),
+ph AS (SELECT hr FROM r WHERE rk = n // 2 + 1)
+SELECT 'hour' AS probe, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE strftime(ts, '%Y-%m-%d-%H') = (SELECT hr FROM ph)
+GROUP BY 2
+UNION ALL
+SELECT 'day' AS probe, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE CAST(ts AS DATE) = (
+    SELECT min(CAST(ts AS DATE)) FROM events WHERE ts IS NOT NULL
+)
+GROUP BY 2
+"""
+
+
+def lakehouse_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION under the value hash (r18 candidate):
+    the day era of the events table commits partition-aware on day
+    (null-ts rows included — they land in the day-era null partition),
+    then the hour era appends partition-aware on HOUR — the spec list
+    extends to [[day],[hour]] and not one existing byte moves (the
+    Iceberg spec-evolution contract: old files keep old-granularity
+    metadata forever). Probes then resolve across the era boundary
+    under asserted laws: an HOUR probe is exact membership over
+    hour-era files and WIDENS over day-era files (the hour column does
+    not exist there — missing metadata must widen, never narrow); a
+    DAY probe is exact membership over day-era files while hour-era
+    files resolve by day STATS (the real columns stay in the data
+    files, so finer-grained eras remain day-prunable). The digest
+    reads each probe's planned file list + the exact predicate
+    (recomputing hour from ts, so era schema differences cannot leak)
+    and hashes both probes against the oracle over the original
+    parquet — a match proves no resolution at either granularity
+    skipped a matching row.
+
+    vs lakehouse_partition_exact_scan (sibling candidate): that row
+    pins exact membership within ONE spec; this row pins the sound
+    composition of TWO specs on one table — the operation that lets a
+    100 TB table move from daily to hourly partitioning at zero
+    rewrite cost when ingest rates grow.
+
+    Plan/scale: spec evolution is a manifest-only commit; hour probes
+    on the new era plan one file per hour, and the day-era widening
+    cost decays as OPTIMIZE naturally migrates data forward. Probe
+    values derive from rank arithmetic both engines compute
+    identically."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SPEC_EVO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _SPEC_EVO_CACHE if k[0] != key[0]]:
+        del _SPEC_EVO_CACHE[k]
+
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        current_manifest,
+        files_for_values,
+        manifest_at_version,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("specevo", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"specevo_{token}")
+    root = os.path.join(scratch, "table")
+    audit_path = os.path.join(scratch, "_build_audit.json")
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .withColumn("hour", F.date_format("ts", "yyyy-MM-dd-HH"))
+    )
+    hours = sorted(
+        r.hour
+        for r in ev.where(F.col("hour").isNotNull())
+        .select("hour")
+        .distinct()
+        .collect()
+    )
+    nh = len(hours)
+    probe_hour = hours[nh // 2] if nh else None  # rank nh//2 + 1
+    probe_day = hours[0][:10] if nh else None  # min non-null day
+
+    if not os.path.exists(audit_path):
+        if probe_hour is not None:
+            old = ev.where(
+                F.coalesce(F.col("hour") < F.lit(probe_hour), F.lit(True))
+            ).drop("hour")
+            new = ev.where(F.col("hour") >= F.lit(probe_hour))
+        else:
+            old, new = ev.drop("hour"), None
+        wrote_old = bool(old.take(1))
+        if wrote_old:
+            write_manifest_table(spark, old, root, partition_by="day")
+            if new is not None:
+                append_manifest_table(spark, new, root, partition_by="hour")
+        else:
+            write_manifest_table(spark, new, root, partition_by="hour")
+        v1_files = manifest_at_version(root, 1)["files"]
+        with open(audit_path, "w") as fh:
+            json.dump(
+                {
+                    "wrote_old": wrote_old,
+                    "has_new": new is not None,
+                    "v1_files": v1_files,
+                },
+                fh,
+            )
+
+    with open(audit_path) as fh:
+        audit = json.load(fh)
+
+    m = current_manifest(root)
+    parts = m.get("partitions", {})
+    if audit["wrote_old"] and audit["has_new"]:
+        assert m.get("spec") == [["day"], ["hour"]], m.get("spec")
+        v1 = set(audit["v1_files"])
+        new_files = set(m["files"]) - v1
+        # hour probe: day-era files WIDEN in; hour-era resolves exactly
+        resolved_h = set(files_for_values(m, "hour", [probe_hour]))
+        assert v1 <= resolved_h, "day-era files must widen into hour probes"
+        assert resolved_h & new_files == {
+            f for f in new_files if parts[f].get("hour") == probe_hour
+        }, "hour-era files must resolve by exact membership"
+        # day probe: day-era exact; hour-era resolves by day stats
+        resolved_d = set(files_for_values(m, "day", [probe_day]))
+        assert resolved_d & v1 == {
+            f for f in v1 if parts[f].get("day") == probe_day
+        }, "day-era files must resolve by exact membership"
+    elif audit["has_new"]:
+        assert m.get("spec") == [["hour"]], m.get("spec")
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("bigint")
+                .alias("total_cents"),
+                F.min("event_id").cast("bigint").alias("min_event_id"),
+                F.max("event_id").cast("bigint").alias("max_event_id"),
+            )
+            .select(F.lit(tag).alias("probe"), "*")
+        )
+
+    if probe_hour is not None:
+        hp_files = files_for_values(m, "hour", [probe_hour])
+        hp = read_manifest_table(
+            spark, root, {**m, "files": hp_files}, merge_schema=True
+        ).where(F.date_format("ts", "yyyy-MM-dd-HH") == probe_hour)
+        dp_files = files_for_values(m, "day", [probe_day])
+        dp = read_manifest_table(
+            spark, root, {**m, "files": dp_files}, merge_schema=True
+        ).where(F.col("day") == probe_day)
+    else:
+        hp = read_manifest_table(spark, root, merge_schema=True).where(F.lit(False))
+        dp = hp
+    out = digest(hp, "hour").unionByName(digest(dp, "day"))
+    _SPEC_EVO_CACHE[key] = out
+    return out

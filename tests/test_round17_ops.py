@@ -517,3 +517,60 @@ def test_partition_spec_evolution_day_to_hour_resolves_soundly(spark, tmp_path):
     assert sorted(r.event_id for r in pruned.collect()) == sorted(
         r.event_id for r in full.collect()
     )
+
+
+def _duck_events(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_prebuilt_partition_exact_scan_matches_duckdb(spark):
+    """The r18 candidate row (prebuilt, unregistered — SURVEY §8 r17
+    item 10b): lakehouse_partition_exact_scan's digest equals its
+    DuckDB twin on the same parquet, and re-entry (cache cleared)
+    rebuilds the same digest with every in-query resolution assert
+    re-run against the committed audit."""
+    from dend_covid19_spark.plans.ingest import (
+        _PART_EXACT_CACHE,
+        _PART_EXACT_ORACLE,
+        lakehouse_partition_exact_scan,
+    )
+
+    got = lakehouse_partition_exact_scan(spark, SF_DIR)
+    cols = ["day", "n_events", "n_distinct_events", "total_cents",
+            "min_event_id", "max_event_id"]
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    assert spark_rows == _duck_events(_PART_EXACT_ORACLE)
+    assert len(spark_rows) >= 1
+
+    first = _digest(got)
+    _PART_EXACT_CACHE.clear()
+    assert _digest(lakehouse_partition_exact_scan(spark, SF_DIR)) == first
+
+
+def test_prebuilt_spec_evolution_scan_matches_duckdb(spark):
+    """The r18 candidate row (prebuilt, unregistered — SURVEY §8 r17
+    item 10c): lakehouse_spec_evolution_scan's two-probe digest equals
+    its DuckDB twin, both probe slices are non-empty on real data, and
+    re-entry rebuilds the same digest."""
+    from dend_covid19_spark.plans.ingest import (
+        _SPEC_EVO_CACHE,
+        _SPEC_EVO_ORACLE,
+        lakehouse_spec_evolution_scan,
+    )
+
+    got = lakehouse_spec_evolution_scan(spark, SF_DIR)
+    cols = ["probe", "event_type", "n_events", "n_distinct_events",
+            "total_cents", "min_event_id", "max_event_id"]
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    assert spark_rows == _duck_events(_SPEC_EVO_ORACLE)
+    assert {r[0] for r in spark_rows} == {"day", "hour"}
+
+    first = _digest(got)
+    _SPEC_EVO_CACHE.clear()
+    assert _digest(lakehouse_spec_evolution_scan(spark, SF_DIR)) == first
