@@ -574,3 +574,63 @@ def test_prebuilt_spec_evolution_scan_matches_duckdb(spark):
     first = _digest(got)
     _SPEC_EVO_CACHE.clear()
     assert _digest(lakehouse_spec_evolution_scan(spark, SF_DIR)) == first
+
+
+def test_spec_evolution_full_compaction_keeps_column_truth_sound(spark, tmp_path):
+    """Full compaction of a TWO-SPEC table re-stages on the newest spec
+    column (hour): day-era rows — whose files never held the hour
+    column, so a mergeSchema read already served them hour=NULL — land
+    in the hour NULL partition with an explicit {hour: None} entry.
+    Under COLUMN-truth semantics this is lossless and sound: the spec
+    list survives the rewrite, no row is lost, and for any hour probe
+    the pruned plan + the hour-COLUMN predicate equals the full read +
+    the same predicate both before and after the compaction (the null
+    partition is correctly skipped because its rows' hour column IS
+    null). r18 design note: probes derived from OTHER columns (e.g.
+    recomputing hour from ts, the Iceberg hour(ts) transform) must not
+    prune post-rewrite without manifest-recorded transforms — the
+    library's contract today is explicit materialized columns."""
+    root = str(tmp_path / "fc")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "value", F.to_date("ts").cast("string").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd-HH").alias("hour"),
+    ).where(F.col("day").isNotNull())
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+    write_manifest_table(
+        spark, ev.where(F.col("day") < mid).drop("hour"), root, partition_by="day"
+    )
+    append_manifest_table(
+        spark, ev.where(F.col("day") >= mid), root, partition_by="hour"
+    )
+    an_hour = (
+        ev.where(F.col("day") >= mid).select(F.min("hour")).collect()[0][0]
+    )
+
+    def probed(m):
+        files = files_for_values(m, "hour", [an_hour])
+        return read_manifest_table(
+            spark, root, {**m, "files": files}, merge_schema=True
+        ).where(F.col("hour") == an_hour)
+
+    before = _digest(probed(current_manifest(root)).select("event_id"))
+    rec = compact_manifest_table(spark, root)
+    assert rec["files_rewritten"] >= 1, rec
+
+    m2 = current_manifest(root)
+    assert m2["spec"] == [["day"], ["hour"]], "spec must survive full compaction"
+    parts = m2["partitions"]
+    assert all(f in parts for f in m2["files"])
+    null_part = [f for f in m2["files"] if parts[f].get("hour") is None]
+    assert null_part, "day-era rows must land in the hour null partition"
+    # lossless: every row survives the rewrite
+    assert read_manifest_table(spark, root, merge_schema=True).count() == ev.count()
+    # column-truth probes stay exact and identical across the rewrite
+    after = _digest(probed(m2).select("event_id"))
+    assert after == before
+    full = read_manifest_table(spark, root, merge_schema=True).where(
+        F.col("hour") == an_hour
+    )
+    assert after == _digest(full.select("event_id"))
+    # and the null partition was correctly skipped from the probe plan
+    assert not set(null_part) & set(files_for_values(m2, "hour", [an_hour]))
