@@ -108,9 +108,20 @@ promote that duality into EXPLICIT partition values:
      and pruned scans become exact membership even on NON-clustered
      appends (today they're exact only when ingest clusters), removing
      the one case where a scoped rewrite touches a neighbor file.
-  First stage (the exactness pytest on the clustered layout) landed
-  r17; the manifest-format change and its oracle row are r18's to
-  schedule (the one-slot window discipline).
+  4. DECLARED TRANSFORMS (Iceberg's hour(ts) partition transforms):
+     ``"transforms": {col: spark_sql_expr}`` records what a spec
+     column DERIVES from. Writers materialize it when the frame lacks
+     it, and maintenance re-derives it for rows whose files predate
+     the spec — a rewrite migrates pre-spec data into REAL evolved
+     partitions instead of null-landing it, committed values are
+     never overwritten (coalesce), and genuinely-null sources stay in
+     the null partition. This is what makes source-derived probes
+     (hour-from-ts) prunable after a rewrite; without a declaration
+     the column-truth law applies (see
+     test_spec_evolution_full_compaction_keeps_column_truth_sound).
+  Stages 1-2 and the transform declaration landed as library + pytest
+  through r17; the oracle rows are r18's to schedule (the window
+  discipline).
 """
 
 from __future__ import annotations
@@ -158,6 +169,7 @@ def _commit(
     txns: dict | None = None,
     partitions: dict | None = None,
     spec: list | None = None,
+    transforms: dict | None = None,
 ) -> str:
     """Commit manifest m{parent+1} with EXCLUSIVE creation (os.link of
     a temp onto the final name fails atomically if the version already
@@ -178,10 +190,14 @@ def _commit(
     the partition-aware manifest design — Iceberg's
     one-partition-per-data-file entries. ``spec`` records the active
     partition spec (a list of column-name lists, newest last) so a
-    later spec EVOLUTION is detectable. Both are optional and absent
-    from stats-only tables (readers fall back to range containment);
-    omitted keys are simply not written, keeping old manifests
-    byte-compatible."""
+    later spec EVOLUTION is detectable. ``transforms`` records, per
+    spec column, the Spark SQL expression it DERIVES from (Iceberg's
+    partition-transform declaration, e.g. hour -> "date_format(ts,
+    'yyyy-MM-dd-HH')"): maintenance can then re-derive the column for
+    rows whose files predate it instead of null-landing them in the
+    evolved partition. All are optional and absent from stats-only
+    tables (readers fall back to range containment); omitted keys are
+    simply not written, keeping old manifests byte-compatible."""
     version = parent + 1
     name = f"m{version}.json"
     mdir = os.path.join(root, _MANIFESTS)
@@ -197,6 +213,8 @@ def _commit(
         payload["partitions"] = partitions
     if spec:
         payload["spec"] = spec
+    if transforms:
+        payload["transforms"] = transforms
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     try:
@@ -433,6 +451,21 @@ def _stage_partitioned_files(
     return rels, stats, values
 
 
+def _derive_partition_column(df: DataFrame, column: str, expr: str) -> DataFrame:
+    """Materialize a DECLARED partition transform on ``df``: rows that
+    already carry a value keep it verbatim (compaction must never
+    rewrite committed partition values); rows where the column is null
+    — or absent entirely, the schema of files that predate the spec —
+    get the derived value. A row whose transform source is itself null
+    stays in the null partition (genuinely-null keys survive
+    derivation)."""
+    from pyspark.sql import functions as F
+
+    if column in df.columns:
+        return df.withColumn(column, F.coalesce(F.col(column), F.expr(expr)))
+    return df.withColumn(column, F.expr(expr))
+
+
 def write_manifest_table(
     spark: SparkSession,
     df: DataFrame,
@@ -440,19 +473,27 @@ def write_manifest_table(
     n_files: int = 4,
     cluster_by: list[str] | None = None,
     partition_by: str | None = None,
+    transform: str | None = None,
 ) -> str:
     """Create a manifest table at ``root`` with ``df`` as version 1.
     Raises CommitConflict if the table already has a v1 (two creators
     raced). ``partition_by`` commits with EXPLICIT per-file partition
     values and records the partition spec (one value per file — the
     partition-aware manifest; ``n_files``/``cluster_by`` are ignored in
-    that mode, width is one file per distinct value)."""
+    that mode, width is one file per distinct value). ``transform``
+    DECLARES the Spark SQL expression ``partition_by`` derives from
+    (recorded in the manifest): the column is materialized here if the
+    frame lacks it, and later maintenance re-derives it for rows from
+    pre-spec files instead of null-landing them."""
     os.makedirs(root, exist_ok=True)
     if partition_by is not None:
+        if transform is not None:
+            df = _derive_partition_column(df, partition_by, transform)
         files, stats, values = _stage_partitioned_files(spark, df, root, partition_by)
         return _commit(
             root, files, parent=0, file_stats=stats,
             partitions=values, spec=[[partition_by]],
+            transforms={partition_by: transform} if transform else None,
         )
     files, stats = _stage_files(spark, df, root, n_files, cluster_by=cluster_by)
     return _commit(root, files, parent=0, file_stats=stats)
@@ -469,6 +510,7 @@ def append_manifest_table(
     cluster_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     partition_by: str | None = None,
+    transform: str | None = None,
 ) -> str:
     """Append ``df``: new data files + a manifest that is old ∪ new —
     the incremental-ingest commit (no existing file touched). On
@@ -493,6 +535,8 @@ def append_manifest_table(
         if cur.get("txns", {}).get(app_id, -1) >= batch_id:
             return f"m{cur['version']}.json"
     if partition_by is not None:
+        if transform is not None:
+            df = _derive_partition_column(df, partition_by, transform)
         new, new_stats, new_parts = _stage_partitioned_files(
             spark, df, root, partition_by
         )
@@ -513,6 +557,9 @@ def append_manifest_table(
         spec = list(cur.get("spec", []))
         if partition_by is not None and [partition_by] not in spec:
             spec.append([partition_by])
+        trs = dict(cur.get("transforms", {}))
+        if partition_by is not None and transform is not None:
+            trs[partition_by] = transform
         try:
             return _commit(
                 root,
@@ -522,6 +569,7 @@ def append_manifest_table(
                 txns=txns,
                 partitions=parts or None,
                 spec=spec or None,
+                transforms=trs or None,
             )
         except CommitConflict:
             continue
@@ -721,6 +769,13 @@ def compact_manifest_table(
             spark, root, {**cur, "files": touched}, merge_schema=True
         )
         if part_col is not None:
+            # a DECLARED transform re-derives the spec column for rows
+            # from files that predate it (or hold it null), so pre-spec
+            # data migrates into REAL partitions on rewrite instead of
+            # null-landing in the evolved spec
+            expr = cur.get("transforms", {}).get(part_col)
+            if expr is not None:
+                df = _derive_partition_column(df, part_col, expr)
             new, stats, new_parts = _stage_partitioned_files(spark, df, root, part_col)
         else:
             new, stats = _stage_files(
@@ -745,6 +800,7 @@ def compact_manifest_table(
                 txns=cur.get("txns", {}),
                 partitions=parts or None,
                 spec=cur.get("spec") or None,
+                transforms=cur.get("transforms") or None,
             )
         except CommitConflict:
             continue

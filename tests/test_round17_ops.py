@@ -634,3 +634,80 @@ def test_spec_evolution_full_compaction_keeps_column_truth_sound(spark, tmp_path
     assert after == _digest(full.select("event_id"))
     # and the null partition was correctly skipped from the probe plan
     assert not set(null_part) & set(files_for_values(m2, "hour", [an_hour]))
+
+
+def test_declared_transform_migrates_pre_spec_rows_on_rewrite(spark, tmp_path):
+    """Manifest-recorded partition TRANSFORMS (the r18 design note made
+    library-real): declaring hour = date_format(ts, ...) at spec
+    evolution lets the first full rewrite DERIVE the evolved column for
+    rows whose files predate it — pre-spec data migrates into real
+    hour partitions instead of null-landing, the transform declaration
+    survives the commit, and a ts-derived hour probe becomes EXACT
+    (pruned plan + derived predicate == full read + same predicate,
+    every resolved file owning exactly the probed value). This closes
+    the composition the column-truth pin documents as unprunable
+    without transforms."""
+    root = str(tmp_path / "tr")
+    hour_expr = "date_format(ts, 'yyyy-MM-dd-HH')"
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select("event_id", "ts", "value", F.to_date("ts").cast("string").alias("day"))
+        .where(F.col("day").isNotNull())
+    )
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+    write_manifest_table(spark, ev.where(F.col("day") < mid), root, partition_by="day")
+    append_manifest_table(
+        spark, ev.where(F.col("day") >= mid), root,
+        partition_by="hour", transform=hour_expr,
+    )
+    m = current_manifest(root)
+    assert m["spec"] == [["day"], ["hour"]]
+    assert m["transforms"] == {"hour": hour_expr}
+    v1_files = {f for f in m["files"] if m["partitions"][f].get("hour") is None
+                and "day" in m["partitions"][f]}
+    assert v1_files, "day-era files must predate the hour spec"
+
+    rec = compact_manifest_table(spark, root)
+    assert rec["files_rewritten"] >= 1, rec
+    m2 = current_manifest(root)
+    parts = m2["partitions"]
+    assert m2["transforms"] == {"hour": hour_expr}, "transform must survive rewrite"
+    # every surviving row owns a REAL hour partition (no null-landing)
+    assert all(parts[f].get("hour") is not None for f in m2["files"]), parts
+    assert read_manifest_table(spark, root).count() == ev.count()
+
+    # a ts-derived probe over an OLD-era hour is now exact and sound
+    an_hour = (
+        ev.where(F.col("day") < mid)
+        .select(F.min(F.date_format("ts", "yyyy-MM-dd-HH")))
+        .collect()[0][0]
+    )
+    files = files_for_values(m2, "hour", [an_hour])
+    assert files and all(parts[f]["hour"] == an_hour for f in files)
+    derived = F.date_format("ts", "yyyy-MM-dd-HH") == an_hour
+    pruned = read_manifest_table(spark, root, {**m2, "files": files}).where(derived)
+    full = read_manifest_table(spark, root).where(derived)
+    got = _digest(pruned.select("event_id"))
+    assert got == _digest(full.select("event_id")) and got
+
+
+def test_declared_transform_keeps_genuine_nulls_in_null_partition(spark, tmp_path):
+    """Derivation must never resurrect a genuinely-null key: a row
+    whose transform SOURCE is null stays in the null partition through
+    write-time materialization, and non-null probes exclude it while
+    the round trip keeps both rows."""
+    root = str(tmp_path / "nt")
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00"), (2, None)], "k int, ts_raw string"
+    ).select("k", F.col("ts_raw").cast("timestamp").alias("ts"))
+    write_manifest_table(
+        spark, df, root,
+        partition_by="hour", transform="date_format(ts, 'yyyy-MM-dd-HH')",
+    )
+    m = current_manifest(root)
+    vals = {m["partitions"][f]["hour"] for f in m["files"]}
+    assert vals == {"2024-01-05-10", None}, vals
+    hit = files_for_values(m, "hour", ["2024-01-05-10"])
+    assert [m["partitions"][f]["hour"] for f in hit] == ["2024-01-05-10"]
+    assert read_manifest_table(spark, root, merge_schema=True).count() == 2
