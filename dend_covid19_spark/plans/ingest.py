@@ -3611,3 +3611,198 @@ def lakehouse_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     out = digest(hp, "hour").unionByName(digest(dp, "day"))
     _SPEC_EVO_CACHE[key] = out
     return out
+
+
+# --- r19 candidate (PREBUILT, NOT REGISTERED): transform migration -----------
+# Declared partition transforms under the value hash (the library
+# stage landed r17; see operators/lakehouse.py module docstring item
+# 4). Registration is one decorator:
+#
+#   @query("lakehouse_transform_migration_scan",
+#          oracle=_TRANSFORM_MIG_ORACLE)
+
+_TRANSFORM_MIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Probe hours are pure rank arithmetic over sorted distinct hours:
+# rank LEAST(2,n) (an old-era hour) and rank n//2+1 (the first
+# new-era hour) — identical on both engines.
+_TRANSFORM_MIG_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d-%H') AS hr
+    FROM events WHERE ts IS NOT NULL
+),
+r AS (
+    SELECT hr, row_number() OVER (ORDER BY hr) AS rk,
+           count(*) OVER () AS n
+    FROM h
+),
+po AS (SELECT hr FROM r WHERE rk = LEAST(2, n)),
+pn AS (SELECT hr FROM r WHERE rk = n // 2 + 1)
+SELECT 'old_era' AS probe, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE strftime(ts, '%Y-%m-%d-%H') = (SELECT hr FROM po)
+GROUP BY 2
+UNION ALL
+SELECT 'new_era' AS probe, event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE strftime(ts, '%Y-%m-%d-%H') = (SELECT hr FROM pn)
+GROUP BY 2
+"""
+
+_HOUR_EXPR = "date_format(ts, 'yyyy-MM-dd-HH')"
+
+
+def lakehouse_transform_migration_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED-TRANSFORM partition migration under the value hash
+    (r19 candidate): the day era of the events table commits
+    partition-aware on day — its files never hold an hour column —
+    then the hour era appends partition_by hour with the transform
+    ``date_format(ts, 'yyyy-MM-dd-HH')`` DECLARED in the manifest, and
+    one full OPTIMIZE runs the migration rewrite: the compaction
+    re-derives hour from ts for every pre-spec row (committed values
+    kept verbatim via coalesce, null-ts rows staying in the null
+    partition), so day-era data lands in REAL hour partitions instead
+    of null-landing. In-query asserts pin the migrated layout: the
+    transform declaration survives the rewrite, every file's explicit
+    hour entry is non-null exactly when the table has non-null-ts
+    rows, and each probed hour's resolved plan contains only files
+    owning exactly that hour. The digest probes one OLD-era hour (the
+    partition class that was unprunable before migration) and one
+    NEW-era hour through ``files_for_values`` + the ts-DERIVED
+    predicate, and hashes both against the oracle over the original
+    parquet — a match proves the derivation is exactly
+    date_format(ts) for every migrated row and that exact planning
+    skipped no matching data.
+
+    vs lakehouse_spec_evolution_scan (sibling candidate): that row
+    pins the sound WIDENING composition of two specs with no
+    transform; this row pins the migration that removes the widening —
+    the Iceberg hour(ts) story end-to-end: declare at evolution time,
+    migrate at OPTIMIZE pace, then source-derived probes prune
+    exactly at the evolved granularity.
+
+    Plan/scale: the migration costs one bounded rewrite (O(table)
+    here, O(touched) via only_values in production); afterwards hour
+    probes on a 100 TB table plan |files(hour)| scans with zero false
+    positives at the finer granularity — the read-lever upgrade a
+    growing ingest rate needs. Probe hours derive from rank
+    arithmetic both engines compute identically."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRANSFORM_MIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _TRANSFORM_MIG_CACHE if k[0] != key[0]]:
+        del _TRANSFORM_MIG_CACHE[k]
+
+    from ..operators.lakehouse import (
+        append_manifest_table,
+        compact_manifest_table,
+        current_manifest,
+        files_for_values,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    token = abs(hash(("tmig", os.path.abspath(sf_dir), os.getpid()))) % (1 << 32)
+    scratch = _scratch(f"tmig_{token}")
+    root = os.path.join(scratch, "table")
+    audit_path = os.path.join(scratch, "_build_audit.json")
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("day", F.to_date("ts").cast("string"))
+        .withColumn("hour", F.expr(_HOUR_EXPR))
+    )
+    hours = sorted(
+        r.hour
+        for r in ev.where(F.col("hour").isNotNull())
+        .select("hour")
+        .distinct()
+        .collect()
+    )
+    nh = len(hours)
+    old_hour = hours[min(2, nh) - 1] if nh else None  # rank LEAST(2, n)
+    new_hour = hours[nh // 2] if nh else None  # rank n//2 + 1
+    has_null_ts = bool(ev.where(F.col("ts").isNull()).take(1))
+
+    if not os.path.exists(audit_path):
+        if new_hour is not None:
+            old = ev.where(
+                F.coalesce(F.col("hour") < F.lit(new_hour), F.lit(True))
+            ).drop("hour")
+            new = ev.where(F.col("hour") >= F.lit(new_hour))
+        else:
+            old, new = ev.drop("hour"), None
+        wrote_old = bool(old.take(1))
+        if wrote_old:
+            write_manifest_table(spark, old, root, partition_by="day")
+            if new is not None:
+                append_manifest_table(
+                    spark, new, root, partition_by="hour", transform=_HOUR_EXPR
+                )
+        else:
+            write_manifest_table(
+                spark, new, root, partition_by="hour", transform=_HOUR_EXPR
+            )
+        rec = compact_manifest_table(spark, root)  # the migration rewrite
+        with open(audit_path, "w") as fh:
+            json.dump({"wrote_old": wrote_old, "has_new": new is not None,
+                       "rec": rec}, fh)
+
+    with open(audit_path) as fh:
+        audit = json.load(fh)
+
+    m = current_manifest(root)
+    parts = m.get("partitions", {})
+    if audit["has_new"]:
+        assert m.get("transforms") == {"hour": _HOUR_EXPR}, (
+            "transform declaration must survive the migration rewrite"
+        )
+        assert audit["rec"]["files_rewritten"] >= 1, audit["rec"]
+        # post-migration: a null hour entry exists iff the data has
+        # null-ts rows — every other row owns a REAL hour partition
+        null_files = [f for f in m["files"] if parts[f].get("hour") is None]
+        assert bool(null_files) == has_null_ts, (null_files, has_null_ts)
+
+    def probed(tag: str, hr: str | None) -> DataFrame:
+        if hr is None:
+            src = read_manifest_table(spark, root, merge_schema=True).where(
+                F.lit(False)
+            )
+        else:
+            files = files_for_values(m, "hour", [hr])
+            if audit["has_new"]:
+                assert files and all(
+                    parts[f].get("hour") == hr for f in files
+                ), f"probe {hr} resolved a non-owner: {files}"
+            src = read_manifest_table(spark, root, {**m, "files": files}).where(
+                F.expr(_HOUR_EXPR) == hr
+            )
+        return (
+            src.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_id").cast("bigint").alias("n_distinct_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("bigint")
+                .alias("total_cents"),
+                F.min("event_id").cast("bigint").alias("min_event_id"),
+                F.max("event_id").cast("bigint").alias("max_event_id"),
+            )
+            .select(F.lit(tag).alias("probe"), "*")
+        )
+
+    out = probed("old_era", old_hour).unionByName(probed("new_era", new_hour))
+    _TRANSFORM_MIG_CACHE[key] = out
+    return out

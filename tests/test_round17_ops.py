@@ -711,3 +711,27 @@ def test_declared_transform_keeps_genuine_nulls_in_null_partition(spark, tmp_pat
     hit = files_for_values(m, "hour", ["2024-01-05-10"])
     assert [m["partitions"][f]["hour"] for f in hit] == ["2024-01-05-10"]
     assert read_manifest_table(spark, root, merge_schema=True).count() == 2
+
+
+def test_prebuilt_transform_migration_scan_matches_duckdb(spark):
+    """The r19 candidate row (prebuilt, unregistered): declared
+    transforms end-to-end — lakehouse_transform_migration_scan's
+    two-probe digest equals its DuckDB twin on the same parquet, the
+    old-era probe (pre-migration unprunable) is non-empty, and
+    re-entry rebuilds the same digest."""
+    from dend_covid19_spark.plans.ingest import (
+        _TRANSFORM_MIG_CACHE,
+        _TRANSFORM_MIG_ORACLE,
+        lakehouse_transform_migration_scan,
+    )
+
+    got = lakehouse_transform_migration_scan(spark, SF_DIR)
+    cols = ["probe", "event_type", "n_events", "n_distinct_events",
+            "total_cents", "min_event_id", "max_event_id"]
+    spark_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    assert spark_rows == _duck_events(_TRANSFORM_MIG_ORACLE)
+    assert {r[0] for r in spark_rows} == {"old_era", "new_era"}
+
+    first = _digest(got)
+    _TRANSFORM_MIG_CACHE.clear()
+    assert _digest(lakehouse_transform_migration_scan(spark, SF_DIR)) == first
