@@ -735,3 +735,27 @@ def test_prebuilt_transform_migration_scan_matches_duckdb(spark):
     first = _digest(got)
     _TRANSFORM_MIG_CACHE.clear()
     assert _digest(lakehouse_transform_migration_scan(spark, SF_DIR)) == first
+
+
+def test_prebuilt_partition_exact_scan_plan_pushes_probe_to_scan(spark):
+    """Plan-level pin for the r18 candidate: the probe-day membership
+    predicate reaches the parquet scan as an In() pushdown and the
+    ReadSchema prunes to exactly the digest's columns — so exact
+    manifest-level file planning, row-group skipping, and column
+    pruning compose on the same read."""
+    import re
+
+    from dend_covid19_spark.plans.ingest import lakehouse_partition_exact_scan
+
+    df = lakehouse_partition_exact_scan(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PushedFilters in plan\n{plan}"
+    assert "In(day" in m.group(1), m.group(1)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs, plan
+    read_cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert read_cols == {"event_id", "value", "day"}, read_cols
