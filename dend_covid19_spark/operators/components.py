@@ -68,13 +68,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     small = labels.count() <= CC_BROADCAST_MAX_NODES
     sym = (
-        sym.localCheckpoint()  # built once; never moves again
+        sym.localCheckpoint(eager=False)  # built once; never moves again
         if small
-        else sym.repartition(CC_SHUFFLE_PARTS, "b").localCheckpoint()
+        else sym.repartition(CC_SHUFFLE_PARTS, "b").localCheckpoint(eager=False)
     )
     for _ in range(MAX_ROUNDS):
         rhs = F.broadcast(labels) if small else labels
@@ -95,7 +95,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                     F.coalesce("nbr_min", F.col("component")) < F.col("component")
                 ).alias("changed"),
             )
-            .localCheckpoint()  # truncate lineage: constant plan depth per round
+            .localCheckpoint(eager=False)  # truncate lineage: constant plan depth per round
         )
         n_changed = new_labels.where("changed").count()  # O(1) driver scalar
         labels = new_labels.drop("changed")

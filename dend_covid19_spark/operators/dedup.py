@@ -1105,7 +1105,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartitionByRange(SNM_PARTS, *[F.col(k) for k in keys])
         .sortWithinPartitions(*keys)
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # freeze sampled boundaries: counts and ranks must see one layout
+        .localCheckpoint(eager=False)  # freeze sampled boundaries: counts and ranks must see one layout
     )
     counts = {r["pid"]: r["cnt"] for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = [], 0

@@ -665,7 +665,7 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
             F.expr("sqrt(aggregate(v, 0D, (acc, a) -> acc + a * a))").alias("nrm"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     x = fin.select(
         F.col("vec_id").alias("x_id"), F.col("v").alias("x_v"),

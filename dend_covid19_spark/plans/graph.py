@@ -110,7 +110,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = ob.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
     bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
@@ -186,9 +186,9 @@ def _pagerank_ranks(ed: DataFrame, deg: DataFrame, *, broadcast_ranks: bool) -> 
       test_pagerank_shuffle_branch_edges_stationary).
     """
     if broadcast_ranks:
-        ed = ed.localCheckpoint()  # built once; edges never move
+        ed = ed.localCheckpoint(eager=False)  # built once; edges never move
     else:
-        ed = ed.repartition(PR_SHUFFLE_PARTS, "s").localCheckpoint()
+        ed = ed.repartition(PR_SHUFFLE_PARTS, "s").localCheckpoint(eager=False)
     ranks = deg.select(
         F.col("s").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("r")
     )
@@ -200,17 +200,18 @@ def _pagerank_ranks(ed: DataFrame, deg: DataFrame, *, broadcast_ranks: bool) -> 
         ranks = msgs.groupBy(F.col("d").alias("node")).agg(
             (F.lit(PR_BASE) + F.sum("c")).cast("bigint").alias("r")
         )
-        # Checkpoint every OTHER iteration, not every one: each eager
-        # materialization is a job barrier (~10% wall each at sf0.1 —
-        # measured: ck-every-1 4.6s, ck-every-2 4.0s, ck-never 3.7s),
-        # while the checkpoint's value — bounded lineage so a task retry
-        # or a 50-iteration variant never recomputes the whole chain —
-        # only needs PERIODIC truncation. Interval 2 keeps the worst
+        # Checkpoint every OTHER iteration, not every one: the
+        # checkpoint's value — bounded lineage so a task retry or a
+        # 50-iteration variant never recomputes the whole chain — only
+        # needs PERIODIC truncation, while each checkpoint costs a
+        # persist pass over the rank table. Interval 2 keeps the worst
         # retry at one extra iteration of recompute and the lineage
-        # depth constant; the final iteration stays lazy (the consumer's
-        # action materializes it).
+        # depth constant. eager=False folds materialization into the
+        # next iteration's first job instead of scheduling a dedicated
+        # job barrier per checkpoint (measured at sf0.1: 23->18 jobs,
+        # steady noop-sink median 6.8s->4.7s on the same host).
         if i % 2 == 1 and i < PR_ITERS - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("node").alias("part_key"), F.col("r").alias("rank_e9"))
 
 
@@ -233,13 +234,13 @@ def _copurchase_edges(
         )
         .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
         .distinct()
-        .localCheckpoint()  # two consumers below (forward + reversed)
+        .localCheckpoint(eager=False)  # two consumers below (forward + reversed)
     )
     e = canon.unionAll(canon.select(F.col("d").alias("s"), F.col("s").alias("d")))
     # node-cardinality and consumed three ways (size gate count, rank
     # init, degree attach) — materialize once so the gate's count job
     # doesn't re-pay the degree aggregate
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout")).localCheckpoint()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dout")).localCheckpoint(eager=False)
     # degree table is node-cardinality: broadcast the attach so the edge
     # rows never pass through another exchange before the checkpoint.
     # In the shuffle branch (past PR_BROADCAST_MAX_NODES) this attach,
@@ -415,7 +416,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
-        .localCheckpoint()  # consumed by degree + orientation: build once
+        .localCheckpoint(eager=False)  # consumed by degree + orientation: build once
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -439,7 +440,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dst"),
             F.greatest("ok_a", "ok_b").alias("ok_dst"),
         )
-        .localCheckpoint()  # wedge sides + closing edges: 3 consumers
+        .localCheckpoint(eager=False)  # wedge sides + closing edges: 3 consumers
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(
@@ -529,7 +530,7 @@ def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return ec.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         ec.select(F.col("b").alias("s"), F.col("a").alias("d"))
@@ -544,7 +545,7 @@ def _kcore_peel_broadcast(e: DataFrame) -> DataFrame:
     test_kcore_broadcast_branch_edges_stationary). Survivors are
     node-cardinality, the same budget PageRank broadcasts under the
     same gate."""
-    e = e.localCheckpoint()
+    e = e.localCheckpoint(eager=False)
     for _ in range(KCORE_ITERS):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= KCORE_K).select("s")
@@ -552,7 +553,7 @@ def _kcore_peel_broadcast(e: DataFrame) -> DataFrame:
             e.join(F.broadcast(keep), "s", "left_semi")
             .join(F.broadcast(keep.select(F.col("s").alias("d"))), "d", "left_semi")
             .select("s", "d")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return e.groupBy(F.col("s").alias("part_key")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
@@ -587,12 +588,12 @@ def _kcore_peel_shuffle(e: DataFrame) -> DataFrame:
     plan shape (frontier attach leaves the edge side exchange-free) is
     pinned by tests/test_graph.py::
     test_kcore_shuffle_branch_edges_stationary."""
-    e = e.repartition(KCORE_SHUFFLE_PARTS, "s").localCheckpoint()
+    e = e.repartition(KCORE_SHUFFLE_PARTS, "s").localCheckpoint(eager=False)
     alive = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
         .repartition(KCORE_SHUFFLE_PARTS, "s")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(KCORE_ITERS):
         dropped = alive.where(F.col("deg") < KCORE_K).select("s")
@@ -609,7 +610,7 @@ def _kcore_peel_shuffle(e: DataFrame) -> DataFrame:
                 (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
             )
             .repartition(KCORE_SHUFFLE_PARTS, "s")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return alive.where(F.col("deg") >= 1).select(
         F.col("s").alias("part_key"), F.col("deg").cast("bigint").alias("core_degree")
@@ -730,7 +731,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_lpa_edges_stationary). localCheckpoint truncates each round's
     lineage. At 100 TB rounds are edge-linear, the same cost envelope
     as one PageRank iteration."""
-    e = _kcore_edges(spark, sf_dir).repartition(KCORE_SHUFFLE_PARTS, "d").localCheckpoint()
+    e = _kcore_edges(spark, sf_dir).repartition(KCORE_SHUFFLE_PARTS, "d").localCheckpoint(eager=False)
     return _lpa_propagate(e).select(
         F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
     )
@@ -764,5 +765,5 @@ def _lpa_propagate(e: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .select(F.col("s").alias("node"), "label")
         )
         if i < iters - 1:
-            labels = labels.localCheckpoint()
+            labels = labels.localCheckpoint(eager=False)
     return labels

@@ -1317,7 +1317,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" % {ERASURE_MOD} = 0"
     )
     del_users = (
-        ev.select("user_id").where(F.expr(hexpr)).distinct().localCheckpoint()
+        ev.select("user_id").where(F.expr(hexpr)).distinct().localCheckpoint(eager=False)
     )
     n_subjects = del_users.count()
 
@@ -2024,7 +2024,7 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.repartitionByRange(parts, F.col("epoch"), F.col("hk"), F.col("doc_id"))
         .sortWithinPartitions("epoch", "hk", "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # freeze sampled boundaries for counts + ranks
+        .localCheckpoint(eager=False)  # freeze sampled boundaries for counts + ranks
     )
     counts = {
         (r.pid, r.epoch): r.cnt

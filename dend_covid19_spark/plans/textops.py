@@ -819,7 +819,7 @@ def vocab_coverage_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = wc.agg(F.sum("cnt").cast("bigint").alias("total"))
     cc = wc.groupBy("cnt").agg(
@@ -1653,7 +1653,7 @@ def _bpe_train_rules(docs: DataFrame) -> list[DataFrame]:
         .where(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pair_of = (
         "transform(sequence(1, length(word) - 1),"
@@ -1682,13 +1682,13 @@ def _bpe_train_rules(docs: DataFrame) -> list[DataFrame]:
                 F.broadcast(prev.select(F.col("exp").alias(f"__exp_{i}")))
             )
             exp_expr = f"replace({exp_expr}, chr({i}), __exp_{i})"
-        rule = rule.select("sym", "cnt", F.expr(exp_expr).alias("exp")).localCheckpoint()
+        rule = rule.select("sym", "cnt", F.expr(exp_expr).alias("exp")).localCheckpoint(eager=False)
         rules.append(rule)
         words = (
             words.crossJoin(F.broadcast(rule.select("sym")))
             .select(F.expr(f"replace(word, sym, chr({r}))").alias("word"), "freq")
             .where(F.length("word") >= 2)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return rules
 

@@ -1343,7 +1343,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         s.groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
-        .localCheckpoint()  # |types|^2 rows; row totals reuse it instead
+        .localCheckpoint(eager=False)  # |types|^2 rows; row totals reuse it instead
         # of re-running the per-user window a second time
     )
     r = t.groupBy("prev_type").agg(F.sum("n_trans").cast("bigint").alias("n_from"))
@@ -1390,7 +1390,7 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     # key-cardinality pair set, two consumers (first-seen agg + classify
     # join): materialize once instead of re-scanning events
-    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().localCheckpoint()
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().localCheckpoint(eager=False)
     f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
     return (
         d.join(f, "user_id")
@@ -1800,7 +1800,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (median, deviation build, final report) — the
         # (day, type)-cardinality table materializes once so the raw
         # event scan isn't re-paid per branch
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     med = d.groupBy("event_type").agg(
         F.percentile_approx("cents", 0.5, PCTL_ACCURACY).alias("med_cents")
@@ -1879,7 +1879,7 @@ def audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
         ).alias("bits")
-    ).localCheckpoint()  # three consumers: sizes + both pair sides
+    ).localCheckpoint(eager=False)  # three consumers: sizes + both pair sides
     sz = b.groupBy("event_type").agg(
         F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_users")
     )
