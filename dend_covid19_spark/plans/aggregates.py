@@ -487,9 +487,22 @@ def user_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        gap_stats,
-        "user_id long, n_gaps long, median_gap_us double, max_gap_us long",
+    # Floor the grouped-map stage's parallelism explicitly: the grouped-map
+    # machinery costs milliseconds per GROUP (one Arrow batch + one Python
+    # call each), which AQE cannot see — it coalesces this tiny-BYTES
+    # post-shuffle stage down to one task and serializes every group
+    # (measured at sf0.1: 5.0s -> 0.7s steady). An explicit repartition on
+    # the group key satisfies the grouped-map's required distribution (no
+    # second exchange) and pins the width at cluster core count, which is
+    # the right size for a CPU-bound Python stage at any scale.
+    parts = max(spark.sparkContext.defaultParallelism, 1)
+    return (
+        ev.repartition(parts, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            gap_stats,
+            "user_id long, n_gaps long, median_gap_us double, max_gap_us long",
+        )
     )
 
 
