@@ -75,6 +75,7 @@ def compact_partitions(
     max_files: int = 4,
     target_file_bytes: int = 128 * 1024 * 1024,
     only_partitions: set[str] | None = None,
+    max_concurrent_rewrites: int = 8,
 ) -> dict[str, dict]:
     """Selective (stats-driven) partition compaction — the incremental
     OPTIMIZE: rewrite ONLY the leaf partitions whose small-file count
@@ -155,37 +156,59 @@ def compact_partitions(
                 "data files at the dataset root — not a key=value partitioned "
                 "layout; use compact_small_files for flat directories"
             )
+    def _rewrite(part: str) -> int:
+        """Rewrite one breaching partition (read -> coalesce -> write ->
+        swap) and return its post-swap file count. Each rewrite touches
+        only its own leaf dir, so rewrites are fully independent."""
+        ent = stats[part]
+        src = os.path.join(root, part)
+        tmp = _hidden_sibling(src, _COMPACTING_SUFFIX)
+        retired = _hidden_sibling(src, _RETIRED_SUFFIX)
+        n_out = max(1, -(-ent["bytes"] // target_file_bytes))
+        # mergeSchema: micro-batch appends may have EVOLVED a
+        # partition's file schema (an added column present only in
+        # newer files); a single-footer read would silently drop
+        # that column from the files that had it — a lossy
+        # "lossless" compaction. The merge costs one footer per
+        # file of THIS breaching partition only (bounded by the
+        # breach threshold, never an O(table) sweep).
+        spark.read.option("mergeSchema", True).parquet(src).coalesce(
+            n_out
+        ).write.parquet(tmp)
+        os.rename(src, retired)
+        os.rename(tmp, src)
+        shutil.rmtree(retired)
+        return len(partition_file_stats(src).get(".", {"files": {}})["files"])
+
     manifest: dict[str, dict] = {}
     for part in sorted(stats):
         ent = stats[part]
-        breach = ent["n_files"] > max_files
-        rec = {
+        manifest[part] = {
             "files_before": ent["n_files"],
             "bytes_before": ent["bytes"],
             "files_after": ent["n_files"],
             "rewritten": False,
         }
-        if breach:
-            src = os.path.join(root, part)
-            tmp = _hidden_sibling(src, _COMPACTING_SUFFIX)
-            retired = _hidden_sibling(src, _RETIRED_SUFFIX)
-            n_out = max(1, -(-ent["bytes"] // target_file_bytes))
-            # mergeSchema: micro-batch appends may have EVOLVED a
-            # partition's file schema (an added column present only in
-            # newer files); a single-footer read would silently drop
-            # that column from the files that had it — a lossy
-            # "lossless" compaction. The merge costs one footer per
-            # file of THIS breaching partition only (bounded by the
-            # breach threshold, never an O(table) sweep).
-            spark.read.option("mergeSchema", True).parquet(src).coalesce(
-                n_out
-            ).write.parquet(tmp)
-            os.rename(src, retired)
-            os.rename(tmp, src)
-            shutil.rmtree(retired)
-            rec["files_after"] = len(partition_file_stats(src).get(".", {"files": {}})["files"])
-            rec["rewritten"] = True
-        manifest[part] = rec
+    breaching = [p for p in sorted(stats) if stats[p]["n_files"] > max_files]
+    if len(breaching) == 1:
+        manifest[breaching[0]]["files_after"] = _rewrite(breaching[0])
+        manifest[breaching[0]]["rewritten"] = True
+    elif breaching:
+        # Overlap the independent per-partition rewrite jobs from a small
+        # driver thread pool instead of draining them one Spark job at a
+        # time: each rewrite is a tiny single-partition job whose tail
+        # would otherwise leave the cluster idle, and a micro-batch that
+        # touched N days pays ~N sequential job latencies. Bounded pool —
+        # enough in flight to fill the tail, not enough to fight for
+        # executors; each thread's renames stay confined to its own leaf.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(breaching), max_concurrent_rewrites)
+        ) as pool:
+            for part, n_after in zip(breaching, pool.map(_rewrite, breaching)):
+                manifest[part]["files_after"] = n_after
+                manifest[part]["rewritten"] = True
     return manifest
 
 

@@ -536,3 +536,42 @@ def test_compact_partitions_rejects_escaping_touched_paths(spark, tmp_path):
     # a valid rel path still works
     m = compact_partitions(spark, root, max_files=0, only_partitions={"bucket=0"})
     assert set(m) == {"bucket=0"}
+
+
+def test_compact_partitions_pool_saturated_many_breaching(spark, tmp_path):
+    """The independent per-partition rewrites run overlapped from a
+    bounded driver thread pool; with more breaching partitions than
+    pool workers every partition must still be rewritten exactly once,
+    the manifest must record all of them in deterministic (sorted)
+    order, and no swap debris may remain."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dend_covid19_spark.operators.maintenance import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    root = str(tmp_path / "part")
+    orders = load_table(spark, "orders", SF_DIR).withColumn(
+        "bucket", (F.col("o_orderkey") % 12).cast("int")
+    )
+    n_rows = orders.count()
+    # all 12 buckets fragmented (3 files each) with a pool of 4 workers
+    orders.repartition(3).write.partitionBy("bucket").parquet(root)
+
+    manifest = compact_partitions(
+        spark, root, max_files=1, max_concurrent_rewrites=4
+    )
+    post = partition_file_stats(root)
+
+    assert list(manifest) == sorted(manifest)
+    assert all(rec["rewritten"] for rec in manifest.values())
+    assert len(manifest) == 12
+    for part in manifest:
+        assert post[part]["n_files"] == 1
+    assert not any(
+        name.endswith(("__compacting", "__retired")) for name in os.listdir(root)
+    )
+    assert spark.read.parquet(root).count() == n_rows
