@@ -352,6 +352,24 @@ def python_datasource_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Structured Streaming execution under the driver hash -------------------
 
+
+def _stream_width() -> str:
+    """State/shuffle width for the stateful streaming drains below.
+
+    A stateful operator pays a per-partition-per-batch floor — every
+    state partition launches a task and writes a state-store delta file
+    to the checkpoint each micro-batch regardless of rows — so width
+    should track STATE VOLUME (key cardinality x state bytes), never the
+    session's batch-shuffle default. These drains keep KB-scale state;
+    8 is the measured local sweet spot (interleaved 32-vs-8 A/B: 1.6-5.7x
+    per drain, identical output). Env-overridable so a cluster run sizes
+    it from state bytes (~100 MB-1 GB of state per partition). Applied
+    only to state-store-bound drains: the drift monitor's foreachBatch
+    counts merge is per-batch AGGREGATE-bound and measured SLOWER at 8,
+    so it keeps the session width."""
+    return os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+
+
 _STREAM_DEDUP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -411,18 +429,27 @@ def streaming_dedup_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = f"stream_dedup_sink_{token}"
     events = read_events_stream(spark, src)
-    q = (
-        events.withWatermark("ts", "60 days")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dropDuplicatesWithinWatermark keeps one state entry per
+    # (user_id, event_type) inside the watermark — KB-scale state here,
+    # so the drain takes the narrow state width (see _stream_width).
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, _stream_width())
+        q = (
+            events.withWatermark("ts", "60 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old_parts)
     out = (
         spark.table(sink)
         .groupBy("event_type")
@@ -684,24 +711,33 @@ def streaming_session_window_executed(spark: SparkSession, sf_dir: str) -> DataF
 
     sink = f"stream_sesswin_sink_{token}"
     events = read_events_stream(spark, src)
-    q = (
-        events.withWatermark("ts", "0 seconds")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros("sw.start").alias("start_us"),
-            F.unix_micros("sw.end").alias("end_us"),
-            "n_events",
+    # session_window keeps one open session per active user in the
+    # state store — state-store-bound, so the drain takes the narrow
+    # state width (interleaved A/B: 2.2-5.7x at width 8, same rows).
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, _stream_width())
+        q = (
+            events.withWatermark("ts", "0 seconds")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros("sw.start").alias("start_us"),
+                F.unix_micros("sw.end").alias("end_us"),
+                "n_events",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old_parts)
     out = spark.table(sink).select("user_id", "start_us", "end_us", "n_events")
     _STREAM_SESSION_CACHE[key] = out
     return out
@@ -782,7 +818,7 @@ def streaming_interval_join_executed(spark: SparkSession, sf_dir: str) -> DataFr
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         q = (
             attribution_stream(events)
             .writeStream.format("memory")
@@ -893,7 +929,7 @@ def streaming_join_state_eviction_executed(spark: SparkSession, sf_dir: str) -> 
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         events = read_events_stream(spark, src, max_files_per_trigger=1)
         q = (
             attribution_stream(events)
@@ -1045,7 +1081,7 @@ def streaming_late_drop_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         q = (
             events.withWatermark("ts", LATE_WATERMARK)
             .groupBy(F.window("ts", "1 day").alias("w"))
@@ -1140,7 +1176,7 @@ def _drain_mode(
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")  # the late-drop state-width discipline
+        spark.conf.set(conf_key, _stream_width())  # the late-drop state-width discipline
         q = (
             read_events_stream(spark, src, max_files_per_trigger=1)
             .groupBy("event_type")
@@ -1307,9 +1343,18 @@ def streaming_stateful_sessionize_executed(
     from ..streaming.stateful import run_sessionize_available_now
 
     sink = f"stream_stateful_sink_{token}"
-    run_sessionize_available_now(
-        spark, src, os.path.join(scratch, "ckpt"), sink_table=sink
-    )
+    # keyed state is one 4-field tuple per user (KB-scale) — the
+    # groupBy shuffle width is also the state-store width, so the
+    # drain takes the narrow width (interleaved A/B: 2.4-4.9x at 8).
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, _stream_width())
+        run_sessionize_available_now(
+            spark, src, os.path.join(scratch, "ckpt"), sink_table=sink
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
     out = spark.table(sink).select(
         "user_id", "session_seq", "n_events", "session_date"
     )
@@ -1522,7 +1567,7 @@ def streaming_upsert_sink_executed(spark: SparkSession, sf_dir: str) -> DataFram
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         first_path = run_conditional_upsert_available_now(
             spark, src, store, os.path.join(scratch, "ckpt1"), max_files_per_trigger=1
         )
@@ -1745,7 +1790,7 @@ def streaming_funnel_executed(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         run_funnel_available_now(
             spark,
             src,
@@ -1868,7 +1913,7 @@ def streaming_compaction_sink_executed(spark: SparkSession, sf_dir: str) -> Data
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         run_partitioned_sink_with_compaction(
             spark,
             src,
@@ -2004,7 +2049,7 @@ def snapshot_time_travel_compacted(spark: SparkSession, sf_dir: str) -> DataFram
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         run_conditional_upsert_available_now(
             spark, src, store, os.path.join(scratch, "ckpt"), max_files_per_trigger=1
         )
@@ -2861,7 +2906,7 @@ def streaming_compaction_restart_executed(spark: SparkSession, sf_dir: str) -> D
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         run_partitioned_sink_with_compaction(
             spark, src, out, ckpt,
             max_files=0, manifests=manifests, max_files_per_trigger=1,
@@ -3032,7 +3077,7 @@ def streaming_manifest_sink_executed(spark: SparkSession, sf_dir: str) -> DataFr
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     try:
-        spark.conf.set(conf_key, "8")
+        spark.conf.set(conf_key, _stream_width())
         run_manifest_sink_with_compaction(
             spark, src, root, ckpt,
             manifests=manifests, max_files_per_trigger=1,
