@@ -501,6 +501,9 @@ def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.tok_a", "b.tok_b")
+    # shared bigram stream: model build + scoring probe both consume occ
+    # (same lineage cut as bigram_lm_doc_score — one explode, not two)
+    occ = occ.localCheckpoint(eager=False)
     uc = (
         tok.select(F.explode("toks").alias("token"))
         .groupBy("token")

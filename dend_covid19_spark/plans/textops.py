@@ -1819,6 +1819,12 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.tok_a", "b.tok_b")
+    # occ feeds BOTH the bigram-count model build and the scoring probe;
+    # without a lineage cut Spark plans the scan+split+explode twice.
+    # Lazy localCheckpoint materializes the occurrence stream once and
+    # both consumers read the stored blocks (interleaved A/B at sf0.1:
+    # 1.01-1.34s -> 0.81-1.00s in every adjacent pair, digests equal).
+    occ = occ.localCheckpoint(eager=False)
     uc = (
         tok.select(F.explode("toks").alias("token"))
         .groupBy("token")
@@ -1927,6 +1933,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "lang", "b.tok_a", "b.tok_b")
+    # shared bigram stream: model build + scoring probe both consume occ
+    # (same lineage cut as bigram_lm_doc_score — one explode, not two)
+    occ = occ.localCheckpoint(eager=False)
     uc = (
         tok.select(F.explode("toks").alias("token"))
         .groupBy("token")

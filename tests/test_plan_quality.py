@@ -630,3 +630,21 @@ def test_dsir_scoring_broadcasts_model_table(spark):
         f"model table not broadcast\n{plan}"
     )
     assert "TakeOrderedAndProject" in plan, f"top-k plans a full sort\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bigram_lm_doc_score", "ccnet_perplexity_buckets", "quality_ensemble_vote"],
+)
+def test_bigram_occurrence_stream_shared(spark, name):
+    """The bigram occurrence stream (occ) feeds BOTH the bigram-count
+    model build and the per-doc scoring probe; it must be planned once
+    (a lazy localCheckpoint both consumers read as Scan ExistingRDD),
+    not exploded twice from the corpus scan. Exactly one Generate node
+    should remain — the unigram-count explode, whose denominator
+    deliberately differs from occ (it counts doc-final tokens too)."""
+    plan = formatted_plan(spark, name)
+    gen_nodes = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    rdd_nodes = len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M))
+    assert gen_nodes == 1, f"expected 1 Generate (uc only), found {gen_nodes}\n{plan}"
+    assert rdd_nodes >= 2, f"occ not shared via checkpoint: {rdd_nodes} RDD scans\n{plan}"
