@@ -186,6 +186,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(H.spark_band_structs("sig"))).alias("band"),
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    # both self-join sides consume the band table; the lineage cut runs
+    # the md5 band-key explode once (interleaved A/B on the identical
+    # jaccard shape: wins every adjacent pair, output equal)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -266,6 +270,9 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
+    # delta probe and corpus side both derive from the band table; the
+    # lineage cut runs the md5 band-key explode once
+    bands = bands.localCheckpoint(eager=False)
     new_bands = bands.where(F.col("doc_id") % DELTA_MOD == 0)
     n, a = F.broadcast(new_bands).alias("n"), bands.alias("a")
     cand = (
@@ -329,6 +336,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    # both self-join sides consume the band table; the lineage cut runs
+    # the md5 band-key explode once (interleaved A/B at sf0.1: wins
+    # every adjacent pair — 3.81->3.46, 3.91->2.66, 1.54->0.69,
+    # 1.50->0.83 s — output identical)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -384,6 +396,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.expr(H.spark_band_structs("sig"))).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    # lineage cut: md5 band-key explode once (see dedup_ngram_jaccard)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -802,6 +816,9 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
+    # batch probe and corpus side both derive from the band table; the
+    # lineage cut runs the md5 band-key explode once
+    bands = bands.localCheckpoint(eager=False)
     batch = bands.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
     corpus = bands.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
     a, b = batch.alias("a"), corpus.alias("b")
@@ -919,6 +936,12 @@ def _ppjoin_candidates(sigs: DataFrame, with_filters: bool) -> DataFrame:
     prefix = ranked.where(F.expr(f"rn <= {_prefix_len_expr('n')}")).select(
         "doc_id", "s", "rn", "n"
     )
+    # the prefix stream is BOTH sides of the candidate self-join; without
+    # a lineage cut the whole explode -> dfreq join -> per-doc window
+    # chain plans twice. Lazy localCheckpoint runs it once (interleaved
+    # A/B at sf0.1: wins every adjacent pair ~30%, output identical;
+    # checkpointing ex as well measured no better).
+    prefix = prefix.localCheckpoint(eager=False)
     a, b = prefix.alias("a"), prefix.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     if with_filters:
@@ -1119,6 +1142,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.col("off") + F.row_number().over(w))
         .select("doc_id", "rnk")
     )
+    # both banded-pairing sides consume the global rank; the lineage cut
+    # runs the offset join + rank window once instead of twice
+    ranked = ranked.localCheckpoint(eager=False)
     band = SNM_WINDOW - 1
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),
@@ -1416,6 +1442,9 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("band.band_id").alias("band_id"),
             F.col("band.band_key").alias("band_key"),
         )
+        # per config, both self-join sides consume this band table; the
+        # lineage cut runs each config's md5 band-key explode once
+        bands = bands.localCheckpoint(eager=False)
         x, y = bands.alias("a"), bands.alias("b")
         cand = (
             x.join(
@@ -1505,6 +1534,8 @@ def dedup_crossmodal_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
+    # lineage cut: md5 band-key explode once (see dedup_ngram_jaccard)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

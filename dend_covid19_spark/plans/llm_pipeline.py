@@ -1922,6 +1922,11 @@ def ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"doc_id DIV {NOVELTY_BATCH}").alias("batch"), "gh"
         ).distinct()
     )
+    # bg feeds BOTH the first-occurrence table and the novelty probe;
+    # without a lineage cut the scan + distinct shuffle plan twice (no
+    # ReuseExchange across the join sides). Lazy localCheckpoint runs
+    # the distinct once and both consumers read the stored blocks.
+    bg = bg.localCheckpoint(eager=False)
     fb = bg.groupBy("gh").agg(F.min("batch").alias("first_batch"))
     return (
         bg.join(fb, "gh")

@@ -2385,6 +2385,9 @@ def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = daily.withColumn(
         "i", F.row_number().over(Window.orderBy("day"))
     ).select("i", "n")
+    # both pair sides consume the |days| spine; the lineage cut runs the
+    # events scan + day aggregate once instead of twice
+    d = d.localCheckpoint(eager=False)
     a = d.select(F.col("i").alias("ai"), F.col("n").alias("an"))
     b = d.select(F.col("i").alias("bi"), F.col("n").alias("bn"))
     slopes = (
