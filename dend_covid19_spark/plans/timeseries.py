@@ -315,6 +315,10 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("t_signup").isNotNull())
     )
+    # each stage frame feeds the NEXT stage's join AND the final
+    # left-join cascade; lineage cuts build each stage once instead of
+    # re-planning the events aggregate chain per consumer
+    s = s.localCheckpoint(eager=False)
     v = (
         ev.where(F.col("event_type") == "view")
         .join(s, "user_id")
@@ -322,6 +326,7 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("t_view"))
     )
+    v = v.localCheckpoint(eager=False)  # see s above
     p = (
         ev.where(F.col("event_type") == "purchase")
         .join(v, "user_id")

@@ -271,6 +271,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum("l_extendedprice", scale=2).alias("value"))
     )
+    # the threshold subquery and the HAVING cut both consume part_value;
+    # the lineage cut makes the docstring's "detail rows are never
+    # re-scanned" true in the physical plan (it planned the lineitem
+    # join + aggregate twice before)
+    part_value = part_value.localCheckpoint(eager=False)
     threshold = part_value.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
     return (
         part_value.join(F.broadcast(threshold))
