@@ -225,6 +225,48 @@ def widen_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+@functools.lru_cache(maxsize=None)
+def _source_bytes(path: str) -> int:
+    """On-disk bytes of one table source (file or directory of parts);
+    cached per path for the process lifetime — it gates a plan-shape
+    decision, not a correctness one, so staleness is harmless."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+        )
+    except OSError:
+        return 0
+
+
+def ckpt_if_bounded(df: DataFrame, sf_dir: str, table: str = "documents") -> DataFrame:
+    """Lazy lineage-truncation checkpoint, gated on SOURCE scale.
+
+    ``localCheckpoint`` materializes the frame to the executor block
+    store (disk-spillable but NOT fault-tolerant: losing an executor
+    fails the job instead of recomputing). For a per-occurrence stream
+    (exploded tokens/bigrams) the materialized bytes are a small
+    multiple of the source table's bytes — fine while the source is
+    bounded, corpus-scale storage at the 100 TB regime, where
+    re-planning the explode once per consumer is the cheaper trade and
+    the cluster-level answer is a maintained model table, not a
+    checkpoint. The gate compares the source parquet's on-disk size
+    against ``SPARK_GRAFT_CKPT_SOURCE_MAX_BYTES`` (default 2 GiB):
+    below it the cut is taken (every local/bench SF qualifies, so the
+    measured sharing wins stand), above it the frame is returned
+    unchanged. Results are identical either way — only the plan shape
+    differs."""
+    limit = int(
+        os.environ.get("SPARK_GRAFT_CKPT_SOURCE_MAX_BYTES", str(2 * 1024**3))
+    )
+    if _source_bytes(f"{sf_dir}/{table}.parquet") <= limit:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 

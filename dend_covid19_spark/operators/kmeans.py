@@ -219,23 +219,20 @@ def _codebook_scratch_path(sf_dir: str, mtime: float, seed_ids: list[int]) -> st
     import hashlib
     import os
 
-    from ..scratch import SCRATCH_ROOT
+    from ..scratch import scratch_dir
 
     token = hashlib.md5(
         f"codebook{CODEBOOK_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
         f"{seed_ids}:{K}:{ITERS}".encode()
     ).hexdigest()[:12]
-    # DELIBERATELY unmarked (no scratch_dir pid stamp): a pid-owned dir
-    # is reaped the moment its writer exits, which defeats the whole
-    # point — the next process (pytest -> driver_sim -> bench -> the
-    # driver) should READ the trained artifact, not retrain (measured
-    # r13: with pid ownership the first codebook consumer of every
-    # process re-paid the Lloyd train). Unmarked dirs fall under
-    # gc_scratch's 6-hour age gate instead — the right lifetime for a
-    # few-KB model artifact keyed by (sf, mtime, seeds); publish stays
+    # PID-KEYED since r18 (verdict item 3): the pre-r18 cross-process
+    # key let a bench process read a codebook some earlier process
+    # trained, so its timings never included the Lloyd train. Now each
+    # process trains once (first consumer pays, _CODEBOOK_CACHE +
+    # this per-pid file amortize the rest of the process) and
+    # gc_scratch reaps the dir when the owner exits. Publish stays
     # atomic via os.replace.
-    path = os.path.join(SCRATCH_ROOT, f"codebook_{token}")
-    os.makedirs(path, exist_ok=True)
+    path = scratch_dir(f"codebook_{token}_{os.getpid()}")
     return os.path.join(path, "codebook.json")
 
 

@@ -998,7 +998,7 @@ def _ivf_cell_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> 
     import hashlib
     import os
 
-    from ..scratch import SCRATCH_ROOT, materialize_once
+    from ..scratch import materialize_once, scratch_dir
     from .kmeans import ITERS, K, SEMDEDUP_SEED_IDS, _assign
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1006,13 +1006,11 @@ def _ivf_cell_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) -> 
         f"ivfcell{IVF_INDEX_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
         f"{SEMDEDUP_SEED_IDS}:{K}:{ITERS}".encode()
     ).hexdigest()[:12]
-    # unmarked (age-gated) like the codebook scratch: a pid-stamped dir
-    # is reaped when its writer exits, so every fresh process would
-    # rebuild the index — the maintained-index semantics want the next
-    # process to PROBE it instead (bench cold showed the build cost on
-    # the first probe). gc_scratch's 6-hour age gate bounds /tmp.
-    parent = os.path.join(SCRATCH_ROOT, f"ivfcell_{token}")
-    os.makedirs(parent, exist_ok=True)
+    # PID-KEYED since r18 (verdict item 3): each process builds its own
+    # index once — the build cost lands in that process's cold first
+    # probe and never leaks into another process's bench timings.
+    # gc_scratch reaps the dir when the owning process exits.
+    parent = scratch_dir(f"ivfcell_{token}_{os.getpid()}")
     path = os.path.join(parent, "index")
 
     def _write(tmp: str) -> None:
@@ -1177,7 +1175,7 @@ def _ivf_delta_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) ->
     import json
     import os
 
-    from ..scratch import SCRATCH_ROOT, materialize_once
+    from ..scratch import materialize_once, scratch_dir
     from .kmeans import ITERS, K, SEMDEDUP_SEED_IDS, _assign
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
@@ -1185,8 +1183,8 @@ def _ivf_delta_index_path(spark: SparkSession, sf_dir: str, cents_rows: list) ->
         f"ivfdelta{IVF_INDEX_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
         f"{SEMDEDUP_SEED_IDS}:{K}:{ITERS}:{DELTA_MOD}:{DELTA_REM}".encode()
     ).hexdigest()[:12]
-    parent = os.path.join(SCRATCH_ROOT, f"ivfcell_{token}")
-    os.makedirs(parent, exist_ok=True)
+    # pid-keyed per-process build — see _ivf_cell_index_path (r18).
+    parent = scratch_dir(f"ivfcell_{token}_{os.getpid()}")
     path = os.path.join(parent, "index")
 
     def _manifest(root: str) -> dict:
@@ -1370,7 +1368,7 @@ def _ivf_compacted_index_path(spark: SparkSession, sf_dir: str, cents_rows: list
     import os
     import shutil
 
-    from ..scratch import SCRATCH_ROOT, materialize_once
+    from ..scratch import materialize_once, scratch_dir
     from .kmeans import ITERS, K, SEMDEDUP_SEED_IDS
     from .maintenance import compact_partitions, partition_file_stats
 
@@ -1380,8 +1378,8 @@ def _ivf_compacted_index_path(spark: SparkSession, sf_dir: str, cents_rows: list
         f"{os.path.abspath(sf_dir)}:{mtime}:{SEMDEDUP_SEED_IDS}:{K}:{ITERS}:"
         f"{DELTA_MOD}:{DELTA_REM}".encode()
     ).hexdigest()[:12]
-    parent = os.path.join(SCRATCH_ROOT, f"ivfcell_{token}")
-    os.makedirs(parent, exist_ok=True)
+    # pid-keyed per-process build — see _ivf_cell_index_path (r18).
+    parent = scratch_dir(f"ivfcell_{token}_{os.getpid()}")
     path = os.path.join(parent, "index")
 
     def _write(tmp: str) -> None:

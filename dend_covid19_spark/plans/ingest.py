@@ -2242,15 +2242,16 @@ def _compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
 
     from ..operators.maintenance import compact_partitions, partition_file_stats
-    from ..scratch import SCRATCH_ROOT, materialize_once
+    from ..scratch import materialize_once, scratch_dir
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
     token = hashlib.md5(
         f"compactev{_COMPACT_DEMO_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
         f"{_COMPACT_FRAG_FILES}:{_COMPACT_FRAG_DOM}:{_COMPACT_MAX_FILES}".encode()
     ).hexdigest()[:12]
-    parent = os.path.join(SCRATCH_ROOT, f"compactev_{token}")
-    os.makedirs(parent, exist_ok=True)
+    # pid-keyed per-process build (r18 verdict item 3) — each process
+    # builds its own fixture; gc_scratch reaps it when the owner exits.
+    parent = scratch_dir(f"compactev_{token}_{os.getpid()}")
     path = os.path.join(parent, "data")
 
     def _write(tmp: str) -> None:
@@ -2315,15 +2316,16 @@ def _manifest_compacted_events_root(spark: SparkSession, sf_dir: str) -> str:
         files_for_values,
         write_manifest_table,
     )
-    from ..scratch import SCRATCH_ROOT, materialize_once
+    from ..scratch import materialize_once, scratch_dir
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
     token = hashlib.md5(
         f"mcompactev{_COMPACT_DEMO_VERSION}:{os.path.abspath(sf_dir)}:{mtime}:"
         f"{_COMPACT_FRAG_FILES}:{_COMPACT_FRAG_DOM}".encode()
     ).hexdigest()[:12]
-    parent = os.path.join(SCRATCH_ROOT, f"mcompactev_{token}")
-    os.makedirs(parent, exist_ok=True)
+    # pid-keyed per-process build (r18 verdict item 3) — each process
+    # builds its own fixture; gc_scratch reaps it when the owner exits.
+    parent = scratch_dir(f"mcompactev_{token}_{os.getpid()}")
     path = os.path.join(parent, "table")
 
     def _write(tmp: str) -> None:

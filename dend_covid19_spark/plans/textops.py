@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ckpt_if_bounded, load_table
 from .registry import query
 
 # Tiny deterministic stopword lexicons (heuristic language ID — the
@@ -307,8 +307,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.expr("split(text, ' ')")).alias("token"))
     # tok feeds BOTH the TF and DF aggregates; the lineage cut runs the
     # token explode once (the shared-model-table pattern, see
-    # collocation_pmi_bigrams)
-    tok = tok.localCheckpoint(eager=False)
+    # collocation_pmi_bigrams). tok is the PER-OCCURRENCE token stream —
+    # Θ(corpus tokens) — so the cut is scale-gated (r17 advice item 1):
+    # past the source-size bound, materializing it would cost
+    # corpus-scale block-store storage and the double explode is cheaper.
+    tok = ckpt_if_bounded(tok, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1843,7 +1846,10 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy localCheckpoint materializes the occurrence stream once and
     # both consumers read the stored blocks (interleaved A/B at sf0.1:
     # 1.01-1.34s -> 0.81-1.00s in every adjacent pair, digests equal).
-    occ = occ.localCheckpoint(eager=False)
+    # occ is Θ(corpus tokens), so the cut is scale-gated (r17 advice
+    # item 1): past the source bound the double explode is the cheaper
+    # trade and the 100 TB shape ships a trained model table instead.
+    occ = ckpt_if_bounded(occ, sf_dir)
     uc = (
         tok.select(F.explode("toks").alias("token"))
         .groupBy("token")
@@ -1953,8 +1959,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "lang", "b.tok_a", "b.tok_b")
     # shared bigram stream: model build + scoring probe both consume occ
-    # (same lineage cut as bigram_lm_doc_score — one explode, not two)
-    occ = occ.localCheckpoint(eager=False)
+    # (same scale-gated lineage cut as bigram_lm_doc_score — one explode
+    # while the source is bounded, re-planned past the 100 TB gate)
+    occ = ckpt_if_bounded(occ, sf_dir)
     uc = (
         tok.select(F.explode("toks").alias("token"))
         .groupBy("token")

@@ -646,5 +646,32 @@ def test_bigram_occurrence_stream_shared(spark, name):
     plan = formatted_plan(spark, name)
     gen_nodes = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
     rdd_nodes = len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.M))
-    assert gen_nodes == 1, f"expected 1 Generate (uc only), found {gen_nodes}\n{plan}"
+    # The sharing assertion is the RDD-scan count; the Generate bound is
+    # kept loose (<= 2: uc's explode, plus room for one legitimate
+    # future explode or a rendering change) per the r17 advice — an
+    # exact-count pin failed for non-regression reasons.
+    assert gen_nodes <= 2, f"occ re-exploded per consumer: {gen_nodes} Generates\n{plan}"
     assert rdd_nodes >= 2, f"occ not shared via checkpoint: {rdd_nodes} RDD scans\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["bigram_lm_doc_score", "tfidf_top_terms"],
+)
+def test_corpus_stream_ckpt_gated_on_scale(spark, name, monkeypatch):
+    """r17 advice item 1: the per-occurrence stream checkpoints (occ,
+    tfidf tok) are Θ(corpus tokens) and must NOT materialize past the
+    source-size gate — with the gate forced to 0 bytes the plan falls
+    back to re-planning the explode per consumer (>= 2 Generates, no
+    sharing regression in results), and the default gate keeps the cut."""
+    import dend_covid19_spark.catalog as cat
+
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_SOURCE_MAX_BYTES", "0")
+    cat._source_bytes.cache_clear()
+    try:
+        plan = formatted_plan(spark, name)
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_CKPT_SOURCE_MAX_BYTES")
+        cat._source_bytes.cache_clear()
+    gen_nodes = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert gen_nodes >= 2, f"gate ignored: stream still checkpointed\n{plan}"

@@ -32,11 +32,12 @@ def test_decon_bloom_words_cache_is_value_identical(spark):
     assert cached == fresh and len(fresh) > 0
 
 
-def test_decon_scratch_is_cross_process_keyed(spark):
-    """The decon contamination index must be reusable by the NEXT
-    process (maintained-index semantics): its scratch parent carries no
-    pid in the name and no owner.pid marker, so gc_scratch age-gates it
-    instead of reaping it at writer exit."""
+def test_decon_scratch_is_process_keyed(spark):
+    """r18 (verdict item 3): the decon contamination index scratch must
+    be PER-PROCESS — pid in the dir name and an owner.pid marker — so a
+    bench process can never read a shingle table some earlier process
+    built (its timings must include the build) and gc_scratch reaps the
+    dir at owner exit instead of age-gating it."""
     from dend_covid19_spark.plans.llm_pipeline import (
         _decon_scratch_parent,
         _decon_shingle_hashes,
@@ -44,8 +45,8 @@ def test_decon_scratch_is_cross_process_keyed(spark):
 
     _decon_shingle_hashes(spark, SF_DIR)  # ensure built
     parent = _decon_scratch_parent(SF_DIR)
-    assert not re.search(rf"_{os.getpid()}$", parent)
-    assert not os.path.exists(os.path.join(parent, "owner.pid"))
+    assert re.search(rf"_{os.getpid()}$", parent)
+    assert os.path.exists(os.path.join(parent, "owner.pid"))
     assert os.path.exists(os.path.join(parent, "gh", "_SUCCESS"))
 
 
