@@ -1113,6 +1113,14 @@ def negative_sampling_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
     )
+    # ui feeds BOTH the user spine and the anti-join; without a lineage
+    # cut the lineitem⋈orders distinct is planned twice (r18 interleaved
+    # A/B at sf0.1: 12.8->8.9, 6.1->5.3, 5.1->4.9 s in adjacent pairs,
+    # digests equal). ui is interaction-cardinality — Θ(facts) — so the
+    # cut is scale-gated on the lineitem source like the occ streams.
+    from ..catalog import ckpt_if_bounded
+
+    ui = ckpt_if_bounded(ui, sf_dir, table="lineitem")
     users = ui.select("user_id").distinct()
     h_pair = (
         "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), '#',"

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") output for named queries into plans/r17/.
+"""Capture .explain("formatted") output for named queries into plans/<round>/ ($SPARK_GRAFT_PLAN_ROUND, default r18).
 
 Usage:
     python scripts/capture_plans.py before q1_pricing_summary pagerank_copurchase ...
@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18"),
 )
 
 
