@@ -26,6 +26,22 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def registry_dfs(spark):
+    """Every registered query built ONCE for the session's full-registry
+    sweep tests (r18: test_all_queries_nonempty and
+    test_no_query_plans_cartesian each rebuilt all ~280 DataFrames —
+    for side-effecting rows that means re-entering the drain-and-cache
+    path — ~290 s of suite wall between them; one shared build pass
+    roughly halves it). Built SEQUENTIALLY: side-effecting rows
+    set/restore session confs around their drains, which must not
+    interleave across threads."""
+    from dend_covid19_spark import plans
+
+    reg = plans.all_queries()
+    return {name: reg[name](spark, SF_DIR) for name in sorted(reg)}
+
+
+@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for name in TABLE_NAMES:

@@ -68,15 +68,24 @@ def _spark_decode(spark, decode_stage, col_name, payloads):
     schema = StructType(
         [StructField("doc_id", LongType()), StructField(col_name, BinaryType())]
     )
+    # One task only, via a single-slice parallelize: with local[32] a
+    # tiny dataframe otherwise fans out to 32 tasks, and when the decode
+    # of the one real row raises, Spark kills the empty siblings — the
+    # job-abort message can then surface a sibling's
+    # CancelledKeyException instead of the codec's ValueError, flaking
+    # the rejection-message assertion below (seen once in r11). The
+    # earlier coalesce(1) form achieved the same single task by chaining
+    # all 32 pickled parent partitions into it — 32 SEQUENTIAL Python
+    # worker round-trips, ~5 s per call and ~10 min across the four
+    # campaign tests (r18 measured; numSlices=1 is ~0.6 s with identical
+    # semantics).
     df = spark.createDataFrame(
-        [(i, bytearray(p)) for i, p in enumerate(payloads)], schema
+        spark.sparkContext.parallelize(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)], 1
+        ),
+        schema,
     )
-    # One task only: with local[32] a tiny dataframe still fans out to 32
-    # tasks, and when the decode of the one real row raises, Spark kills
-    # the empty siblings — the job-abort message can then surface a
-    # sibling's CancelledKeyException instead of the codec's ValueError,
-    # flaking the rejection-message assertion below (seen once in r11).
-    return decode_stage(df.coalesce(1)).collect()
+    return decode_stage(df).collect()
 
 
 def _local_wav_rows(doc_id: int, payload: bytes):

@@ -348,7 +348,7 @@ def global_windows(plan: str) -> list[str]:
     return out
 
 
-def test_no_query_plans_cartesian(spark):
+def test_no_query_plans_cartesian(spark, registry_dfs):
     """Global sweep: no registered query may degrade to CartesianProduct,
     only the allowlisted ones may use BroadcastNestedLoopJoin (all of
     those join a one-row/constant-size side), and only bounded-spine
@@ -363,11 +363,9 @@ def test_no_query_plans_cartesian(spark):
     correctness harness (the round-1 failure mode)."""
     from pyspark.sql.types import ArrayType, MapType
 
-    from dend_covid19_spark.plans.registry import all_queries as _aq
-
     flagged = []
-    for name in sorted(_aq()):
-        df = _aq()[name](spark, SF_DIR)
+    for name in sorted(registry_dfs):
+        df = registry_dfs[name]
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
